@@ -1,0 +1,98 @@
+"""Crawl configuration — the frozen analogue of the reference Collector.
+
+Reference: colly.go:55-134 (v2 Collector fields) and config.go:26-89
+(v3 Config). A config is immutable for the life of a crawl and is
+captured in UDF closures / broadcast to executors — never mutated
+mid-run (the reference mutates via functional options only at
+construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LimitRule:
+    """Per-domain politeness rule (reference: http_backend.go:53-67).
+
+    First matching rule in priority order wins (GetMatchingRule,
+    http_backend.go:134-149). ``parallelism`` caps concurrent in-flight
+    requests per matching domain; the worker holds its slot for
+    fetch + delay + rand(random_delay) (http_backend.go:199-211), so the
+    steady-state per-domain rate is
+    ``parallelism / (service + delay + E[random_delay])`` — which is the
+    quantity our per-micro-batch admission quota reproduces.
+    """
+
+    domain_glob: str = "*"
+    domain_regexp: str | None = None
+    delay_ms: int = 0
+    random_delay_ms: int = 0
+    parallelism: int = 1
+
+    def quota(self, window_ms: int, service_ms: int) -> int:
+        """Max admissions for a matching domain in one micro-batch of
+        simulated length ``window_ms``. Deterministic: E[random_delay]
+        = random_delay_ms/2 (the reference draws uniform [0, rd))."""
+        per_slot_ms = max(1, service_ms + self.delay_ms + self.random_delay_ms // 2)
+        return max(1, (max(1, self.parallelism) * window_ms) // per_slot_ms)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Admission + politeness + robots config.
+
+    Defaults mirror the reference: ``max_depth=0`` (unlimited,
+    colly.go:64), ``allow_url_revisit=False``, ``ignore_robots=True``
+    (IgnoreRobotsTxt defaults true, colly.go:462),
+    ``max_body_size=10MiB`` (colly.go:454), ``max_redirects=10``
+    (colly.go:1341-1343).
+    """
+
+    max_depth: int = 0
+    allowed_domain_globs: tuple = ()
+    disallowed_domain_globs: tuple = ()
+    url_filters: tuple = ()             # include regexes (≥1 must match if set)
+    disallowed_url_filters: tuple = ()  # exclude regexes (checked first)
+    allow_url_revisit: bool = False
+    ignore_robots: bool = True
+    user_agent: str = "colly-spark/1.0"
+    max_body_size: int = 10 * 1024 * 1024
+    max_redirects: int = 10
+    # micro-batch politeness window (the "simulated second" each
+    # foreachBatch drain represents) + assumed per-request service time
+    batch_window_ms: int = 1000
+    service_time_ms: int = 20
+    limit_rules: tuple = field(default_factory=tuple)  # tuple[LimitRule]
+    seed: int = 42  # drives deterministic pseudo-random delay
+
+    def matching_rule(self, host: str) -> LimitRule | None:
+        """First-match-wins over priority-ordered rules
+        (http_backend.go:134-149: regexp OR glob on host)."""
+        import fnmatch
+        import re
+
+        for r in self.limit_rules:
+            if r.domain_regexp and re.search(r.domain_regexp, host):
+                return r
+            if r.domain_glob and fnmatch.fnmatchcase(host, r.domain_glob):
+                return r
+        return None
+
+    def domain_quota(self, host: str) -> int:
+        rule = self.matching_rule(host)
+        if rule is None:
+            return 1 << 30  # no rule → unbounded (reference: nil rule skips the semaphore)
+        return rule.quota(self.batch_window_ms, self.service_time_ms)
+
+
+# Error taxonomy — matches the reference error set (colly.go:204-231)
+ERR_MAX_DEPTH = "max_depth"
+ERR_FORBIDDEN_DOMAIN = "forbidden_domain"
+ERR_FORBIDDEN_URL = "forbidden_url"
+ERR_NO_URL_FILTERS_MATCH = "no_url_filters_match"
+ERR_ROBOTS = "robots_blocked"
+ERR_ALREADY_VISITED = "already_visited"
+ERR_MISSING = "fetch_missing"   # URL not in corpus (analogue of network error)
+ERR_TOO_MANY_REDIRECTS = "too_many_redirects"

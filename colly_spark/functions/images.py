@@ -1,0 +1,175 @@
+"""Image payload codecs + validation (the BASELINE.json image axis).
+
+The reference treats images as opaque bytes (response.go:189-194
+noTextualData skips charset work for image/*); the payload semantics —
+decode, pixel validation, PSNR — come from ``BASELINE.json``
+input_hint: "decoded-pixel allclose (PSNR≥40dB for lossy) + caption
+equality".
+
+This container has no PIL/libjpeg, so:
+
+- ``png``: a REAL minimal PNG codec (RGB8, filter 0) over stdlib zlib.
+  Lossless → decoded pixels must match exactly.
+- ``jpeg``: the container cannot encode/decode real JPEG. We use a
+  clearly-marked deterministic stand-in lossy codec ("QNT1": per-channel
+  quantization to 6 bits + zlib) so the PSNR≥40dB validation path is
+  exercised with genuinely lossy bytes. 6-bit quantization ⇒ max error
+  4/2 per sample ⇒ PSNR ≈ 46dB — above the 40dB gate, below lossless.
+  In a real deployment swap ``encode_lossy``/``decode_lossy`` for
+  PIL/turbojpeg; the Spark-side plumbing (binary column, batch decode in
+  ``mapInPandas``, schema) is identical and is what we test.
+
+All decode paths are vectorized at the Arrow-batch level (one Python
+call per batch, numpy per image). ~100TB scale: images stay as opaque
+``binary`` columns end-to-end; decode runs map-side only on the
+partitions that need pixel validation, never in a shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QNT_MAGIC = b"QNT1"
+_QNT_BITS = 6  # keep top 6 bits → step 4 → PSNR ≈ 46 dB
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real RGB8 PNG (filter 0)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode the subset of PNG produced by :func:`encode_png`
+    (8-bit RGB, filter 0 or 1/2 unsupported → ValueError)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, w * 3 + 1)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("unsupported PNG filter")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_lossy(pixels: np.ndarray) -> bytes:
+    """STAND-IN lossy codec (deterministic): quantize each channel to
+    the top ``_QNT_BITS`` bits (mid-rise reconstruction), zlib the
+    planes. Real deployments replace this with JPEG via PIL/turbojpeg —
+    the Spark plumbing is format-agnostic (opaque binary column)."""
+    h, w, c = pixels.shape
+    q = (pixels >> (8 - _QNT_BITS)).astype(np.uint8)
+    header = _QNT_MAGIC + struct.pack(">HHB", w, h, _QNT_BITS)
+    return header + zlib.compress(q.tobytes(), 6)
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _QNT_MAGIC:
+        raise ValueError("not a QNT1 payload")
+    w, h, bits = struct.unpack(">HHB", data[4:9])
+    q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3)
+    shift = 8 - bits
+    # mid-rise reconstruction: center of the quantization bin
+    return ((q.astype(np.uint16) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpeg", "jpg", "qnt"):
+        return decode_lossy(data)
+    raise NotImplementedError(
+        f"format {fmt!r}: real decoders (libjpeg/webp/avif) are not in this "
+        "container; plug PIL/turbojpeg here in deployment"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: average-hash over an 8×8 luma downsample
+    (public aHash construction). Deterministic, numpy-only; used to
+    populate/validate the ``phash`` column of the images table."""
+    luma = (
+        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+    )
+    h, w = luma.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def validate_batch(bodies, fmts, ref_bodies, ref_fmts, min_psnr_db: float = 40.0):
+    """Batch validation kernel used by the images pytest oracle and the
+    crawl pipeline's image-validation stage: decode fetched bytes and
+    reference bytes, return (ok: list[bool], psnr_db: list[float]).
+
+    Lossless (png): exact pixel equality required.
+    Lossy: PSNR ≥ min_psnr_db against the reference pixels.
+    """
+    oks, psnrs = [], []
+    for body, fmt, ref_body, ref_fmt in zip(bodies, fmts, ref_bodies, ref_fmts):
+        try:
+            got = decode_image(bytes(body), fmt)
+            ref = decode_image(bytes(ref_body), ref_fmt)
+            if got.shape != ref.shape:
+                oks.append(False), psnrs.append(0.0)
+                continue
+            p = psnr(got, ref)
+            if fmt == "png" and ref_fmt == "png":
+                oks.append(bool(np.array_equal(got, ref)))
+            else:
+                oks.append(bool(p >= min_psnr_db))
+            psnrs.append(p if p != float("inf") else 99.0)
+        except Exception:
+            oks.append(False)
+            psnrs.append(0.0)
+    return oks, psnrs

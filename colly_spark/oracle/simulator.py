@@ -1,0 +1,241 @@
+"""Pure-Python reference simulator — the golden oracle.
+
+Implements the reference's crawl semantics (admission order, dedup,
+robots, politeness, redirects) over the synthetic corpus, emitting the
+traces the Spark engine must match exactly (SURVEY.md §5: this stands
+in for running the Go suite in CI).
+
+Semantics pinned to the reference:
+
+- requestCheck order (colly.go:715-756): MaxDepth → DisallowedURLFilters
+  → URLFilters → DisallowedDomains → AllowedDomains → robots → seen.
+- seen check-and-mark is atomic per request and happens BEFORE the
+  fetch (colly.go:745-753) — a request deferred by politeness is
+  already marked.
+- HEAD skips robots (colly.go:723) and skips the revisit check entirely
+  (colly.go:732-734: non-GET with nil body returns early).
+- POST dedup key includes the body (colly.go:1494-1496).
+- every redirect hop re-runs filters + check-and-mark on the target;
+  an AlreadyVisited hop aborts the request (colly.go:1306-1354,
+  colly_test.go:682-712); max 10 hops (colly.go:1341-1343).
+- parse gate: extract links only when status < 203 (colly.go:1185-1190)
+  and Content-Type contains "html" (colly.go:1087).
+- politeness: per-domain admission quota per micro-batch derived from
+  the first-matching LimitRule (http_backend.go:134-149, 199-211) —
+  quota = parallelism × window / (service + delay + E[rand]); deferred
+  requests stay pending in per-domain FIFO (seq) order.
+
+Crawl ordering model (the distributed-parity contract): requests are
+processed in micro-batches; within a batch, per-domain admission is by
+global discovery ``seq`` (FIFO). Newly discovered links get dense seqs
+in (parent_seq, link_index) order. This IS "BFS per-domain FIFO":
+batch boundaries track depth when quotas don't bind, and per-domain
+order is discovery order always.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from colly_spark import config as cfgmod
+from colly_spark.config import CrawlConfig
+from colly_spark.functions.urlnorm import canonicalize, hostname, request_hash
+from colly_spark.operators import robots as robotsmod
+from colly_spark.operators.extract import extract_page
+
+
+@dataclass
+class SimResult:
+    # (batch, seq, url, final_url, depth, host, status)
+    trace: list = field(default_factory=list)
+    # final URL-seen set: {url_hash (unsigned)}
+    seen: set = field(default_factory=set)
+    # (url, error_kind)
+    errors: list = field(default_factory=list)
+    # (page_url, image_url, image_id, caption_from_page)
+    images: list = field(default_factory=list)
+    # per-batch metric dicts
+    metrics: list = field(default_factory=list)
+
+    def per_domain_order(self) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for batch, seq, url, _final, _depth, host, _status in sorted(
+            self.trace, key=lambda t: (t[0], t[5], t[1])
+        ):
+            out.setdefault(host, []).append(url)
+        return out
+
+
+def _glob_any(host: str, globs) -> bool:
+    import fnmatch
+
+    return any(fnmatch.fnmatchcase(host, g) for g in globs)
+
+
+class Simulator:
+    def __init__(self, corpus: dict, cfg: CrawlConfig):
+        """corpus: dict of pandas DataFrames from fixtures.make_corpus."""
+        self.cfg = cfg
+        pages = corpus["pages"]
+        self.pages = {
+            r.url: r for r in pages.itertuples(index=False)
+        }
+        self.robots = {
+            r.host: (r.body, bool(r.fetch_error))
+            for r in corpus["robots"].itertuples(index=False)
+        }
+        self.images_by_id = {
+            r.image_id: r for r in corpus["images"].itertuples(index=False)
+        }
+        self._url_res = [re.compile(p) for p in cfg.url_filters]
+        self._durl_res = [re.compile(p) for p in cfg.disallowed_url_filters]
+
+    # --- admission -----------------------------------------------------
+    def _check_filters(self, canon: str, host: str, depth: int) -> str | None:
+        cfg = self.cfg
+        if cfg.max_depth > 0 and depth > cfg.max_depth:
+            return cfgmod.ERR_MAX_DEPTH
+        if self._durl_res and any(r.search(canon) for r in self._durl_res):
+            return cfgmod.ERR_FORBIDDEN_URL
+        if self._url_res and not any(r.search(canon) for r in self._url_res):
+            return cfgmod.ERR_NO_URL_FILTERS_MATCH
+        if cfg.disallowed_domain_globs and _glob_any(host, cfg.disallowed_domain_globs):
+            return cfgmod.ERR_FORBIDDEN_DOMAIN
+        if cfg.allowed_domain_globs and not _glob_any(host, cfg.allowed_domain_globs):
+            return cfgmod.ERR_FORBIDDEN_DOMAIN
+        return None
+
+    def _check_robots(self, canon: str, host: str, method: str) -> str | None:
+        if method == "HEAD" or self.cfg.ignore_robots:
+            return None
+        body, fetch_error = self.robots.get(host, (None, False))
+        if not robotsmod.robots_allowed(canon, body, fetch_error):
+            return cfgmod.ERR_ROBOTS
+        return None
+
+    def _admit(self, canon, host, depth, method, body, seen) -> str | None:
+        """Full requestCheck. Returns error kind or None (admitted).
+        Mutates ``seen`` (check-and-mark)."""
+        err = self._check_filters(canon, host, depth)
+        if err:
+            return err
+        err = self._check_robots(canon, host, method)
+        if err:
+            return err
+        if not self.cfg.allow_url_revisit:
+            if method != "GET" and body is None:
+                return None  # HEAD & bodyless POST: no check, no mark
+            h = request_hash(canon, body)
+            if h in seen:
+                return cfgmod.ERR_ALREADY_VISITED
+            seen.add(h)
+        return None
+
+    # --- drive -----------------------------------------------------------
+    def run(self, seeds, max_batches: int = 10_000) -> SimResult:
+        """seeds: iterable of url strings (submission order) or
+        (url, method, body) tuples."""
+        res = SimResult()
+        frontier: list[tuple] = []  # (seq, url_raw, depth, method, body)
+        next_seq = 0
+        for s in seeds:
+            if isinstance(s, str):
+                url, method, body = s, "GET", None
+            else:
+                url, method, body = s
+            frontier.append((next_seq, url, 1, method, body))
+            next_seq += 1
+        pending: list[tuple] = []  # admitted, awaiting fetch: (seq, canon, depth, host, method)
+        batch = 0
+        while (frontier or pending) and batch < max_batches:
+            m = dict(batch=batch, submitted=len(frontier), admitted=0, fetched=0,
+                     deferred=0, errors=0, new_links=0)
+            # 1. admission on new frontier rows, in seq order
+            for seq, raw, depth, method, body in sorted(frontier, key=lambda t: t[0]):
+                canon = canonicalize(raw)
+                if not canon:
+                    res.errors.append((raw, cfgmod.ERR_MISSING))
+                    m["errors"] += 1
+                    continue
+                host = hostname(canon)
+                err = self._admit(canon, host, depth, method, body, res.seen)
+                if err:
+                    res.errors.append((canon, err))
+                    m["errors"] += 1
+                    continue
+                pending.append((seq, canon, depth, host, method))
+                m["admitted"] += 1
+            frontier = []
+            # 2. politeness: per-domain quota by seq order
+            pending.sort(key=lambda t: t[0])
+            quotas: dict[str, int] = {}
+            fetch_now, defer = [], []
+            for item in pending:
+                host = item[3]
+                q = quotas.setdefault(host, self.cfg.domain_quota(host))
+                if q > 0:
+                    quotas[host] = q - 1
+                    fetch_now.append(item)
+                else:
+                    defer.append(item)
+            pending = defer
+            m["deferred"] = len(defer)
+            # 3. fetch + redirects + extraction
+            new_frontier: list[tuple] = []
+            for seq, canon, depth, host, method in fetch_now:
+                final_url, status, row, err = self._fetch_with_redirects(
+                    canon, depth, method, res.seen
+                )
+                if err:
+                    res.errors.append((canon, err))
+                    m["errors"] += 1
+                    continue
+                res.trace.append((batch, seq, canon, final_url, depth, hostname(final_url), status))
+                m["fetched"] += 1
+                if status >= 203 or method == "HEAD":
+                    if status >= 400:
+                        res.errors.append((canon, f"http_{status}"))
+                    continue
+                links, images = extract_page(final_url, row.body, row.content_type)
+                for img_url, caption in images:
+                    res.images.append((final_url, img_url, None, caption))
+                for li, link in enumerate(links):
+                    new_frontier.append((link, depth + 1, li))
+                # direct image fetch: validate payload row
+                if row.content_type and row.content_type.startswith("image/") and row.image_id:
+                    # a direct image fetch: (page_url=None, image_url, image_id, caption=None)
+                    res.images.append((None, final_url, row.image_id, None))
+            # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
+            #    (new_frontier was appended in fetch order = seq order, link order)
+            for link, d, _li in new_frontier:
+                frontier.append((next_seq, link, d, "GET", None))
+                next_seq += 1
+            m["new_links"] = len(new_frontier)
+            res.metrics.append(m)
+            batch += 1
+        return res
+
+    def _fetch_with_redirects(self, canon, depth, method, seen):
+        """Returns (final_url, status, corpus_row, err)."""
+        current = canon
+        row = self.pages.get(current)
+        if row is None:
+            return current, 0, None, cfgmod.ERR_MISSING
+        hops = 0
+        while row.status in (301, 302, 303, 307, 308) and row.redirect_to:
+            hops += 1
+            if hops > self.cfg.max_redirects:
+                return current, row.status, None, cfgmod.ERR_TOO_MANY_REDIRECTS
+            target = canonicalize(row.redirect_to)
+            if not target:
+                return current, row.status, None, cfgmod.ERR_MISSING
+            thost = hostname(target)
+            err = self._admit(target, thost, depth, method, None, seen)
+            if err:
+                return target, row.status, None, err
+            current = target
+            row = self.pages.get(current)
+            if row is None:
+                return current, 0, None, cfgmod.ERR_MISSING
+        return current, int(row.status), row, None

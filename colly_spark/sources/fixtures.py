@@ -1,0 +1,278 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md schemas).
+
+Replaces the reference's in-process httptest server
+(colly_test.go:46-257) with tables the engine "fetches" by join. Every
+route family of the reference server has an analogue here:
+
+- ordinary HTML pages with links (relative / absolute / fragment /
+  tab-and-newline-polluted hrefs) — colly_test.go:49-100
+- ``<base href>`` pages — colly_test.go /base, /base_relative
+- redirect chains incl. an already-visited target — colly_test.go:682-712
+- error statuses (404/500) — colly_test.go /500
+- robots.txt with Allow/Disallow incl. the wildcard query case
+  ``Disallow: /allowed*q=`` — colly_test.go:39-44, 1070-1085
+- direct image URLs + ``<img>``/``<figcaption>`` pairs (payload axis)
+- lone-percent path ``/100%`` — colly_test.go:985-1016
+
+Zipf-skewed pages-per-domain so 1-2 domains are hot (exercises the
+skew/salting path). All generation is `random.Random(seed)`-driven:
+same seed ⇒ byte-identical corpus, which is what makes the pytest
+oracles and the bench reproducible with no external data.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from colly_spark.functions import images as imgcodec
+from colly_spark.functions import urlnorm
+
+_WORDS = (
+    "amber basalt cedar dune ember fjord garnet harbor iris juniper kelp "
+    "lumen marble nectar onyx prism quartz reef slate tundra umber vertex "
+    "willow xenon yarrow zephyr"
+).split()
+
+
+@dataclass
+class CorpusSpec:
+    seed: int = 42
+    n_domains: int = 6
+    base_pages_per_domain: int = 12  # hot domains get zipf-scaled more
+    zipf_s: float = 1.3
+    n_images: int = 24
+    links_per_page: int = 4
+    redirect_chains: int = 2
+    image_sizes: tuple = (16, 32)
+    robots_error_host: bool = True  # one host whose robots fetch fails
+    extra_seeds: list = field(default_factory=list)
+
+
+def _caption(rng: random.Random, i: int) -> str:
+    return f"{' '.join(rng.choice(_WORDS) for _ in range(6))} #{i:04d}"
+
+
+def make_images(spec: CorpusSpec) -> pd.DataFrame:
+    """The payload table — exactly BASELINE.json input_hint columns:
+    (image_id, bytes, w, h, fmt, caption, phash)."""
+    rng = random.Random(spec.seed * 7919 + 1)
+    rows = []
+    for i in range(spec.n_images):
+        w = rng.choice(spec.image_sizes)
+        h = rng.choice(spec.image_sizes)
+        px_rng = np.random.default_rng(spec.seed * 1_000_003 + i)
+        pixels = px_rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        data = imgcodec.encode_png(pixels) if fmt == "png" else imgcodec.encode_lossy(pixels)
+        rows.append(
+            dict(
+                image_id=f"img{i:08d}",
+                bytes=data,
+                w=np.int32(w),
+                h=np.int32(h),
+                fmt=fmt,
+                caption=_caption(rng, i),
+                phash=imgcodec.phash64(imgcodec.decode_image(data, fmt)),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def _domain(i: int) -> str:
+    return f"d{i:02d}.test"
+
+
+def _page_counts(spec: CorpusSpec) -> list[int]:
+    # Zipf-skewed: domain 0 hottest
+    return [
+        max(3, int(spec.base_pages_per_domain * spec.n_domains / ((i + 1) ** spec.zipf_s)))
+        for i in range(spec.n_domains)
+    ]
+
+
+def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
+    """Build all fixture tables. Returns dict of pandas DataFrames:
+    images, pages, robots, seeds, limit_rules.
+
+    ``pages.links`` is ground truth (resolved canonical out-links in
+    document order) — the engine must re-derive it by parsing ``body``.
+    """
+    spec = spec or CorpusSpec()
+    rng = random.Random(spec.seed)
+    images = make_images(spec)
+    counts = _page_counts(spec)
+
+    # --- enumerate page URLs per domain -------------------------------
+    page_urls: list[list[str]] = []
+    for d in range(spec.n_domains):
+        host = _domain(d)
+        urls = [f"http://{host}/"]
+        urls += [f"http://{host}/page/{i}" for i in range(1, counts[d])]
+        page_urls.append(urls)
+
+    pages_rows: list[dict] = []
+    img_idx = 0
+
+    def add_page(url, status, ctype, body, redirect_to=None, image_id=None, links=None, depth=0):
+        pages_rows.append(
+            dict(
+                url=url,
+                status=np.int32(status),
+                content_type=ctype,
+                body=body if isinstance(body, (bytes, bytearray)) else body.encode("utf-8"),
+                redirect_to=redirect_to,
+                image_id=image_id,
+                links=links or [],
+                depth_from_seed=np.int32(depth),
+            )
+        )
+
+    for d in range(spec.n_domains):
+        host = _domain(d)
+        urls = page_urls[d]
+        n = len(urls)
+        for pi, url in enumerate(urls):
+            hrefs: list[str] = []
+            # forward links within the domain (BFS structure: page i links
+            # to a deterministic window ahead)
+            for k in range(1, spec.links_per_page + 1):
+                tgt = pi * spec.links_per_page + k
+                if tgt < n:
+                    style = rng.randrange(4)
+                    if style == 0:
+                        hrefs.append(f"/page/{tgt}")  # root-relative
+                    elif style == 1:
+                        hrefs.append(f"http://{host}/page/{tgt}")  # absolute
+                    elif style == 2:
+                        # path-relative: from "/" it's "page/N", from
+                        # "/page/M" the sibling is just "N"
+                        hrefs.append(f"page/{tgt}" if pi == 0 else f"{tgt}")
+                    else:  # tab/newline pollution (WHATWG step-3 case):
+                        # raw tab+newline in the href; canonicalizes to /page/{tgt}
+                        hrefs.append(f"/pag\te/\n{tgt}")
+            # occasional cross-domain link (tests domain filters)
+            if pi % 5 == 1 and spec.n_domains > 1:
+                other = _domain((d + 1) % spec.n_domains)
+                hrefs.append(f"http://{other}/")
+            # a fragment link (must be skipped) and a disallowed path
+            hrefs.append("#frag")
+            if pi % 7 == 2:
+                hrefs.append("/disallowed")
+            if pi % 11 == 3:
+                hrefs.append("/allowed?q=1")  # blocked by wildcard robots rule
+            if pi % 9 == 4:
+                hrefs.append(f"/r/{pi % spec.redirect_chains}")  # into a redirect chain
+            if pi == 0:
+                hrefs.append("/100%")  # lone-percent page
+
+            # image embeds
+            img_tags = []
+            if img_idx < len(images) and pi % 2 == 0:
+                iid = images.iloc[img_idx % len(images)]["image_id"]
+                cap = images.iloc[img_idx % len(images)]["caption"]
+                fmt = images.iloc[img_idx % len(images)]["fmt"]
+                img_href = f"/img/{iid}.{fmt}"
+                img_tags.append(
+                    f'<figure><img src="{img_href}"/><figcaption>{cap}</figcaption></figure>'
+                )
+                hrefs.append(img_href)
+                img_idx += 1
+
+            body = "<html><head><title>{}</title></head><body>{}{}</body></html>".format(
+                url,
+                "".join(f'<a href="{h}">l</a>' for h in hrefs),
+                "".join(img_tags),
+            )
+            gt_links = [r for r in (urlnorm.resolve(url, h) for h in hrefs) if r]
+            add_page(url, 200, "text/html; charset=utf-8", body, links=gt_links)
+
+        # special routes per domain ------------------------------------
+        # redirect chains: /r/0 → /r/0/a → /page/1 ; /r/1 → / (already seen)
+        for c in range(spec.redirect_chains):
+            if c == 0:
+                add_page(f"http://{host}/r/0", 301, "text/html", b"", redirect_to=f"http://{host}/r/0/a")
+                add_page(f"http://{host}/r/0/a", 302, "text/html", b"", redirect_to=f"http://{host}/page/1" if n > 1 else f"http://{host}/")
+            else:
+                # AlreadyVisited-on-redirect case (colly_test.go:682-712)
+                add_page(f"http://{host}/r/{c}", 301, "text/html", b"", redirect_to=f"http://{host}/")
+        # error page + disallowed + wildcard-query page + lone-%
+        add_page(f"http://{host}/500", 500, "text/html", b"server error")
+        add_page(f"http://{host}/disallowed", 200, "text/html; charset=utf-8", "<html><body>blocked by robots</body></html>")
+        add_page(f"http://{host}/allowed?q=1", 200, "text/html; charset=utf-8", "<html><body>q</body></html>")
+        add_page(f"http://{host}/100%25", 200, "text/html; charset=utf-8", "<html><body>percent</body></html>")
+        # base-tag page (colly_test.go /base)
+        base_body = (
+            '<html><head><base href="http://xy.test/sub/" /></head>'
+            '<body><a href="z">base-rel</a></body></html>'
+        )
+        add_page(
+            f"http://{host}/base", 200, "text/html; charset=utf-8", base_body,
+            links=[urlnorm.resolve("http://xy.test/sub/", "z")],
+        )
+
+    # direct image URLs (cross-host image CDN not needed; serve per-domain)
+    for d in range(spec.n_domains):
+        host = _domain(d)
+        for _, im in images.iterrows():
+            url = f"http://{host}/img/{im['image_id']}.{im['fmt']}"
+            ct = "image/png" if im["fmt"] == "png" else "image/jpeg"
+            add_page(url, 200, ct, bytes(im["bytes"]), image_id=im["image_id"])
+
+    pages = pd.DataFrame(pages_rows)
+    # dedupe in case of URL collisions (keep first)
+    pages = pages.drop_duplicates(subset=["url"], keep="first").reset_index(drop=True)
+
+    # --- robots --------------------------------------------------------
+    robots_rows = []
+    for d in range(spec.n_domains):
+        host = _domain(d)
+        if spec.robots_error_host and d == spec.n_domains - 1:
+            robots_rows.append(dict(host=host, body=None, fetch_error=True))
+        elif d % 3 == 2:
+            pass  # no robots row → allow all
+        else:
+            robots_rows.append(
+                dict(
+                    host=host,
+                    body=(
+                        "User-agent: *\n"
+                        "Allow: /allowed\n"
+                        "Disallow: /disallowed\n"
+                        "Disallow: /allowed*q=\n"
+                    ),
+                    fetch_error=False,
+                )
+            )
+    robots = pd.DataFrame(robots_rows, columns=["host", "body", "fetch_error"])
+
+    # --- seeds (global FIFO submission order) ---------------------------
+    seed_urls = [f"http://{_domain(d)}/" for d in range(spec.n_domains)]
+    seed_urls += list(spec.extra_seeds)
+    seeds = pd.DataFrame(dict(url=seed_urls, seq=np.arange(len(seed_urls), dtype=np.int64)))
+
+    # --- limit rules (first-match-wins priority) ------------------------
+    limit_rules = pd.DataFrame(
+        [
+            dict(priority=np.int32(0), domain_glob="d00*", domain_regexp=None,
+                 delay_ms=np.int64(100), random_delay_ms=np.int64(50), parallelism=np.int32(2)),
+            dict(priority=np.int32(1), domain_glob="*", domain_regexp=None,
+                 delay_ms=np.int64(0), random_delay_ms=np.int64(0), parallelism=np.int32(4)),
+        ]
+    )
+    return dict(images=images, pages=pages, robots=robots, seeds=seeds, limit_rules=limit_rules)
+
+
+def write_corpus(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
+    """Write fixture tables as parquet (stand-in for Iceberg in-sandbox;
+    at deployment these are Iceberg tables — see plans/crawler.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{out_dir}/{name}.parquet")
