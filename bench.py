@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures (1) frontier drain throughput of the full crawl engine on a
+Spark-generated synthetic corpus (the BASELINE.json headline metric:
+URLs fetched+deduped per second), and (2) wall time of the headline
+queries() entries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_PAGES          drain corpus size  (default 400000)
+  BENCH_SEEDS          drain seed count   (default 20000)
+  BENCH_SKIP_DRAIN=1   skip the crawl drain (query timings only)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "400000"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "20000"))
+
+QUERY_NAMES = [
+    "admission_filter", "fnv64_hash", "politeness_quota", "seen_antijoin",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
+    "cosine_topk", "token_stats", "quality_score", "events_rollup",
+    "sessionize", "lineitem_pricing", "region_revenue",
+]
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("colly-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 16)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "5")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .getOrCreate()
+    )
+
+
+def drain_bench(spark) -> dict:
+    """Full-engine frontier drain on the generated corpus; returns
+    {seconds, urls_processed, urls_per_sec, fetched, deduped}."""
+    from colly_spark.config import CrawlConfig
+    from colly_spark.plans.bench_corpus import bench_corpus, bench_seeds
+    from colly_spark.plans.crawler import Crawler
+
+    corpus = bench_corpus(spark, N_PAGES)
+    cfg = CrawlConfig(max_depth=3, ignore_robots=True)  # quota unbounded
+    state = tempfile.mkdtemp(prefix="colly_bench_")
+    try:
+        t0 = time.time()
+        handles = Crawler(spark, corpus, cfg, state).run(
+            bench_seeds(N_SEEDS), max_batches=10)
+        dt = time.time() - t0
+        fetched = sum(m["fetched"] for m in handles.metrics)
+        submitted = sum(m["submitted"] for m in handles.metrics)
+        deduped = sum(m["errors"] for m in handles.metrics)
+        return dict(
+            seconds=round(dt, 2),
+            urls_processed=submitted,
+            fetched=fetched,
+            deduped=deduped,
+            urls_per_sec=round(submitted / dt, 1),
+            batches=len(handles.metrics),
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def main():
+    import __spark_entry__ as entry_mod
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    timings = {}
+    t_all = time.time()
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    drain = None
+    if os.environ.get("BENCH_SKIP_DRAIN") != "1":
+        drain = drain_bench(spark)
+        timings["crawl_drain"] = drain["seconds"]
+    total = round(time.time() - t_all, 2)
+    out = {
+        "metric": "frontier drain throughput + headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    if drain:
+        out["drain"] = drain
+        out["frontier_urls_per_sec"] = drain["urls_per_sec"]
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

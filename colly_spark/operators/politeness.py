@@ -1,0 +1,77 @@
+"""Politeness scheduler — per-domain admission quotas per micro-batch.
+
+Reference semantics (http_backend.go:53-149, 199-211): a LimitRule
+matches a host (first-match-wins in registration order); a worker holds
+one of ``Parallelism`` per-rule semaphore slots for the whole
+``fetch + Delay + rand(RandomDelay)`` window, so the steady-state
+per-domain rate is ``parallelism / (service + delay + E[rand])``.
+
+Spark mapping (SURVEY.md §2.5/P1-P2): each micro-batch represents one
+simulated politeness window of ``cfg.batch_window_ms``; a domain may
+admit at most ``quota(domain)`` requests per batch, in per-domain FIFO
+(``seq``) order. The quota is a *pure function* of (host, config) —
+computed in a vectorized pandas UDF (no shuffle) — and admission is a
+single window:
+
+    row_number() over (partition by host order by seq) <= quota
+
+which is the only shuffle of the admission path (and is unavoidable:
+per-domain FIFO *is* a partition-by-host ordering). Deferred rows stay
+pending to the next batch — they were already seen-marked at admission
+(check-and-mark-before-fetch, colly.go:745-753), exactly like a queued
+Colly request holding its dedup mark while waiting on the semaphore.
+
+Hot-domain skew: the window puts one hot domain in one task; that is
+semantically required for FIFO admission but bounded work (quota rows
+kept per domain). The heavy stages downstream (fetch/extract/decode)
+are explicitly round-robin repartitioned after admission so skew never
+reaches them (plans/crawler.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from colly_spark.config import CrawlConfig
+
+
+def quota_udf(cfg: CrawlConfig):
+    """host → per-batch admission quota (int). Vectorized; the
+    first-match-wins rule scan is memoized per distinct host."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _udf(hosts: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def q(h):
+            if h is None:
+                return 0
+            v = memo.get(h)
+            if v is None:
+                v = memo[h] = min(cfg.domain_quota(h), 1 << 30)
+            return v
+
+        return hosts.map(q).astype("int32")
+
+    return _udf
+
+
+def admit_batch(pending_df, cfg: CrawlConfig):
+    """Split pending rows into (fetch_now, deferred) by per-domain FIFO
+    quota. ``pending_df`` must carry ``host`` and ``seq`` columns.
+    Returns (fetch_now_df, deferred_df) with original columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("host").orderBy("seq")
+    cols = pending_df.columns
+    ranked = (
+        pending_df
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("_quota", quota_udf(cfg)(F.col("host")))
+    )
+    fetch_now = ranked.filter(F.col("_rank") <= F.col("_quota")).select(cols)
+    deferred = ranked.filter(F.col("_rank") > F.col("_quota")).select(cols)
+    return fetch_now, deferred

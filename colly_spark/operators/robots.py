@@ -104,8 +104,7 @@ def robots_allowed_udf():
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
-    @F.pandas_udf(BooleanType())
-    def _udf(urls: pd.Series, bodies: pd.Series, errors: pd.Series) -> pd.Series:
+    def _udf(urls, bodies, errors):
         return pd.Series(
             [
                 robots_allowed(u, b if isinstance(b, str) else None, bool(e) if e is not None else False)
@@ -113,4 +112,4 @@ def robots_allowed_udf():
             ]
         )
 
-    return _udf
+    return F.pandas_udf(_udf, BooleanType())

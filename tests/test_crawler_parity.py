@@ -1,0 +1,184 @@
+"""E2E parity: the Spark engine vs the pure-Python oracle simulator.
+
+The simulator (oracle/simulator.py) re-expresses the reference's test
+contracts (colly_test.go visit/dedup/robots/depth families,
+queue/queue_test.go drain invariants) — see SURVEY.md §5. The engine
+must reproduce, under each scenario config:
+
+- the final URL-seen set exactly (dedup semantics D1/D2),
+- the per-domain fetch order (BFS per-domain FIFO — the north_rule
+  ordering contract),
+- the error multiset (taxonomy colly.go:204-231),
+- the (page → image, caption) pairs + direct-image PSNR validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from colly_spark.config import CrawlConfig, LimitRule
+from colly_spark.oracle.simulator import Simulator
+from colly_spark.plans.crawler import Crawler
+
+
+def _run_both(spark, corpus_pd, corpus_spark, cfg, seeds, tmp_state, max_batches=60):
+    sim = Simulator(corpus_pd, cfg).run(list(seeds), max_batches=max_batches)
+    eng = Crawler(spark, corpus_spark, cfg, tmp_state).run(list(seeds), max_batches=max_batches)
+    return sim, eng
+
+
+def _engine_seen(eng):
+    return {r["url_hash"] for r in eng.visited().collect()}
+
+
+def _sim_seen_signed(sim):
+    return {h - (1 << 64) if h >= (1 << 63) else h for h in sim.seen}
+
+
+def _engine_per_domain_order(eng):
+    rows = eng.trace().orderBy("batch", "host", "seq").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["host"], []).append(r["url"])
+    return out
+
+
+def _errors_multiset(rows):
+    from collections import Counter
+
+    return Counter(rows)
+
+
+SCENARIOS = {
+    # mirror of TestCollectorVisit + depth family: single domain, depth 2
+    "depth2_single_domain": dict(
+        cfg=CrawlConfig(max_depth=2, allowed_domain_globs=("d00.test",), ignore_robots=True),
+        seeds=["http://d00.test/"],
+    ),
+    # robots gating on (TestRobots* family) incl. wildcard-query rule and
+    # the robots-fetch-error host
+    "robots_enforced": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=False),
+        seeds=["http://d00.test/", "http://d03.test/"],
+    ),
+    # domain deny + URL regex filters (TestCollectorURLFilter analogues)
+    "filters": dict(
+        cfg=CrawlConfig(
+            max_depth=3,
+            disallowed_domain_globs=("d01.*",),
+            disallowed_url_filters=(r"/page/1\d$",),
+            ignore_robots=True,
+        ),
+        seeds=["http://d00.test/", "http://d01.test/"],
+    ),
+    # politeness: tight quota on the hot domain → multi-batch deferral
+    "politeness": dict(
+        cfg=CrawlConfig(
+            max_depth=3,
+            ignore_robots=True,
+            limit_rules=(
+                LimitRule(domain_glob="d00*", delay_ms=400, parallelism=1),
+                LimitRule(domain_glob="*", delay_ms=100, parallelism=2),
+            ),
+        ),
+        seeds=["http://d00.test/", "http://d01.test/", "http://d02.test/"],
+    ),
+    # full crawl, unlimited depth, everything on
+    "full": dict(
+        cfg=CrawlConfig(
+            max_depth=0,
+            ignore_robots=False,
+            limit_rules=(LimitRule(domain_glob="*", delay_ms=50, parallelism=4),),
+        ),
+        seeds=["http://d00.test/", "http://d01.test/", "http://d02.test/", "http://d03.test/"],
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
+    sc = SCENARIOS[name]
+    sim, eng = _run_both(spark, corpus_pd, corpus_spark, sc["cfg"], sc["seeds"], tmp_state)
+
+    # 1. exact URL-seen set (the dedup contract)
+    assert _engine_seen(eng) == _sim_seen_signed(sim), "URL-seen set mismatch"
+
+    # 2. BFS per-domain FIFO order
+    assert _engine_per_domain_order(eng) == sim.per_domain_order(), "per-domain order mismatch"
+
+    # 3. trace size: items fetched == sim fetched (queue_test invariant
+    #    items == requests)
+    assert eng.trace().count() == len(sim.trace)
+
+    # 4. error multiset
+    sim_errors = _errors_multiset((u, k) for u, k in sim.errors)
+    eng_errors = _errors_multiset(
+        (r["url"], r["kind"]) for r in eng.errors().collect())
+    assert eng_errors == sim_errors, "error multiset mismatch"
+
+    # 5. batch/metrics parity: fetched + admitted counts per batch
+    sim_m = [(m["batch"], m["fetched"], m["new_links"]) for m in sim.metrics]
+    eng_m = [(m["batch"], m["fetched"], m["new_links"]) for m in eng.metrics]
+    assert eng_m == sim_m, "per-batch metrics mismatch"
+
+
+def test_images_validated(spark, corpus_pd, corpus_spark, tmp_state):
+    """Direct image fetches must pass decoded-pixel validation (exact
+    for png, PSNR≥40dB for the lossy stand-in) and page-embedded
+    (image, caption) pairs must match the simulator + payload table."""
+    cfg = CrawlConfig(max_depth=0, ignore_robots=True)
+    seeds = ["http://d00.test/"]
+    sim, eng = _run_both(spark, corpus_pd, corpus_spark, cfg, seeds, tmp_state)
+
+    img_df = eng.images().collect()
+    direct = [(r["image_url"], r["image_id"], r["ok"], r["psnr_db"])
+              for r in img_df if r["image_id"] is not None]
+    assert direct, "no direct image fetches in scenario"
+    assert all(ok for _, _, ok, _ in direct), "image validation failed"
+    assert all(p >= 40.0 for _, _, _, p in direct), "PSNR below 40 dB"
+
+    sim_pairs = {(p, u, c) for p, u, _i, c in sim.images if p is not None}
+    eng_pairs = {(r["page_url"], r["image_url"], r["caption"])
+                 for r in img_df if r["page_url"] is not None}
+    assert eng_pairs == sim_pairs, "page (image, caption) pairs mismatch"
+
+    # caption equality against the payload table (input_hint invariant)
+    captions = {r["image_id"]: r["caption"] for r in corpus_spark["images"].collect()}
+    by_id = {}
+    for _p, url, _i, c in sim.images:
+        if c is not None:
+            iid = url.rsplit("/", 1)[-1].split(".")[0]
+            by_id[iid] = c
+    for iid, cap in by_id.items():
+        assert captions[iid] == cap, f"caption mismatch for {iid}"
+
+
+def test_resume_byte_identical(spark, corpus_pd, corpus_spark, tmp_state):
+    """Kill/resume: run N batches, stop, resume in a fresh Crawler →
+    outputs identical to an uninterrupted run (north_rule)."""
+    import shutil
+    import tempfile
+
+    cfg = CrawlConfig(
+        max_depth=3, ignore_robots=True,
+        limit_rules=(LimitRule(domain_glob="*", delay_ms=200, parallelism=1),))
+    seeds = ["http://d00.test/", "http://d01.test/"]
+
+    full_state = tempfile.mkdtemp(prefix="colly_full_")
+    try:
+        full = Crawler(spark, corpus_spark, cfg, full_state).run(seeds)
+        full_trace = sorted(
+            (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
+            for r in full.trace().collect())
+        full_seen = _engine_seen(full)
+
+        # interrupted: stop after 2 batches, then resume with a NEW engine
+        Crawler(spark, corpus_spark, cfg, tmp_state).run(seeds, max_batches=2)
+        resumed = Crawler(spark, corpus_spark, cfg, tmp_state).run(resume=True)
+        res_trace = sorted(
+            (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
+            for r in resumed.trace().collect())
+        assert res_trace == full_trace, "resumed trace differs from uninterrupted run"
+        assert _engine_seen(resumed) == full_seen, "resumed seen-set differs"
+    finally:
+        shutil.rmtree(full_state, ignore_errors=True)

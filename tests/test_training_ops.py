@@ -1,0 +1,130 @@
+"""Unit tests for the training-data pipeline operators that have no
+SQL oracle: MinHash/LSH near-dup recall, SimHash locality, ANN-LSH
+recall vs brute force, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """100 base docs + 20 near-dup copies (every 5th doc with one token
+    in ~15 changed) + 1 exact dup. Deterministic."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(100):
+        toks = [words[rng.randrange(len(words))] for _ in range(60)]
+        rows.append((i, " ".join(toks)))
+    base = dict(rows)
+    for i in range(0, 100, 5):
+        toks = base[i].split()
+        toks[7] = "CHANGED"
+        rows.append((1000 + i, " ".join(toks)))
+    rows.append((2000, base[3]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_near_dup_recall(spark, near_dup_docs):
+    from colly_spark.operators.text_dedup import near_dup_pairs_minhash
+
+    found = near_dup_pairs_minhash(near_dup_docs, threshold=0.6).collect()
+    pairs = {(r["a"], r["b"]) for r in found}
+    expected = {(i, 1000 + i) for i in range(0, 100, 5)} | {(3, 2000)}
+    # LSH with 16 bands × 4 rows catches jaccard≥0.6 pairs w.h.p.
+    missing = expected - pairs
+    assert not missing, f"missed near-dup pairs: {missing}"
+    # verification stage kills false positives: every reported pair
+    # must genuinely have jaccard ≥ 0.6
+    for r in found:
+        assert r["jaccard"] >= 0.6
+
+
+def test_exact_dup_has_jaccard_1(spark, near_dup_docs):
+    from colly_spark.operators.text_dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(3, 2000)], "a long, b long")
+    out = ngram_jaccard(near_dup_docs, pairs).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_simhash_locality(spark, near_dup_docs):
+    """Near-dup docs must land within small Hamming distance; random
+    doc pairs far apart."""
+    from colly_spark.operators.text_dedup import simhash_udf
+
+    sh = {r["doc_id"]: r["sh"] for r in near_dup_docs.select(
+        "doc_id", simhash_udf()(F.col("text")).alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sh[3], sh[2000]) == 0  # exact dup
+    near = [ham(sh[i], sh[1000 + i]) for i in range(0, 100, 5)]
+    far = [ham(sh[i], sh[i + 1]) for i in range(0, 20)]
+    # locality: every near-dup pair closer than every unrelated pair
+    # (measured on this corpus: near max 5, far min 10)
+    assert max(near) < min(far), f"near {near} vs far {far}"
+    assert max(near) <= 8
+
+
+def test_ann_lsh_recall(spark):
+    """On clustered data (the near-dup retrieval use case), sign-LSH
+    bucketing must retrieve most true top-5 neighbors. (On isotropic
+    random vectors — the testdata embeddings — sign-LSH recall is
+    legitimately poor; cosine_topk is the exact path for that regime.)"""
+    from colly_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(64) * 0.2
+        rows.append((i, [float(x) for x in v], i % 10))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_lsh_topk(emb, queries, k=5, n_bits=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"ANN recall too low on clustered data: {recall}"
+    # every approx sim must equal the exact sim for that pair
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cos_sim"] == exact_sims[key]
+
+
+def test_multimodal_roundtrip(spark):
+    from colly_spark.operators.multimodal import (decode_meta, resize_nearest,
+                                                  synthesize_images)
+
+    imgs = synthesize_images(spark, 32, size=16).persist()
+    meta = decode_meta(imgs).collect()
+    assert len(meta) == 32
+    assert all(r["decode_ok"] for r in meta)
+    assert all(r["w"] == 16 and r["h"] == 16 for r in meta)
+    # phash from decode matches the one stored at synthesis
+    stored = {r["image_id"]: r["phash"] for r in imgs.collect()}
+    for r in meta:
+        assert r["phash"] == stored[r["image_id"]]
+    # resize → still decodable PNG at 8×8
+    small = resize_nearest(imgs, out_size=8)
+    small_meta = decode_meta(small.withColumn("fmt", F.lit("png"))).collect()
+    assert all(r["decode_ok"] and r["w"] == 8 for r in small_meta)
+    imgs.unpersist()
+
+
+def test_lsh_buckets_deterministic(spark, near_dup_docs):
+    from colly_spark.operators.text_dedup import lsh_buckets
+
+    a = sorted(map(tuple, lsh_buckets(near_dup_docs).collect()))
+    b = sorted(map(tuple, lsh_buckets(near_dup_docs).collect()))
+    assert a == b
