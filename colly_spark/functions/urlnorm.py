@@ -259,6 +259,27 @@ def request_hash(url: str, body: bytes | None = None) -> int:
     return fnv64a_bytes(data)
 
 
+_SAFE_BASENAME = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-_~")
+
+
+def sanitize_filename(name: str) -> str:
+    """Safe filename from a URL/path (reference: SanitizeFileName,
+    colly.go:1377-1388 — split extension, sanitize both halves to a
+    conservative base-name charset, '.unknown' when the extension
+    sanitizes away, then all '-' → '_')."""
+    dot = name.rfind(".")
+    slash = max(name.rfind("/"), name.rfind("\\"))
+    stem, ext = (name, "") if dot <= slash else (name[:dot], name[dot:])
+
+    def base(s: str) -> str:
+        out = "".join(ch if ch in _SAFE_BASENAME else "-" for ch in s)
+        return out.strip("-.")
+
+    clean_ext = base(ext) or "unknown"
+    return f"{base(stem)}.{clean_ext}".replace("-", "_")
+
+
 def to_signed64(h: int) -> int:
     """Reinterpret uint64 as int64 (Spark LongType has no unsigned)."""
     return h - (1 << 64) if h >= (1 << 63) else h

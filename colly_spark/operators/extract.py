@@ -70,6 +70,42 @@ class _LinkExtractor(HTMLParser):
             self._cap_parts.append(data)
 
 
+def extract_xml_links(page_url: str, body: bytes | str) -> list[str]:
+    """E2 XML extraction — the ``OnXML("//urlset/url/loc")`` sitemap
+    pattern (reference example shopify_sitemap.go.txt:17-24; engine
+    colly.go:1150-1180). Parses the document with ElementTree and
+    collects, in document order: ``<loc>`` text (sitemap urlset /
+    sitemapindex, namespace-agnostic) and ``href``/``src`` attributes
+    of any element. Resolved + canonicalized like HTML hrefs."""
+    if isinstance(body, (bytes, bytearray, memoryview)):
+        try:
+            text = bytes(body).decode("utf-8")
+        except UnicodeDecodeError:
+            text = bytes(body).decode("utf-8", errors="replace")
+    else:
+        text = body
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return []
+    out: list[str] = []
+    for el in root.iter():
+        tag = el.tag.rsplit("}", 1)[-1].lower()
+        if tag == "loc" and el.text and el.text.strip():
+            r = resolve(page_url, el.text.strip())
+            if r:
+                out.append(r)
+        for attr in ("href", "src"):
+            v = el.get(attr)
+            if v:
+                r = resolve(page_url, v)
+                if r:
+                    out.append(r)
+    return out
+
+
 def extract_page(page_url: str, body: bytes | str, content_type: str | None):
     """Parse one page → (out_links, images) where
 
@@ -79,9 +115,17 @@ def extract_page(page_url: str, body: bytes | str, content_type: str | None):
     - images: [(img_url, caption_or_None)] pairing img[src] with the
       figcaption of the same <figure> by document order.
 
-    Non-HTML content types return ([], []) — the parse gate.
+    XML content (Content-Type containing "xml" — sitemaps etc.) goes
+    through the XML path (E2, OnXML analogue: colly.go:1123-1182 parses
+    xml docs detected by Content-Type or .xml path); other non-HTML
+    content types return ([], []) — the parse gate.
     """
-    if content_type is None or "html" not in content_type.lower():
+    if content_type is None:
+        return [], []
+    ct = content_type.lower()
+    if "xml" in ct and "html" not in ct:
+        return extract_xml_links(page_url, body), []
+    if "html" not in ct:
         return [], []
     if isinstance(body, (bytes, bytearray, memoryview)):
         try:

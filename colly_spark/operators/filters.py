@@ -37,6 +37,13 @@ def admission_error_expr(cfg: CrawlConfig, url_col, host_col, depth_col):
         chain.append((depth_col > cfg.max_depth, cfgmod.ERR_MAX_DEPTH))
     if cfg.disallowed_url_filters:
         chain.append((rx_any(url_col, cfg.disallowed_url_filters), cfgmod.ERR_FORBIDDEN_URL))
+    if cfg.url_length_min or cfg.url_length_max:
+        # F6: exclusion filter, evaluated with the other exclusions
+        # (before inclusions — filter.go:254-302 ordering)
+        cond = F.length(url_col) < cfg.url_length_min
+        if cfg.url_length_max:
+            cond = cond | (F.length(url_col) > cfg.url_length_max)
+        chain.append((cond, cfgmod.ERR_URL_LENGTH))
     if cfg.url_filters:
         chain.append((~rx_any(url_col, cfg.url_filters), cfgmod.ERR_NO_URL_FILTERS_MATCH))
     if cfg.disallowed_domain_globs:

@@ -49,8 +49,10 @@ from colly_spark.operators.extract import extract_page
 class SimResult:
     # (batch, seq, url, final_url, depth, host, status)
     trace: list = field(default_factory=list)
-    # final URL-seen set: {url_hash (unsigned)}
-    seen: set = field(default_factory=set)
+    # final URL-seen store: {url_hash (unsigned) → visit count}
+    # (v3 visit-count semantics, filters/revisit.go; iterating yields
+    # the seen *set*, v2 semantics)
+    seen: dict = field(default_factory=dict)
     # (url, error_kind)
     errors: list = field(default_factory=list)
     # (page_url, image_url, image_id, caption_from_page)
@@ -60,10 +62,9 @@ class SimResult:
 
     def per_domain_order(self) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}
-        for batch, seq, url, _final, _depth, host, _status in sorted(
-            self.trace, key=lambda t: (t[0], t[5], t[1])
-        ):
-            out.setdefault(host, []).append(url)
+        for t in sorted(self.trace,
+                        key=lambda t: (t[0], t[5], t[1], 0 if t[7] == "HEAD" else 1)):
+            out.setdefault(t[5], []).append(t[2])
         return out
 
 
@@ -90,6 +91,7 @@ class Simulator:
         }
         self._url_res = [re.compile(p) for p in cfg.url_filters]
         self._durl_res = [re.compile(p) for p in cfg.disallowed_url_filters]
+        self._abort_res = [re.compile(p) for p in cfg.abort_url_filters]
 
     # --- admission -----------------------------------------------------
     def _check_filters(self, canon: str, host: str, depth: int) -> str | None:
@@ -98,6 +100,10 @@ class Simulator:
             return cfgmod.ERR_MAX_DEPTH
         if self._durl_res and any(r.search(canon) for r in self._durl_res):
             return cfgmod.ERR_FORBIDDEN_URL
+        if (cfg.url_length_min or cfg.url_length_max) and (
+                len(canon) < cfg.url_length_min
+                or (cfg.url_length_max and len(canon) > cfg.url_length_max)):
+            return cfgmod.ERR_URL_LENGTH
         if self._url_res and not any(r.search(canon) for r in self._url_res):
             return cfgmod.ERR_NO_URL_FILTERS_MATCH
         if cfg.disallowed_domain_globs and _glob_any(host, cfg.disallowed_domain_globs):
@@ -127,9 +133,11 @@ class Simulator:
             if method != "GET" and body is None:
                 return None  # HEAD & bodyless POST: no check, no mark
             h = request_hash(canon, body)
-            if h in seen:
+            # past_visits > max_revisits → blocked (filters/revisit.go:44-54;
+            # max_revisits=0 reproduces v2 visit-once)
+            if seen.get(h, 0) > self.cfg.max_revisits:
                 return cfgmod.ERR_ALREADY_VISITED
-            seen.add(h)
+            seen[h] = seen.get(h, 0) + 1
         return None
 
     # --- drive -----------------------------------------------------------
@@ -184,6 +192,23 @@ class Simulator:
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
             for seq, canon, depth, host, method in fetch_now:
+                # F9: abort after mark, before fetch — silent
+                # (colly.go:655-657 returns nil on abort)
+                if self._abort_res and any(r.search(canon) for r in self._abort_res):
+                    continue
+                # X5 CheckHead: HEAD precedes the GET; a HEAD error
+                # aborts the GET (colly.go:492-497). HEAD is unmarked
+                # and skips robots.
+                if self.cfg.check_head and method == "GET":
+                    h_final, h_status, _h_row, h_err = self._fetch_with_redirects(
+                        canon, depth, "HEAD", res.seen)
+                    if h_err:
+                        res.errors.append((canon, h_err))
+                        m["errors"] += 1
+                        continue
+                    res.trace.append((batch, seq, canon, h_final, depth,
+                                      hostname(h_final), h_status, "HEAD"))
+                    m["fetched"] += 1
                 final_url, status, row, err = self._fetch_with_redirects(
                     canon, depth, method, res.seen
                 )
@@ -191,13 +216,18 @@ class Simulator:
                     res.errors.append((canon, err))
                     m["errors"] += 1
                     continue
-                res.trace.append((batch, seq, canon, final_url, depth, hostname(final_url), status))
+                res.trace.append((batch, seq, canon, final_url, depth,
+                                  hostname(final_url), status, method))
                 m["fetched"] += 1
                 if status >= 203 or method == "HEAD":
                     if status >= 400:
                         res.errors.append((canon, f"http_{status}"))
                     continue
-                links, images = extract_page(final_url, row.body, row.content_type)
+                # X2: body truncated to MaxBodySize before parsing
+                # (io.LimitReader, http_backend.go:229-244)
+                links, images = extract_page(
+                    final_url, bytes(row.body)[: self.cfg.max_body_size],
+                    row.content_type)
                 for img_url, caption in images:
                     res.images.append((final_url, img_url, None, caption))
                 for li, link in enumerate(links):
@@ -207,11 +237,21 @@ class Simulator:
                     # a direct image fetch: (page_url=None, image_url, image_id, caption=None)
                     res.images.append((None, final_url, row.image_id, None))
             # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
-            #    (new_frontier was appended in fetch order = seq order, link order)
+            #    (new_frontier was appended in fetch order = seq order, link order);
+            #    S6 capacity: links beyond max_queue_size − pending are dropped
+            #    (ErrQueueFull, storage/mem/fifo.go:188-190)
+            cap = self.cfg.max_queue_size
+            allowed_new = (cap - len(pending)) if cap > 0 else None
+            kept = 0
             for link, d, _li in new_frontier:
+                if allowed_new is not None and kept >= allowed_new:
+                    res.errors.append((link, cfgmod.ERR_QUEUE_FULL))
+                    m["errors"] += 1
+                    continue
                 frontier.append((next_seq, link, d, "GET", None))
                 next_seq += 1
-            m["new_links"] = len(new_frontier)
+                kept += 1
+            m["new_links"] = kept
             res.metrics.append(m)
             batch += 1
         return res

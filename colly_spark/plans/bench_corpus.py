@@ -22,8 +22,15 @@ parse/extract → dense seq assignment.
 from __future__ import annotations
 
 
-def bench_pages(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000):
-    """Corpus pages DataFrame (fixture schema) generated distributed."""
+def bench_pages(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000,
+                heavy: bool = False):
+    """Corpus pages DataFrame (fixture schema) generated distributed.
+
+    ``heavy=True`` produces realistic ~2 KiB pages: filler prose, extra
+    duplicate cross-links (×8, deterministic id arithmetic) and
+    tab-polluted hrefs — so the per-URL parse/canonicalize work matches
+    a real crawl instead of a 100-byte stub. Use for throughput/scaling
+    measurements; the light variant keeps unit runs fast."""
     from pyspark.sql import functions as F
 
     base = spark.range(n_pages).select(F.col("id"))
@@ -44,13 +51,27 @@ def bench_pages(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000
         return abs_link(expr, "c")
 
     hub = abs_link(F.pmod(F.col("id"), F.lit(hub_every)), "hub")
-    body = F.concat(
+    parts = [
         F.lit("<html><body>"),
         child_link(F.col("id") * 2 + 1),
         child_link(F.col("id") * 2 + 2),
         hub,
-        F.lit("</body></html>"),
-    )
+    ]
+    if heavy:
+        # eight extra links that are all duplicates of already-linked
+        # pages (heavy dedup load) + ~2 KiB of prose the parser must
+        # scan; one href carries a tab (WHATWG strip path)
+        for mult in (3, 5, 7, 11, 13, 17, 19, 23):
+            parts.append(abs_link(F.pmod(F.col("id") * mult, F.lit(n_pages)), "x"))
+        filler = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+                  "eiusmod tempor incididunt ut labore et dolore magna aliqua ")
+        parts.append(F.lit("<p>" + filler * 16 + "</p>"))
+        parts.append(F.concat(
+            F.lit('<a href="/p/\t'),
+            F.pmod(F.col("id"), F.lit(hub_every)).cast("string"),
+            F.lit('">tabbed</a>')))
+    parts.append(F.lit("</body></html>"))
+    body = F.concat(*parts)
     return base.select(
         url.alias("url"),
         F.lit(200).cast("int").alias("status"),
@@ -63,7 +84,8 @@ def bench_pages(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000
     )
 
 
-def bench_corpus(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000):
+def bench_corpus(spark, n_pages: int, n_domains: int = 256, hub_every: int = 1000,
+                 heavy: bool = False):
     """Full corpus dict for plans.crawler.Crawler: generated pages, an
     empty robots table (allow-all), empty images."""
     from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
@@ -83,7 +105,7 @@ def bench_corpus(spark, n_pages: int, n_domains: int = 256, hub_every: int = 100
         StructField("caption", StringType()),
         StructField("phash", LongType()),
     ]))
-    return dict(pages=bench_pages(spark, n_pages, n_domains, hub_every),
+    return dict(pages=bench_pages(spark, n_pages, n_domains, hub_every, heavy),
                 robots=robots, images=images)
 
 

@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -57,12 +58,22 @@ import pandas as pd
 
 from colly_spark import config as cfgmod
 from colly_spark.config import CrawlConfig
-from colly_spark.functions.udfs import canonicalize_udf, fnv64a_body_udf, hostname_udf
+from colly_spark.functions.udfs import canon_host_hash_udf, hostname_udf
 from colly_spark.operators import politeness, seen
 from colly_spark.operators.robots import robots_allowed_udf
 from colly_spark.plans.util import dense_seq
 
 REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _glob.glob(os.path.join(path, "*.parquet")))
 
 
 def _schemas():
@@ -82,6 +93,7 @@ def _schemas():
         StructField("host", StringType()),
         StructField("depth", IntegerType()),
         StructField("method", StringType()),
+        StructField("url_hash", LongType()),
     ])
     visited = StructType([StructField("url_hash", LongType())])
     error = StructType([
@@ -98,6 +110,9 @@ def _schemas():
         StructField("depth", IntegerType()),
         StructField("host", StringType()),
         StructField("status", IntegerType()),
+        StructField("method", StringType()),
+        StructField("connect_ms", DoubleType()),
+        StructField("ttfb_ms", DoubleType()),
     ])
     images = StructType([
         StructField("batch", IntegerType()),
@@ -146,23 +161,49 @@ class CrawlHandles:
 class Crawler:
     def __init__(self, spark, corpus: dict, cfg: CrawlConfig, state_dir: str,
                  bloom_partitions: int = seen.DEFAULT_PARTITIONS,
-                 bloom_bits: int = seen.DEFAULT_BITS):
+                 bloom_bits: int = seen.DEFAULT_BITS,
+                 bloom_threshold_rows: int = 20_000_000):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
-        see plans/util.to_spark_corpus."""
+        see plans/util.to_spark_corpus.
+
+        ``bloom_threshold_rows``: below this visited-set size the Bloom
+        layer is bypassed — a plain anti-join against a small visited
+        table is cheaper (AQE broadcasts it) than two extra
+        co-partitioned stages per batch. At the crossing the segments
+        are built once from the exact table and used from then on (the
+        10^10-scale path). 0 ⇒ always-on (parity tests force this so
+        both paths stay covered)."""
         self.spark = spark
         self.cfg = cfg
         self.state = state_dir
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
-        self.pages = corpus["pages"].persist()
+        # pre-hash-partition the corpus on the join key ONCE: the cached
+        # InMemoryRelation then reports HashPartitioning(url), so every
+        # batch's fetch join shuffles only the (much smaller) frontier
+        # side instead of re-shuffling the whole corpus (Iceberg
+        # bucketing / storage-partitioned join at deployment)
+        from pyspark.sql import functions as F
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.pages = corpus["pages"].repartition(n_shuffle, F.col("url")).persist()
+        self.pages.count()  # materialize at construction, not mid-drain
         self.robots = corpus["robots"].persist()
         self.images = corpus["images"].persist()
         self._has_images = not corpus["images"].isEmpty()
         self.bloom = seen.BloomSegments(
             os.path.join(state_dir, "bloom"), bloom_partitions, bloom_bits)
-        self.visited_df = spark.createDataFrame([], self.sch["visited"])
+        # exact visited set = the union of per-batch parquet deltas; kept
+        # as a path list and scanned lazily (no driver-side state, no
+        # checkpoint job per batch; at deployment this is one bucketed
+        # Iceberg table and the scan prunes to the probe's buckets)
+        self._visited_paths: list = []
+        self._cache_paths: list = []
+        self._visited_rows = 0
+        self._bloom_threshold = bloom_threshold_rows
+        self._bloom_active = bloom_threshold_rows <= 0
         self._filters = self._compile_filters()
         self._batch_persists: list = []
+        self._fused = canon_host_hash_udf()
 
     # ---- filter chain (F1-F5) as one Catalyst when-chain ---------------
     def _compile_filters(self):
@@ -212,69 +253,165 @@ class Crawler:
         # within-batch claim: lowest seq per hash wins
         w = Window.partitionBy("url_hash").orderBy("seq")
         ranked = cand.withColumn("_claim", F.row_number().over(w))
+        vis = self._visited_df()
+        if self.cfg.max_revisits > 0:
+            # F7 visit-count mode (filters/revisit.go): a URL may be
+            # visited 1+max_revisits times. The Bloom layer is
+            # membership-only → exact count join instead; every visit
+            # appends its own mark row, so counts live in the visited
+            # deltas themselves.
+            prior = vis.groupBy("url_hash").agg(F.count("*").alias("_prior"))
+            j = ranked.join(prior, "url_hash", "left").na.fill({"_prior": 0})
+            ok_cond = (F.col("_prior") + F.col("_claim") - 1) <= self.cfg.max_revisits
+            accepted = j.filter(ok_cond).drop("_claim", "_prior")
+            already = j.filter(~ok_cond).drop("_claim", "_prior")
+            return accepted.unionByName(bypass), already
         dup_in_batch = ranked.filter(F.col("_claim") > 1).drop("_claim")
         first = ranked.filter(F.col("_claim") == 1).drop("_claim")
-        # Bloom probe: definitely-new rows skip the exact join entirely
-        probed = seen.bloom_probe(first, self.bloom).persist()
-        self._batch_persists.append(probed)
-        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "pid")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "pid")
-        vis = self.visited_df
-        already_exact = maybe.join(vis, "url_hash", "left_semi")
-        confirmed_new = maybe.join(vis, "url_hash", "left_anti")
-        accepted = fresh.unionByName(confirmed_new)
+        if self._bloom_active:
+            # Bloom probe: definitely-new rows skip the exact join entirely
+            probed = seen.bloom_probe(first, self.bloom).persist()
+            self._batch_persists.append(probed)
+            fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "pid")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "pid")
+            already_exact = maybe.join(vis, "url_hash", "left_semi")
+            confirmed_new = maybe.join(vis, "url_hash", "left_anti")
+            accepted = fresh.unionByName(confirmed_new)
+        else:
+            # small-visited regime: one anti-join (AQE broadcasts vis)
+            already_exact = first.join(vis, "url_hash", "left_semi")
+            accepted = first.join(vis, "url_hash", "left_anti")
         already = dup_in_batch.unionByName(already_exact)
-        # mark BEFORE fetch: append to visited delta + fold into Bloom
-        marks = accepted.select("url_hash").persist()
-        delta_dir = os.path.join(self.state, "out", "visited", f"batch_{batch:06d}_{delta_tag}")
-        marks.write.mode("overwrite").parquet(delta_dir)
-        seen.bloom_update(self.spark, self.bloom, marks)
-        self.visited_df = self.visited_df.unionByName(
-            self.spark.read.parquet(delta_dir)).localCheckpoint(eager=True)
-        marks.unpersist()
         return accepted.unionByName(bypass), already
+
+    def _commit_marks(self, accepted_df, batch: int, delta_tag: str):
+        """Append the accepted needs_mark hashes to the visited deltas +
+        fold into the Bloom segments. MUST run after the accepted rows
+        are materialized (checkpointed) and BEFORE the fetch stage /
+        any later check (mark-before-fetch, colly.go:745-753); the
+        caller's checkpoint makes this a cheap scan, not a DAG re-run."""
+        from pyspark.sql import functions as F
+
+        marks = accepted_df.filter(F.col("needs_mark")).select("url_hash")
+        delta_dir = os.path.join(self.state, "out", "visited",
+                                 f"batch_{batch:06d}_{delta_tag}")
+        marks.write.mode("overwrite").parquet(delta_dir)
+        self._visited_paths.append(delta_dir)
+        self._visited_rows += _parquet_rows(delta_dir)
+        if self._bloom_active:
+            seen.bloom_update(self.spark, self.bloom,
+                              self.spark.read.parquet(delta_dir))
+        elif self._visited_rows >= self._bloom_threshold:
+            # threshold crossed: build the segments once from the exact
+            # table; from now on every batch probes/updates them
+            seen.bloom_update(self.spark, self.bloom, self._visited_df())
+            self._bloom_active = True
+
+    def _visited_df(self):
+        if not self._visited_paths:
+            return self.spark.createDataFrame([], self.sch["visited"])
+        return self.spark.read.parquet(*self._visited_paths)
+
+    def _cache_latest(self, batch: int):
+        """X4 response-cache probe table: latest valid entry per request
+        hash (GET-only; TTL in batch-index logical time — the v3
+        expiry-by-duration policy, cache.go:153-211)."""
+        from pyspark.sql import Window, functions as F
+
+        if not self.cfg.cache_enabled or not self._cache_paths:
+            return None
+        df = self.spark.read.parquet(*self._cache_paths)
+        ttl = self.cfg.cache_ttl_batches
+        if ttl > 0:
+            df = df.filter(F.col("c_created") + ttl > batch)
+        w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     # ---- admission (phase 1) -------------------------------------------
     def _admit(self, frontier_df, batch: int):
         """requestCheck over new frontier rows. Returns
-        (admitted_pending_df, errors_df, n_admitted)."""
+        (admitted_pending_df, errors_df) — both derived from a SINGLE
+        eagerly-checkpointed DataFrame, so the whole admission DAG
+        (fused canonicalize/host/hash UDF → Catalyst filter chain →
+        robots gate → window claim → Bloom probe → exact anti-join)
+        executes exactly once per batch."""
         from pyspark.sql import functions as F
 
-        df = frontier_df.withColumn("canon_url", canonicalize_udf(F.col("url")))
-        bad = df.filter(F.col("canon_url").isNull() | (F.col("canon_url") == ""))
-        errors = [bad.select(
-            F.lit(batch).alias("batch"), "seq", F.col("url"),
-            F.lit(cfgmod.ERR_MISSING).alias("kind"))]
-        ok = (df.filter(F.col("canon_url").isNotNull() & (F.col("canon_url") != ""))
-                .withColumn("host", hostname_udf(F.col("canon_url"))))
-        ok = ok.withColumn("_err", self._filters(F.col("canon_url"), F.col("host"), F.col("depth")))
-        errors.append(ok.filter(F.col("_err").isNotNull()).select(
-            F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
-            F.col("_err").alias("kind")))
-        ok = ok.filter(F.col("_err").isNull()).drop("_err")
-        ok = self._robots_gate(ok)
-        errors.append(ok.filter(~F.col("robots_ok")).select(
-            F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
-            F.lit(cfgmod.ERR_ROBOTS).alias("kind")))
-        ok = ok.filter(F.col("robots_ok")).drop("robots_ok")
-        # dedup key: FNV-64a(canon ‖ body); HEAD / bodyless non-GET skip
-        # check-and-mark entirely (colly.go:728-734)
-        ok = ok.withColumn("url_hash", fnv64a_body_udf(F.col("canon_url"), F.col("body_req")))
+        # a small frontier snapshot coalesces into few read partitions —
+        # spread it across cores BEFORE the per-row UDF work or
+        # admission runs near-single-threaded; when the scan already
+        # has enough splits, skip the extra shuffle
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if frontier_df.rdd.getNumPartitions() < n:
+            frontier_df = frontier_df.repartition(n)
+        # ONE pass computes every pre-dedup decision as columns (fused
+        # UDF + filter chain + robots gate); the base is cached so the
+        # error/accept branch scans below don't re-run the UDFs
+        base = frontier_df.withColumn(
+            "_k", self._fused(F.col("url"), F.col("body_req")))
+        base = base.select(
+            "seq", "url", "depth", "method", "body_req",
+            F.col("_k.canon_url").alias("canon_url"),
+            F.col("_k.host").alias("host"),
+            F.col("_k.url_hash").alias("url_hash"))
+        base = self._robots_gate(base)
+        kind_pre = (
+            F.when(F.col("canon_url") == "", F.lit(cfgmod.ERR_MISSING))
+            .otherwise(F.coalesce(
+                self._filters(F.col("canon_url"), F.col("host"), F.col("depth")),
+                F.when(~F.col("robots_ok"), F.lit(cfgmod.ERR_ROBOTS))))
+        )
+        base = base.withColumn("_kind_pre", kind_pre).persist()
+        self._batch_persists.append(base)
+        errors = [base.filter(F.col("_kind_pre").isNotNull()).select(
+            F.lit(batch).alias("batch"), "seq",
+            F.when(F.col("_kind_pre") == cfgmod.ERR_MISSING, F.col("url"))
+             .otherwise(F.col("canon_url")).alias("url"),
+            F.col("_kind_pre").alias("kind"))]
+        ok = base.filter(F.col("_kind_pre").isNull()).drop("_kind_pre", "robots_ok")
+        # HEAD / bodyless non-GET skip check-and-mark entirely
+        # (colly.go:728-734)
         ok = ok.withColumn(
             "needs_mark", (F.col("method") == "GET") | F.col("body_req").isNotNull())
         accepted, already = self._check_and_mark(ok, batch, "admit")
         errors.append(already.select(
             F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
             F.lit(cfgmod.ERR_ALREADY_VISITED).alias("kind")))
-        pending = accepted.select("seq", "canon_url", "host", "depth", "method")
         err_df = reduce(lambda a, b: a.unionByName(b), errors)
-        return pending, err_df
+        # one checkpoint for both outputs: union on a widened schema,
+        # split after materialization; the mark delta is derived from
+        # the checkpointed rows (no second DAG execution)
+        combined = accepted.select(
+            "seq", F.col("canon_url"), "host", "depth", "method",
+            "url_hash", "needs_mark",
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("string").alias("err_url"),
+        ).unionByName(err_df.select(
+            "seq", F.lit(None).cast("string").alias("canon_url"),
+            F.lit(None).cast("string").alias("host"),
+            F.lit(None).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("long").alias("url_hash"),
+            F.lit(False).alias("needs_mark"),
+            "kind", F.col("url").alias("err_url"),
+        )).localCheckpoint(eager=True)
+        ok_rows = combined.filter(F.col("kind").isNull())
+        self._commit_marks(ok_rows, batch, "admit")
+        pending = ok_rows.select("seq", "canon_url", "host", "depth", "method", "url_hash")
+        err_out = combined.filter(F.col("kind").isNotNull()).select(
+            F.lit(batch).alias("batch"), "seq",
+            F.col("err_url").alias("url"), "kind")
+        return pending, err_out
 
     # ---- fetch + redirect-hop loop (phase 3) ---------------------------
-    def _fetch(self, fetch_now, batch: int):
-        """Returns (done_df, errors_df). done_df columns: seq, url
-        (original canon), depth, method, final_url, status,
-        content_type, body, image_id."""
+    def _fetch(self, fetch_now, batch: int, tag: str = ""):
+        """Returns (done_df, errors_df). done_df is the COMPACT parsed
+        output (_parse_batch schema): bodies stream through the
+        extraction UDF inside each hop's finals branch and are never
+        cached — the join itself is a cheap shuffled-hash join against
+        the pre-partitioned corpus cache, so the metadata branches
+        (missing / redirect detection) simply recompute it with the
+        body column pruned by the columnar cache."""
         from pyspark.sql import functions as F
 
         pages = self.pages.select(
@@ -282,7 +419,7 @@ class Crawler:
             F.col("body"), F.col("redirect_to"), F.col("image_id"))
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
-            "depth", "method")
+            "depth", "method", F.col("url_hash").alias("req_hash"))
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -290,15 +427,20 @@ class Crawler:
                              F.col("url"), kind_col.alias("kind"))
 
         for hop in range(self.cfg.max_redirects + 2):
-            joined = remaining.join(pages, remaining["cur"] == pages["_purl"], "left")
+            # shuffle-hash hint: the corpus side is pre-hash-partitioned
+            # and cached; a sort-merge join would re-SORT it every
+            # batch. Hash join builds on the (small) frontier side and
+            # streams the corpus partitions untouched.
+            joined = remaining.hint("shuffle_hash").join(
+                pages, remaining["cur"] == pages["_purl"], "left")
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))
             hit = joined.filter(F.col("_purl").isNotNull()).drop("_purl")
             is_redirect = F.col("status").isin(*REDIRECT_STATUSES) & F.col("redirect_to").isNotNull()
             finals = hit.filter(~is_redirect)
-            done_parts.append(finals.select(
+            done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
-                "status", "content_type", "body", "image_id"))
+                "status", "content_type", "body", "image_id", "req_hash")))
             redir = hit.filter(is_redirect).persist()
             if redir.isEmpty():
                 redir.unpersist()
@@ -310,79 +452,109 @@ class Crawler:
             # resolve target; re-run filters + robots + check-and-mark on
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
-                "seq", "url", "depth", "method",
-                canonicalize_udf(F.col("redirect_to")).alias("canon_url"))
-            badt = t.filter(F.col("canon_url").isNull() | (F.col("canon_url") == ""))
+                "seq", "url", "depth", "method", "req_hash",
+                self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
+            t = t.select(
+                "seq", "url", "depth", "method", "req_hash",
+                F.col("_k.canon_url").alias("canon_url"),
+                F.col("_k.host").alias("host"),
+                F.col("_k.url_hash").alias("url_hash"))
+            badt = t.filter(F.col("canon_url") == "")
             err_parts.append(err_rows(badt, F.lit(cfgmod.ERR_MISSING)))
-            t = (t.filter(F.col("canon_url").isNotNull() & (F.col("canon_url") != ""))
-                   .withColumn("host", hostname_udf(F.col("canon_url"))))
+            t = t.filter(F.col("canon_url") != "")
             t = t.withColumn("_err", self._filters(F.col("canon_url"), F.col("host"), F.col("depth")))
             err_parts.append(err_rows(t.filter(F.col("_err").isNotNull()), F.col("_err")))
             t = t.filter(F.col("_err").isNull()).drop("_err")
             t = self._robots_gate(t)
             err_parts.append(err_rows(t.filter(~F.col("robots_ok")), F.lit(cfgmod.ERR_ROBOTS)))
             t = t.filter(F.col("robots_ok")).drop("robots_ok")
-            t = t.withColumn("url_hash", fnv64a_body_udf(F.col("canon_url"), F.lit(None).cast("binary")))
             t = t.withColumn("needs_mark", F.col("method") == "GET")
-            accepted, already = self._check_and_mark(t, batch, f"hop{hop}")
+            accepted, already = self._check_and_mark(t, batch, f"{tag}hop{hop}")
             err_parts.append(err_rows(already, F.lit(cfgmod.ERR_ALREADY_VISITED)))
             # truncate the per-hop plan chain (few rows; without this the
-            # logical plan compounds multiplicatively per hop)
+            # logical plan compounds multiplicatively per hop), then
+            # commit the hop's marks from the checkpointed rows
+            accepted = accepted.localCheckpoint(eager=True)
+            self._commit_marks(accepted, batch, f"hop{hop}")
             remaining = accepted.select(
-                "seq", "url", F.col("canon_url").alias("cur"), "depth", "method"
-            ).localCheckpoint(eager=True)
+                "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
+                "req_hash")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
         return done, errs
 
-    # ---- extraction + image validation (phase 4) -----------------------
-    def _extract(self, done_df):
-        """Returns (links_df[parent_seq, link_idx, url, depth],
-        images_df[page_url, image_url, caption])."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
-                                       StructField, StructType)
+    # ---- fused parse (phase 4) -----------------------------------------
+    def _parse_batch(self, done_raw):
+        """ONE Arrow pass over the fetch output: page bodies stream
+        through the extraction UDF exactly once and are dropped —
+        downstream (trace, link explode, image pairs) sees only compact
+        metadata + link/image arrays, so nothing body-sized is ever
+        persisted or checkpointed (page bodies cached across actions
+        were the engine's memory-pressure hot spot).
 
-        parse = done_df.filter((F.col("status") < 203) & (F.col("method") != "HEAD"))
-        # round-robin repartition: extraction is per-row CPU work; this
-        # spreads a hot domain's pages across all cores (skew kill)
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        parse = parse.select("seq", "final_url", "depth", "content_type", "body").repartition(n)
+        Parse gate: status < 203 ∧ method ≠ HEAD (colly.go:1185-1190) ∧
+        Content-Type contains html (colly.go:1087) — enforced inside
+        the UDF. Direct image fetches keep their body in ``img_body``
+        (tiny subset) for the PSNR validation join.
+
+        Skew note: input partitioning is hash(url) from the fetch join,
+        so a hot *domain's* pages are already spread uniformly across
+        tasks — no extra repartition needed.
+        """
+        from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, IntegerType,
+                                       LongType, StringType, StructField, StructType)
 
         out_schema = StructType([
             StructField("seq", LongType()),
+            StructField("url", StringType()),
             StructField("final_url", StringType()),
             StructField("depth", IntegerType()),
+            StructField("method", StringType()),
+            StructField("status", IntegerType()),
+            StructField("content_type", StringType()),
+            StructField("image_id", StringType()),
             StructField("links", ArrayType(StringType())),
             StructField("imgs", ArrayType(StructType([
                 StructField("url", StringType()),
                 StructField("caption", StringType()),
             ]))),
+            StructField("img_body", BinaryType()),
+            StructField("req_hash", LongType()),
+            StructField("from_cache", BooleanType()),
         ])
 
-        def _parse_pages(iterator):
+        max_body = self.cfg.max_body_size
+
+        def _parse(iterator):
             from colly_spark.operators.extract import extract_page
             for pdf in iterator:
-                links_col, imgs_col = [], []
-                for body, ctype, url in zip(pdf["body"], pdf["content_type"], pdf["final_url"]):
-                    links, images = extract_page(url, body, ctype)
+                links_col, imgs_col, img_body = [], [], []
+                for body, ctype, url, status, method, iid in zip(
+                        pdf["body"], pdf["content_type"], pdf["final_url"],
+                        pdf["status"], pdf["method"], pdf["image_id"]):
+                    # X2: MaxBodySize truncation before any parsing
+                    # (io.LimitReader, http_backend.go:229-244)
+                    if body is not None:
+                        body = bytes(body)[:max_body]
+                    if status < 203 and method != "HEAD":
+                        links, images = extract_page(url, body, ctype)
+                    else:
+                        links, images = [], []
                     links_col.append(links)
                     imgs_col.append([{"url": u, "caption": c} for u, c in images])
+                    is_img = (ctype or "").startswith("image/") and iid is not None
+                    img_body.append(bytes(body) if (is_img and body is not None) else None)
                 yield pd.DataFrame({
-                    "seq": pdf["seq"], "final_url": pdf["final_url"],
-                    "depth": pdf["depth"], "links": links_col, "imgs": imgs_col,
+                    "seq": pdf["seq"], "url": pdf["url"],
+                    "final_url": pdf["final_url"], "depth": pdf["depth"],
+                    "method": pdf["method"], "status": pdf["status"],
+                    "content_type": pdf["content_type"], "image_id": pdf["image_id"],
+                    "links": links_col, "imgs": imgs_col, "img_body": img_body,
+                    "req_hash": pdf["req_hash"], "from_cache": False,
                 })
 
-        parsed = parse.mapInPandas(_parse_pages, schema=out_schema).persist()
-        links = parsed.select(
-            F.col("seq").alias("parent_seq"), (F.col("depth") + 1).alias("depth"),
-            F.posexplode("links").alias("link_idx", "url"))
-        page_images = parsed.select(
-            F.col("final_url").alias("page_url"),
-            F.explode("imgs").alias("im")
-        ).select("page_url", F.col("im.url").alias("image_url"), F.col("im.caption").alias("caption"))
-        return parsed, links, page_images
+        return done_raw.mapInPandas(_parse, schema=out_schema)
 
     def _validate_direct_images(self, done_df):
         """Direct image fetches (content_type image/*) validated against
@@ -392,8 +564,7 @@ class Crawler:
         from pyspark.sql.types import (BooleanType, DoubleType, StringType,
                                        StructField, StructType)
 
-        direct = done_df.filter(
-            F.col("content_type").startswith("image/") & F.col("image_id").isNotNull())
+        direct = done_df.filter(F.col("img_body").isNotNull())
         im = self.images.select(
             F.col("image_id").alias("_iid"), F.col("bytes").alias("_ref_bytes"),
             F.col("fmt").alias("_fmt"))
@@ -410,25 +581,23 @@ class Crawler:
             from colly_spark.functions.images import validate_batch
             for pdf in iterator:
                 oks, psnrs = validate_batch(
-                    pdf["body"].tolist(), pdf["_fmt"].tolist(),
+                    pdf["img_body"].tolist(), pdf["_fmt"].tolist(),
                     pdf["_ref_bytes"].tolist(), pdf["_fmt"].tolist())
                 yield pd.DataFrame({
                     "image_url": pdf["final_url"], "image_id": pdf["image_id"],
                     "ok": oks, "psnr_db": psnrs,
                 })
 
-        return j.select("final_url", "image_id", "body", "_ref_bytes", "_fmt") \
+        return j.select("final_url", "image_id", "img_body", "_ref_bytes", "_fmt") \
                 .mapInPandas(_validate, schema=val_schema)
 
     # ---- state / resume -------------------------------------------------
     def _manifest_path(self):
         return os.path.join(self.state, "MANIFEST.json")
 
-    def _commit(self, batch: int, next_seq: int, frontier_df, pending_df):
-        frontier_df.write.mode("overwrite").parquet(
-            os.path.join(self.state, "snap", f"frontier_{batch:06d}"))
-        pending_df.write.mode("overwrite").parquet(
-            os.path.join(self.state, "snap", f"pending_{batch:06d}"))
+    def _commit(self, batch: int, next_seq: int):
+        """Write the manifest — the commit point. Must run only after
+        all of the batch's sink/snapshot writes have completed."""
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch": batch, "next_seq": next_seq}, f)
@@ -450,151 +619,303 @@ class Crawler:
             tag = os.path.basename(d).split("_")[1]
             if int(tag) > b:
                 shutil.rmtree(d, ignore_errors=True)
-        vis_paths = sorted(_glob.glob(os.path.join(self.state, "out", "visited", "batch_*")))
-        if vis_paths:
-            self.visited_df = self.spark.read.parquet(*vis_paths).localCheckpoint(eager=True)
+        self._visited_paths = sorted(
+            _glob.glob(os.path.join(self.state, "out", "visited", "batch_*")))
+        self._cache_paths = sorted(
+            _glob.glob(os.path.join(self.state, "out", "cache", "batch_*")))
+        self._visited_rows = sum(_parquet_rows(p) for p in self._visited_paths)
         # Bloom = pure function of the visited set → rebuild (deployment:
         # Iceberg-snapshot the segments instead)
         shutil.rmtree(self.bloom.dir, ignore_errors=True)
         os.makedirs(self.bloom.dir, exist_ok=True)
-        if vis_paths:
-            seen.bloom_update(self.spark, self.bloom, self.visited_df)
+        self._bloom_active = (self._bloom_threshold <= 0
+                              or self._visited_rows >= self._bloom_threshold)
+        if self._bloom_active and self._visited_paths:
+            seen.bloom_update(self.spark, self.bloom, self._visited_df())
         frontier = self.spark.read.parquet(os.path.join(self.state, "snap", f"frontier_{b:06d}"))
         pending = self.spark.read.parquet(os.path.join(self.state, "snap", f"pending_{b:06d}"))
         return b + 1, man["next_seq"], frontier, pending
 
     # ---- the drive loop --------------------------------------------------
+    def bootstrap(self, seeds) -> None:
+        """Initialize crawl state from a seed list (submission order;
+        url strings or (url, method, body_bytes) tuples)."""
+        rows, next_seq = [], 0
+        for s in seeds or []:
+            if isinstance(s, str):
+                url, method, body = s, "GET", None
+            else:
+                url, method, body = s
+            rows.append((next_seq, url, 1, method, body))
+            next_seq += 1
+        self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
+        self._pending = self.spark.createDataFrame([], self.sch["pending"])
+        self._batch, self._next_seq = 0, next_seq
+        self._n_frontier, self._n_pending = len(rows), 0
+        self._metrics: list = []
+
+    def load_state(self) -> None:
+        """Load crawl state from the last committed manifest (resume)."""
+        loaded = self._load_resume()
+        if loaded is None:
+            raise ValueError(f"resume requested but no MANIFEST in {self.state}")
+        self._batch, self._next_seq, self._frontier, self._pending = loaded
+        self._n_frontier = self._frontier.count()
+        self._n_pending = self._pending.count()
+        self._metrics = []
+
+    def handles(self) -> CrawlHandles:
+        h = CrawlHandles(self.spark, os.path.join(self.state, "out"))
+        h.metrics = self._metrics
+        return h
+
     def run(self, seeds=None, max_batches: int = 10_000, resume: bool = False) -> CrawlHandles:
-        """seeds: list of url strings or (url, method, body_bytes)
-        tuples in submission order. With ``resume=True``, continues from
-        the last committed batch instead (seeds ignored)."""
+        """Drain the frontier to empty (or max_batches). With
+        ``resume=True``, continues from the last committed batch
+        (seeds ignored)."""
+        if resume:
+            self.load_state()
+        else:
+            self.bootstrap(seeds)
+        while self._batch < max_batches:
+            if not self.step():
+                break
+        return self.handles()
+
+    def step(self) -> bool:
+        """Execute exactly one micro-batch from committed state.
+        Returns False (no-op) once frontier ∧ pending are empty —
+        the queue-drain termination condition (queue/queue.go:169-175).
+        Called by run() in a loop, or once per Structured Streaming
+        tick by streaming/drain.run_streaming_drain."""
         from pyspark.sql import functions as F
 
         spark = self.spark
-        handles = CrawlHandles(spark, os.path.join(self.state, "out"))
-        start_batch, next_seq = 0, 0
-        frontier = pending = None
-        if resume:
-            loaded = self._load_resume()
-            if loaded is None:
-                raise ValueError(f"resume requested but no MANIFEST in {self.state}")
-            start_batch, next_seq, frontier, pending = loaded
-        else:
-            rows = []
-            for s in seeds or []:
-                if isinstance(s, str):
-                    url, method, body = s, "GET", None
-                else:
-                    url, method, body = s
-                rows.append((next_seq, url, 1, method, body))
-                next_seq += 1
-            frontier = spark.createDataFrame(rows, self.sch["frontier"])
-            pending = spark.createDataFrame([], self.sch["pending"])
+        if self._n_frontier == 0 and self._n_pending == 0:
+            return False
+        batch, next_seq = self._batch, self._next_seq
+        frontier, pending = self._frontier, self._pending
+        m = dict(batch=batch, submitted=self._n_frontier, admitted=0, fetched=0,
+                 deferred=0, errors=0, new_links=0)
+        _t = time.time()
 
-        batch = start_batch
-        # carry counts forward (set exactly by each batch's own
-        # bookkeeping) instead of re-counting the snapshots every loop
-        n_frontier = frontier.count()
-        n_pending = pending.count()
-        while batch < max_batches:
-            if n_frontier == 0 and n_pending == 0:
-                break
-            m = dict(batch=batch, submitted=n_frontier, admitted=0, fetched=0,
-                     deferred=0, errors=0, new_links=0)
-            # 1. admission — localCheckpoint truncates the admission DAG
-            # (UDF chain + bloom probe + anti-join) so downstream plans
-            # stay bounded regardless of driver heap
-            admitted, adm_errors = self._admit(frontier, batch)
-            admitted = admitted.localCheckpoint(eager=True)
-            adm_errors = adm_errors.localCheckpoint(eager=True)
-            m["admitted"] = admitted.count()
-            # 2. politeness quota over pending ∪ admitted. With no
-            # LimitRules every quota is unbounded (the reference skips
-            # the semaphore entirely for nil rules, http_backend.go:134)
-            # → skip the window shuffle and fetch everything now.
-            pool = pending.unionByName(admitted)
-            if self.cfg.limit_rules:
-                fetch_now, deferred = politeness.admit_batch(pool, self.cfg)
-                fetch_now = fetch_now.persist()
-                deferred = deferred.persist()
-                m["deferred"] = deferred.count()
-            else:
-                fetch_now = pool.persist()
-                deferred = spark.createDataFrame([], self.sch["pending"])
-                m["deferred"] = 0
-            # 3. fetch + redirects
-            done, fetch_errors = self._fetch(fetch_now, batch)
-            done = done.localCheckpoint(eager=True)
-            trace = done.select(
-                F.lit(batch).alias("batch"), "seq", "url", "final_url", "depth",
-                hostname_udf(F.col("final_url")).alias("host"), "status")
-            m["fetched"] = done.count()
-            # http status errors (recorded, not counted in m["errors"] —
-            # simulator parity)
-            http_errors = done.filter(F.col("status") >= 400).select(
-                F.lit(batch).alias("batch"), "seq", F.col("url"),
-                F.concat(F.lit("http_"), F.col("status")).alias("kind"))
-            # 4. extraction + images (direct-image validation joins the
-            # payload table — skipped when the corpus carries none)
-            parsed, links, page_images = self._extract(done)
-            if self._has_images:
-                direct_images = self._validate_direct_images(done)
-            else:
-                from pyspark.sql.types import (BooleanType, DoubleType, StringType,
-                                               StructField, StructType)
-                direct_images = spark.createDataFrame([], StructType([
-                    StructField("image_url", StringType()),
-                    StructField("image_id", StringType()),
-                    StructField("ok", BooleanType()),
-                    StructField("psnr_db", DoubleType()),
-                ]))
-            images_out = page_images.select(
-                F.lit(batch).alias("batch"),
-                F.col("page_url"), "image_url",
-                F.lit(None).cast("string").alias("image_id"),
-                "caption", F.lit(None).cast("boolean").alias("ok"),
-                F.lit(None).cast("double").alias("psnr_db"),
-            ).unionByName(direct_images.select(
-                F.lit(batch).alias("batch"),
-                F.lit(None).cast("string").alias("page_url"),
-                "image_url", "image_id",
-                F.lit(None).cast("string").alias("caption"), "ok", "psnr_db"))
-            # 5. dense discovery seqs for new links → next frontier
-            if links.isEmpty():
-                new_frontier = spark.createDataFrame([], self.sch["frontier"])
-                n_new = 0
-            else:
-                seq_links, next_seq_after = dense_seq(
-                    links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
-                new_frontier = seq_links.select(
-                    "seq", "url", "depth", F.lit("GET").alias("method"),
-                    F.lit(None).cast("binary").alias("body_req"))
-                n_new = next_seq_after - next_seq
-                next_seq = next_seq_after
-            m["new_links"] = n_new
-            # 6. sinks (idempotent per-batch partitions)
-            all_errors = adm_errors.unionByName(fetch_errors).unionByName(http_errors)
-            all_errors = all_errors.persist()
-            m["errors"] = all_errors.filter(~F.col("kind").startswith("http_")).count()
-            out = os.path.join(self.state, "out")
-            trace.write.mode("overwrite").parquet(os.path.join(out, "trace", f"batch_{batch:06d}"))
-            all_errors.write.mode("overwrite").parquet(os.path.join(out, "errors", f"batch_{batch:06d}"))
-            images_out.write.mode("overwrite").parquet(os.path.join(out, "images", f"batch_{batch:06d}"))
-            handles.metrics.append(m)
-            pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")
-            # 7. commit point — then reload the snapshots, which both
-            # truncates the lineage at the batch boundary (otherwise the
-            # logical plan compounds across batches) and makes every
-            # batch start from exactly the state a resume would load
-            self._commit(batch, next_seq, new_frontier, deferred)
-            for df in (admitted, fetch_now, deferred, done, parsed, all_errors,
-                       *self._batch_persists):
-                df.unpersist()
-            self._batch_persists.clear()
-            frontier = spark.read.parquet(
-                os.path.join(self.state, "snap", f"frontier_{batch:06d}"))
-            pending = spark.read.parquet(
-                os.path.join(self.state, "snap", f"pending_{batch:06d}"))
-            n_frontier, n_pending = n_new, m["deferred"]
-            batch += 1
-        return handles
+        def _lap(key):
+            nonlocal _t
+            now = time.time()
+            m[key] = round(now - _t, 2)
+            _t = now
+        # 1. admission (internally materialized via one eager
+        # checkpoint — truncates the admission DAG so downstream
+        # plans stay bounded regardless of driver heap)
+        admitted, adm_errors = self._admit(frontier, batch)
+        m["admitted"] = admitted.count()
+        _lap("t_admit")
+        # 2. politeness quota over pending ∪ admitted. With no
+        # LimitRules every quota is unbounded (the reference skips
+        # the semaphore entirely for nil rules, http_backend.go:134)
+        # → skip the window shuffle and fetch everything now.
+        pool = pending.unionByName(admitted)
+        if self.cfg.limit_rules:
+            fetch_now, deferred = politeness.admit_batch(pool, self.cfg)
+            fetch_now = fetch_now.persist()
+            deferred = deferred.persist()
+            m["deferred"] = deferred.count()
+        else:
+            fetch_now = pool.persist()
+            deferred = spark.createDataFrame([], self.sch["pending"])
+            m["deferred"] = 0
+        # F9 per-request abort: matched rows were seen-marked at
+        # admission but are silently dropped before the fetch
+        # (colly.go:655-657 — no error callback)
+        if self.cfg.abort_url_filters:
+            abort_hit = reduce(
+                lambda a, b: a | b,
+                (F.col("canon_url").rlike(p) for p in self.cfg.abort_url_filters))
+            fetch_now = fetch_now.filter(~abort_hit)
+        _lap("t_quota")
+        # 3a. X4 response-cache probe: GET rows with a valid cached
+        # entry skip the fetch/redirect/parse path entirely
+        cache_hits_done = None
+        cache = self._cache_latest(batch)
+        if cache is not None:
+            probe = fetch_now.join(
+                F.broadcast(cache) if self._visited_rows < 5_000_000 else cache,
+                (fetch_now["url_hash"] == cache["c_hash"])
+                & (fetch_now["method"] == "GET"), "left")
+            cache_hits_done = probe.filter(F.col("c_hash").isNotNull()).select(
+                "seq", F.col("canon_url").alias("url"),
+                F.col("c_final_url").alias("final_url"), "depth", "method",
+                F.col("c_status").alias("status"),
+                F.col("c_content_type").alias("content_type"),
+                F.col("c_image_id").alias("image_id"),
+                F.col("c_links").alias("links"), F.col("c_imgs").alias("imgs"),
+                F.col("c_img_body").alias("img_body"),
+                F.col("url_hash").alias("req_hash"),
+                F.lit(True).alias("from_cache"))
+            fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
+        else:
+            fetch_now_eff = fetch_now
+        # 3b. fetch + redirects + fused parse — the eager checkpoint
+        # materializes the compact (body-free) parsed output once.
+        # X5 CheckHead: HEAD copies fetch first; only seqs whose HEAD
+        # succeeded proceed to the GET (colly.go:492-497)
+        if self.cfg.check_head:
+            gets = fetch_now_eff.filter(F.col("method") == "GET")
+            others = fetch_now_eff.filter(F.col("method") != "GET")
+            head_rows = gets.withColumn("method", F.lit("HEAD"))
+            done_head, head_errors = self._fetch(head_rows, batch, tag="head_")
+            done_head = done_head.localCheckpoint(eager=True)
+            ok_seqs = done_head.select("seq")
+            gated = gets.join(ok_seqs, "seq", "left_semi")
+            done_get, fetch_errors = self._fetch(gated.unionByName(others), batch)
+            done = done_head.unionByName(done_get)
+            fetch_errors = fetch_errors.unionByName(head_errors)
+        else:
+            done, fetch_errors = self._fetch(fetch_now_eff, batch)
+        if cache_hits_done is not None:
+            done = done.unionByName(cache_hits_done)
+        done = done.localCheckpoint(eager=True)
+        if self.cfg.cache_enabled:
+            m["cache_hits"] = done.filter(F.col("from_cache")).count()
+            # store: GET, never 5xx, fresh fetches only
+            to_store = done.filter(
+                (F.col("method") == "GET") & (F.col("status") < 500)
+                & (F.col("status") > 0) & ~F.col("from_cache"))
+            cache_dir = os.path.join(self.state, "out", "cache", f"batch_{batch:06d}")
+            to_store.select(
+                F.col("req_hash").alias("c_hash"),
+                F.col("final_url").alias("c_final_url"),
+                F.col("status").alias("c_status"),
+                F.col("content_type").alias("c_content_type"),
+                F.col("image_id").alias("c_image_id"),
+                F.col("links").alias("c_links"), F.col("imgs").alias("c_imgs"),
+                F.col("img_body").alias("c_img_body"),
+                F.lit(batch).alias("c_created"),
+            ).write.mode("overwrite").parquet(cache_dir)
+            self._cache_paths.append(cache_dir)
+        # X6 http-trace plumbing (http_trace.go:9-37): per-request
+        # connect/first-byte timings. No network here → deterministic
+        # synthetic latencies derived from the request hash (the column
+        # shape and metrics rollup are what deployment inherits).
+        trace = done.select(
+            F.lit(batch).alias("batch"), "seq", "url", "final_url", "depth",
+            hostname_udf(F.col("final_url")).alias("host"), "status", "method",
+            (F.pmod(F.col("req_hash"), F.lit(97)).cast("double") / 10.0 + 1.0).alias("connect_ms"),
+            (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"))
+        m["fetched"] = done.count()
+        _lap("t_fetch")
+        # http status errors (recorded, not counted in m["errors"] —
+        # simulator parity)
+        http_errors = done.filter(F.col("status") >= 400).select(
+            F.lit(batch).alias("batch"), "seq", F.col("url"),
+            F.concat(F.lit("http_"), F.col("status")).alias("kind"))
+        # 4. link/image projection off the checkpointed compact rows
+        links = done.select(
+            F.col("seq").alias("parent_seq"), (F.col("depth") + 1).alias("depth"),
+            F.posexplode("links").alias("link_idx", "url"))
+        page_images = done.select(
+            F.col("final_url").alias("page_url"), F.explode("imgs").alias("im")
+        ).select("page_url", F.col("im.url").alias("image_url"),
+                 F.col("im.caption").alias("caption"))
+        if self._has_images:
+            direct_images = self._validate_direct_images(done)
+        else:
+            from pyspark.sql.types import (BooleanType, DoubleType, StringType,
+                                           StructField, StructType)
+            direct_images = spark.createDataFrame([], StructType([
+                StructField("image_url", StringType()),
+                StructField("image_id", StringType()),
+                StructField("ok", BooleanType()),
+                StructField("psnr_db", DoubleType()),
+            ]))
+        images_out = page_images.select(
+            F.lit(batch).alias("batch"),
+            F.col("page_url"), "image_url",
+            F.lit(None).cast("string").alias("image_id"),
+            "caption", F.lit(None).cast("boolean").alias("ok"),
+            F.lit(None).cast("double").alias("psnr_db"),
+        ).unionByName(direct_images.select(
+            F.lit(batch).alias("batch"),
+            F.lit(None).cast("string").alias("page_url"),
+            "image_url", "image_id",
+            F.lit(None).cast("string").alias("caption"), "ok", "psnr_db"))
+        # 5. dense discovery seqs for new links → next frontier
+        queue_full_errors = spark.createDataFrame([], self.sch["error"])
+        if links.isEmpty():
+            new_frontier = spark.createDataFrame([], self.sch["frontier"])
+            n_new = 0
+        else:
+            seq_links, next_seq_after = dense_seq(
+                links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
+            n_new = next_seq_after - next_seq
+            # S6 frontier capacity: keep the first (max_queue_size −
+            # pending) links in discovery order, drop the rest with
+            # ErrQueueFull (queue/queue.go:35, storage/mem/fifo.go:188)
+            cap = self.cfg.max_queue_size
+            if cap > 0:
+                allowed_new = max(0, cap - m["deferred"])
+                if n_new > allowed_new:
+                    cutoff = next_seq + allowed_new
+                    queue_full_errors = seq_links.filter(F.col("seq") >= cutoff).select(
+                        F.lit(batch).alias("batch"), "seq", F.col("url"),
+                        F.lit(cfgmod.ERR_QUEUE_FULL).alias("kind"))
+                    seq_links = seq_links.filter(F.col("seq") < cutoff)
+                    n_new = allowed_new
+            new_frontier = seq_links.select(
+                "seq", "url", "depth", F.lit("GET").alias("method"),
+                F.lit(None).cast("binary").alias("body_req"))
+            next_seq = next_seq + n_new
+        m["new_links"] = n_new
+        _lap("t_extract")
+        # 6. sinks (idempotent per-batch partitions)
+        all_errors = (adm_errors.unionByName(fetch_errors)
+                      .unionByName(http_errors).unionByName(queue_full_errors))
+        all_errors = all_errors.persist()
+        out = os.path.join(self.state, "out")
+        # sinks, snapshot writes, and the error count are all
+        # independent jobs → submit concurrently; the manifest (the
+        # actual commit point, inside _commit below) is written only
+        # after every one of them has finished
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [
+                ex.submit(lambda: trace.write.mode("overwrite").parquet(
+                    os.path.join(out, "trace", f"batch_{batch:06d}"))),
+                ex.submit(lambda: all_errors.write.mode("overwrite").parquet(
+                    os.path.join(out, "errors", f"batch_{batch:06d}"))),
+                ex.submit(lambda: images_out.write.mode("overwrite").parquet(
+                    os.path.join(out, "images", f"batch_{batch:06d}"))),
+                ex.submit(lambda: all_errors.filter(
+                    ~F.col("kind").startswith("http_")).count()),
+                ex.submit(lambda: new_frontier.write.mode("overwrite").parquet(
+                    os.path.join(self.state, "snap", f"frontier_{batch:06d}"))),
+                ex.submit(lambda: deferred.write.mode("overwrite").parquet(
+                    os.path.join(self.state, "snap", f"pending_{batch:06d}"))),
+            ]
+            results = [f.result() for f in futs]
+        m["errors"] = results[3]
+        _lap("t_sinks")
+        # 7. commit point — then reload the snapshots, which both
+        # truncates the lineage at the batch boundary (otherwise the
+        # logical plan compounds across batches) and makes every
+        # batch start from exactly the state a resume would load
+        self._commit(batch, next_seq)
+        _lap("t_commit")
+        self._metrics.append(m)
+        pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")
+        for df in (admitted, fetch_now, deferred, done, all_errors,
+                   *self._batch_persists):
+            df.unpersist()
+        self._batch_persists.clear()
+        # reload the committed snapshots: truncates lineage at the
+        # batch boundary and makes every batch start from exactly
+        # the state a resume would load
+        self._frontier = spark.read.parquet(
+            os.path.join(self.state, "snap", f"frontier_{batch:06d}"))
+        self._pending = spark.read.parquet(
+            os.path.join(self.state, "snap", f"pending_{batch:06d}"))
+        self._n_frontier, self._n_pending = n_new, m["deferred"]
+        self._next_seq = next_seq
+        self._batch = batch + 1
+        return True

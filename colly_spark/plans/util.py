@@ -28,7 +28,6 @@ def dense_seq(df, order_cols: list[str], out_col: str = "seq", start: int = 0,
     ``order_cols`` (which must be a unique key).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
 
     n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     n_parts = int(n_parts)
@@ -36,40 +35,35 @@ def dense_seq(df, order_cols: list[str], out_col: str = "seq", start: int = 0,
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
           .sortWithinPartitions(*order_cols)
     )
-    ordered = ordered.withColumn("_part", F.spark_partition_id())
+    # monotonically_increasing_id within sorted partitions is
+    # (pid << 33) + local_row_index — entirely JVM-side, so the rank
+    # pass never crosses into Python (an Arrow round-trip over every
+    # discovered link would dominate extraction at scale)
+    ordered = (ordered
+               .withColumn("_part", F.spark_partition_id())
+               .withColumn("_mid", F.monotonically_increasing_id()))
     ordered.persist()
     counts = dict(
         (r["_part"], r["cnt"])
         for r in ordered.groupBy("_part").agg(F.count("*").alias("cnt")).collect()
     )
-    # the persist served the counts pass; the rank pass below recomputes
-    # from the same shuffle files (same RDD → same range boundaries), so
-    # release the cache instead of leaking it across driver-loop batches
-    ordered.unpersist()
     offsets = {}
     acc = start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    out_schema = StructType(
-        [f for f in ordered.schema.fields if f.name != "_part"]
-        + [StructField(out_col, LongType())]
-    )
-
-    def _rank(iterator):
-        base = None
-        emitted = 0
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf["_part"].iloc[0])]
-            pdf = pdf.drop(columns=["_part"]).copy()
-            pdf[out_col] = range(base + emitted, base + emitted + len(pdf))
-            emitted += len(pdf)
-            yield pdf
-
-    result = ordered.mapInPandas(_rank, schema=out_schema)
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv])
+        local_idx = F.col("_mid") - (F.col("_part").cast("long") * F.lit(1 << 33))
+        seq_expr = (mapping[F.col("_part")] + local_idx).cast("long")
+    else:
+        seq_expr = F.lit(start).cast("long")
+    # the persist served the counts pass; the seq pass recomputes from
+    # the same shuffle files (same RDD → same boundaries + row order),
+    # so release the cache instead of leaking it across loop batches
+    ordered.unpersist()
+    result = ordered.withColumn(out_col, seq_expr).drop("_part", "_mid")
     return result, acc
 
 

@@ -168,6 +168,7 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 hrefs.append(f"/r/{pi % spec.redirect_chains}")  # into a redirect chain
             if pi == 0:
                 hrefs.append("/100%")  # lone-percent page
+                hrefs.append("/sitemap.xml")  # E2 XML extraction path
 
             # image embeds
             img_tags = []
@@ -204,6 +205,16 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         add_page(f"http://{host}/disallowed", 200, "text/html; charset=utf-8", "<html><body>blocked by robots</body></html>")
         add_page(f"http://{host}/allowed?q=1", 200, "text/html; charset=utf-8", "<html><body>q</body></html>")
         add_page(f"http://{host}/100%25", 200, "text/html; charset=utf-8", "<html><body>percent</body></html>")
+        # sitemap (E2 / OnXML urlset pattern, shopify_sitemap example)
+        sm_urls = urls[: min(3, n)]
+        sitemap_body = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(f"<url><loc>{u}</loc></url>" for u in sm_urls)
+            + "</urlset>"
+        )
+        add_page(f"http://{host}/sitemap.xml", 200, "application/xml",
+                 sitemap_body, links=list(sm_urls))
         # base-tag page (colly_test.go /base)
         base_body = (
             '<html><head><base href="http://xy.test/sub/" /></head>'

@@ -1,0 +1,43 @@
+"""X4 response cache: cached fetches must change performance, never
+results — a crawl with the cache on produces byte-identical trace and
+sinks while recording cache hits on revisited URLs."""
+
+from __future__ import annotations
+
+import tempfile
+
+from colly_spark.config import CrawlConfig
+from colly_spark.plans.bench_corpus import bench_corpus, bench_seeds
+from colly_spark.plans.crawler import Crawler
+
+
+def _rows(h):
+    return sorted(map(tuple, h.trace().collect()))
+
+
+def test_cache_hits_and_identical_results(spark):
+    # hub links make every page re-discover its domain hub →
+    # max_revisits=1 re-admits each hub once more → the second fetch
+    # hits the cache
+    corpus = bench_corpus(spark, 300, n_domains=4, hub_every=10)
+    cfg_nocache = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1)
+    cfg_cache = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                            cache_enabled=True)
+    seeds = bench_seeds(8, n_domains=4)
+    h1 = Crawler(spark, corpus, cfg_nocache, tempfile.mkdtemp()).run(seeds)
+    h2 = Crawler(spark, corpus, cfg_cache, tempfile.mkdtemp()).run(seeds)
+    assert _rows(h1) == _rows(h2), "cache changed crawl results"
+    hits = sum(m.get("cache_hits", 0) for m in h2.metrics)
+    assert hits > 0, "no cache hits recorded"
+    # total fetched identical
+    assert sum(m["fetched"] for m in h1.metrics) == sum(m["fetched"] for m in h2.metrics)
+
+
+def test_cache_ttl_expiry(spark):
+    corpus = bench_corpus(spark, 300, n_domains=4, hub_every=10)
+    cfg = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=2,
+                      cache_enabled=True, cache_ttl_batches=1)
+    h = Crawler(spark, corpus, cfg, tempfile.mkdtemp()).run(bench_seeds(8, n_domains=4))
+    # ttl=1: an entry created in batch b is invalid from batch b+1 on →
+    # every revisit refetches
+    assert sum(m.get("cache_hits", 0) for m in h.metrics) == 0

@@ -23,7 +23,11 @@ from colly_spark.plans.crawler import Crawler
 
 def _run_both(spark, corpus_pd, corpus_spark, cfg, seeds, tmp_state, max_batches=60):
     sim = Simulator(corpus_pd, cfg).run(list(seeds), max_batches=max_batches)
-    eng = Crawler(spark, corpus_spark, cfg, tmp_state).run(list(seeds), max_batches=max_batches)
+    # bloom_threshold_rows=0 forces the Bloom-segment path so parity
+    # covers it (the default adaptive threshold would bypass it at
+    # fixture scale)
+    eng = Crawler(spark, corpus_spark, cfg, tmp_state,
+                  bloom_threshold_rows=0).run(list(seeds), max_batches=max_batches)
     return sim, eng
 
 
@@ -36,7 +40,11 @@ def _sim_seen_signed(sim):
 
 
 def _engine_per_domain_order(eng):
-    rows = eng.trace().orderBy("batch", "host", "seq").collect()
+    from pyspark.sql import functions as F
+
+    rows = eng.trace().orderBy(
+        "batch", "host", "seq",
+        (F.col("method") == "GET").cast("int")).collect()
     out = {}
     for r in rows:
         out.setdefault(r["host"], []).append(r["url"])
@@ -82,6 +90,42 @@ SCENARIOS = {
             ),
         ),
         seeds=["http://d00.test/", "http://d01.test/", "http://d02.test/"],
+    ),
+    # F6 URL-length + F7 max_revisits + S6 queue capacity together
+    "len_revisit_capacity": dict(
+        cfg=CrawlConfig(
+            max_depth=3, ignore_robots=True,
+            url_length_min=10, url_length_max=60,
+            max_revisits=1, max_queue_size=40,
+        ),
+        seeds=["http://d00.test/", "http://d01.test/"],
+    ),
+    # X5 CheckHead: HEAD precedes every GET
+    "check_head": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True, check_head=True),
+        seeds=["http://d00.test/"],
+    ),
+    # F9 abort hook: /page/2x URLs marked-but-never-fetched
+    "abort": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True,
+                        abort_url_filters=(r"/page/2\d$",)),
+        seeds=["http://d00.test/"],
+    ),
+    # X2 MaxBodySize: bodies truncated before parse → fewer links
+    "body_limit": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True, max_body_size=220),
+        seeds=["http://d00.test/"],
+    ),
+    # S3 POST dedup: body participates in the hash — GET and two POSTs
+    # (one duplicate body) of the same URL
+    "post_dedup": dict(
+        cfg=CrawlConfig(max_depth=1, ignore_robots=True),
+        seeds=[
+            "http://d00.test/",
+            ("http://d00.test/", "POST", b"a=1"),
+            ("http://d00.test/", "POST", b"a=1"),
+            ("http://d00.test/", "POST", b"b=2"),
+        ],
     ),
     # full crawl, unlimited depth, everything on
     "full": dict(
@@ -166,15 +210,18 @@ def test_resume_byte_identical(spark, corpus_pd, corpus_spark, tmp_state):
 
     full_state = tempfile.mkdtemp(prefix="colly_full_")
     try:
-        full = Crawler(spark, corpus_spark, cfg, full_state).run(seeds)
+        full = Crawler(spark, corpus_spark, cfg, full_state,
+                       bloom_threshold_rows=0).run(seeds)
         full_trace = sorted(
             (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
             for r in full.trace().collect())
         full_seen = _engine_seen(full)
 
         # interrupted: stop after 2 batches, then resume with a NEW engine
-        Crawler(spark, corpus_spark, cfg, tmp_state).run(seeds, max_batches=2)
-        resumed = Crawler(spark, corpus_spark, cfg, tmp_state).run(resume=True)
+        Crawler(spark, corpus_spark, cfg, tmp_state,
+                bloom_threshold_rows=0).run(seeds, max_batches=2)
+        resumed = Crawler(spark, corpus_spark, cfg, tmp_state,
+                          bloom_threshold_rows=0).run(resume=True)
         res_trace = sorted(
             (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
             for r in resumed.trace().collect())
