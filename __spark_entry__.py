@@ -226,6 +226,100 @@ WITH f AS ({_FRONTIER_SQL})
 SELECT doc_id, url FROM f WHERE doc_id % 3 <> 0
 """
 
+def q_redirect_resolve(spark, sf_dir):
+    """D2/D3 redirect-chain resolution as unrolled joins: docs with
+    doc_id % 10 == 0 redirect to doc_id+1; doc_id % 20 == 0 chain two
+    hops (→ +1 → +2). Returns (doc_id, final_doc_id, hops)."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    redirect_to = (
+        F.when((F.col("doc_id") % 10 == 0), F.col("doc_id") + 1)
+        .otherwise(F.lit(None).cast("long")))
+    g = d.select("doc_id", redirect_to.alias("r1"))
+    # second hop: targets that are themselves doc_id%10==... make hop2
+    # deterministic: ids divisible by 20 redirect again (+1 → +2)
+    hop2 = F.when(F.col("doc_id") % 20 == 0, F.col("doc_id") + 2).otherwise(F.lit(None).cast("long"))
+    g = g.withColumn("r2", hop2)
+    return g.select(
+        "doc_id",
+        F.coalesce("r2", "r1", "doc_id").alias("final_doc_id"),
+        (F.when(F.col("r2").isNotNull(), 2)
+          .when(F.col("r1").isNotNull(), 1)
+          .otherwise(0)).cast("int").alias("hops"))
+
+
+_Q_REDIRECT_SQL = """
+SELECT doc_id,
+       coalesce(CASE WHEN doc_id % 20 = 0 THEN doc_id + 2 END,
+                CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 END,
+                doc_id) AS final_doc_id,
+       CAST(CASE WHEN doc_id % 20 = 0 THEN 2
+                 WHEN doc_id % 10 = 0 THEN 1
+                 ELSE 0 END AS INT) AS hops
+FROM documents
+"""
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Window keep-first dedup (the row-level form of D1): synthetic
+    duplicate URLs (doc_id % 100), keep the lowest doc_id row."""
+    from pyspark.sql import Window, functions as F
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 100).alias("dup_key"), "source")
+    w = Window.partitionBy("dup_key").orderBy("doc_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("dup_key", "doc_id", "source"))
+
+
+_Q_KEEP_FIRST_SQL = """
+SELECT dup_key, doc_id, source FROM (
+  SELECT doc_id, doc_id % 100 AS dup_key, source,
+         row_number() OVER (PARTITION BY doc_id % 100 ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+"""
+
+
+def q_quota_multi_rule(spark, sf_dir):
+    """P1 first-match-wins LimitRule table: src0*/src1* get quota 2,
+    everything else quota 5 — admission via the production window +
+    quota UDF; the oracle inlines the same CASE."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.operators.politeness import admit_batch
+
+    cfg = CrawlConfig(limit_rules=(
+        # quota = parallelism·1000/(20+delay): 1·1000/480 → 2
+        LimitRule(domain_glob="src0.test", delay_ms=480, parallelism=1),
+        LimitRule(domain_glob="src1?.test", delay_ms=480, parallelism=1),
+        LimitRule(domain_glob="*", delay_ms=180, parallelism=1),
+    ))
+    pending = _frontier(spark, sf_dir).select(
+        F.col("doc_id").alias("seq"), "url",
+        F.regexp_extract("url", r"http://([^/]+)/", 1).alias("host"), "depth")
+    fetch_now, _ = admit_batch(pending, cfg)
+    return fetch_now.select("seq", "host")
+
+
+_Q_MULTI_RULE_SQL = f"""
+WITH f AS ({_FRONTIER_SQL}),
+p AS (SELECT doc_id AS seq,
+             regexp_extract(url, 'http://([^/]+)/', 1) AS host
+      FROM f),
+r AS (SELECT seq, host,
+             row_number() OVER (PARTITION BY host ORDER BY seq) AS rn,
+             CASE WHEN host = 'src0.test' THEN 2
+                  WHEN host LIKE 'src1_.test' THEN 2
+                  ELSE 5 END AS quota
+      FROM p)
+SELECT seq, host FROM r WHERE rn <= quota
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -635,7 +729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "fnv64_hash": q_fnv64_hash,
         "politeness_quota": q_politeness_quota,
+        "quota_multi_rule": q_quota_multi_rule,
         "seen_antijoin": q_seen_antijoin,
+        "redirect_resolve": q_redirect_resolve,
+        "dedup_keep_first": q_dedup_keep_first,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
@@ -661,7 +758,10 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _Q_CANON_SQL,
         "fnv64_hash": _Q_FNV_SQL,
         "politeness_quota": _Q_QUOTA_SQL,
+        "quota_multi_rule": _Q_MULTI_RULE_SQL,
         "seen_antijoin": _Q_ANTIJOIN_SQL,
+        "redirect_resolve": _Q_REDIRECT_SQL,
+        "dedup_keep_first": _Q_KEEP_FIRST_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "ngram_jaccard": _Q_JACCARD_SQL,
         "cosine_topk": _Q_COSINE_SQL,

@@ -152,15 +152,16 @@ class Simulator:
                 url, method, body = s, "GET", None
             else:
                 url, method, body = s
-            frontier.append((next_seq, url, 1, method, body))
+            frontier.append((next_seq, url, 1, method, body, None))
             next_seq += 1
-        pending: list[tuple] = []  # admitted, awaiting fetch: (seq, canon, depth, host, method)
+        # admitted, awaiting fetch: (seq, canon, depth, host, method, referer)
+        pending: list[tuple] = []
         batch = 0
         while (frontier or pending) and batch < max_batches:
             m = dict(batch=batch, submitted=len(frontier), admitted=0, fetched=0,
                      deferred=0, errors=0, new_links=0)
             # 1. admission on new frontier rows, in seq order
-            for seq, raw, depth, method, body in sorted(frontier, key=lambda t: t[0]):
+            for seq, raw, depth, method, body, referer in sorted(frontier, key=lambda t: t[0]):
                 canon = canonicalize(raw)
                 if not canon:
                     res.errors.append((raw, cfgmod.ERR_MISSING))
@@ -172,7 +173,7 @@ class Simulator:
                     res.errors.append((canon, err))
                     m["errors"] += 1
                     continue
-                pending.append((seq, canon, depth, host, method))
+                pending.append((seq, canon, depth, host, method, referer))
                 m["admitted"] += 1
             frontier = []
             # 2. politeness: per-domain quota by seq order
@@ -191,7 +192,7 @@ class Simulator:
             m["deferred"] = len(defer)
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
-            for seq, canon, depth, host, method in fetch_now:
+            for seq, canon, depth, host, method, referer in fetch_now:
                 # F9: abort after mark, before fetch — silent
                 # (colly.go:655-657 returns nil on abort)
                 if self._abort_res and any(r.search(canon) for r in self._abort_res):
@@ -207,7 +208,7 @@ class Simulator:
                         m["errors"] += 1
                         continue
                     res.trace.append((batch, seq, canon, h_final, depth,
-                                      hostname(h_final), h_status, "HEAD"))
+                                      hostname(h_final), h_status, "HEAD", referer))
                     m["fetched"] += 1
                 final_url, status, row, err = self._fetch_with_redirects(
                     canon, depth, method, res.seen
@@ -217,7 +218,7 @@ class Simulator:
                     m["errors"] += 1
                     continue
                 res.trace.append((batch, seq, canon, final_url, depth,
-                                  hostname(final_url), status, method))
+                                  hostname(final_url), status, method, referer))
                 m["fetched"] += 1
                 if status >= 203 or method == "HEAD":
                     if status >= 400:
@@ -231,7 +232,9 @@ class Simulator:
                 for img_url, caption in images:
                     res.images.append((final_url, img_url, None, caption))
                 for li, link in enumerate(links):
-                    new_frontier.append((link, depth + 1, li))
+                    # ctx propagation: discovered links carry their
+                    # parent page as referer (extensions/referer.go)
+                    new_frontier.append((link, depth + 1, li, final_url))
                 # direct image fetch: validate payload row
                 if row.content_type and row.content_type.startswith("image/") and row.image_id:
                     # a direct image fetch: (page_url=None, image_url, image_id, caption=None)
@@ -243,12 +246,12 @@ class Simulator:
             cap = self.cfg.max_queue_size
             allowed_new = (cap - len(pending)) if cap > 0 else None
             kept = 0
-            for link, d, _li in new_frontier:
+            for link, d, _li, parent_url in new_frontier:
                 if allowed_new is not None and kept >= allowed_new:
                     res.errors.append((link, cfgmod.ERR_QUEUE_FULL))
                     m["errors"] += 1
                     continue
-                frontier.append((next_seq, link, d, "GET", None))
+                frontier.append((next_seq, link, d, "GET", None, parent_url))
                 next_seq += 1
                 kept += 1
             m["new_links"] = kept

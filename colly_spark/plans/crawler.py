@@ -86,6 +86,7 @@ def _schemas():
         StructField("depth", IntegerType()),
         StructField("method", StringType()),
         StructField("body_req", BinaryType()),
+        StructField("referer", StringType()),
     ])
     pending = StructType([
         StructField("seq", LongType()),
@@ -94,6 +95,7 @@ def _schemas():
         StructField("depth", IntegerType()),
         StructField("method", StringType()),
         StructField("url_hash", LongType()),
+        StructField("referer", StringType()),
     ])
     visited = StructType([StructField("url_hash", LongType())])
     error = StructType([
@@ -111,6 +113,7 @@ def _schemas():
         StructField("host", StringType()),
         StructField("status", IntegerType()),
         StructField("method", StringType()),
+        StructField("referer", StringType()),
         StructField("connect_ms", DoubleType()),
         StructField("ttfb_ms", DoubleType()),
     ])
@@ -350,7 +353,7 @@ class Crawler:
         base = frontier_df.withColumn(
             "_k", self._fused(F.col("url"), F.col("body_req")))
         base = base.select(
-            "seq", "url", "depth", "method", "body_req",
+            "seq", "url", "depth", "method", "body_req", "referer",
             F.col("_k.canon_url").alias("canon_url"),
             F.col("_k.host").alias("host"),
             F.col("_k.url_hash").alias("url_hash"))
@@ -383,7 +386,7 @@ class Crawler:
         # the checkpointed rows (no second DAG execution)
         combined = accepted.select(
             "seq", F.col("canon_url"), "host", "depth", "method",
-            "url_hash", "needs_mark",
+            "url_hash", "needs_mark", "referer",
             F.lit(None).cast("string").alias("kind"),
             F.lit(None).cast("string").alias("err_url"),
         ).unionByName(err_df.select(
@@ -393,11 +396,13 @@ class Crawler:
             F.lit(None).cast("string").alias("method"),
             F.lit(None).cast("long").alias("url_hash"),
             F.lit(False).alias("needs_mark"),
+            F.lit(None).cast("string").alias("referer"),
             "kind", F.col("url").alias("err_url"),
         )).localCheckpoint(eager=True)
         ok_rows = combined.filter(F.col("kind").isNull())
         self._commit_marks(ok_rows, batch, "admit")
-        pending = ok_rows.select("seq", "canon_url", "host", "depth", "method", "url_hash")
+        pending = ok_rows.select("seq", "canon_url", "host", "depth", "method",
+                                 "url_hash", "referer")
         err_out = combined.filter(F.col("kind").isNotNull()).select(
             F.lit(batch).alias("batch"), "seq",
             F.col("err_url").alias("url"), "kind")
@@ -419,7 +424,7 @@ class Crawler:
             F.col("body"), F.col("redirect_to"), F.col("image_id"))
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
-            "depth", "method", F.col("url_hash").alias("req_hash"))
+            "depth", "method", F.col("url_hash").alias("req_hash"), "referer")
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -440,7 +445,7 @@ class Crawler:
             finals = hit.filter(~is_redirect)
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
-                "status", "content_type", "body", "image_id", "req_hash")))
+                "status", "content_type", "body", "image_id", "req_hash", "referer")))
             redir = hit.filter(is_redirect).persist()
             if redir.isEmpty():
                 redir.unpersist()
@@ -452,10 +457,10 @@ class Crawler:
             # resolve target; re-run filters + robots + check-and-mark on
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
-                "seq", "url", "depth", "method", "req_hash",
+                "seq", "url", "depth", "method", "req_hash", "referer",
                 self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
             t = t.select(
-                "seq", "url", "depth", "method", "req_hash",
+                "seq", "url", "depth", "method", "req_hash", "referer",
                 F.col("_k.canon_url").alias("canon_url"),
                 F.col("_k.host").alias("host"),
                 F.col("_k.url_hash").alias("url_hash"))
@@ -478,7 +483,7 @@ class Crawler:
             self._commit_marks(accepted, batch, f"hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
-                "req_hash")
+                "req_hash", "referer")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
@@ -522,6 +527,7 @@ class Crawler:
             StructField("img_body", BinaryType()),
             StructField("req_hash", LongType()),
             StructField("from_cache", BooleanType()),
+            StructField("referer", StringType()),
         ])
 
         max_body = self.cfg.max_body_size
@@ -552,6 +558,7 @@ class Crawler:
                     "content_type": pdf["content_type"], "image_id": pdf["image_id"],
                     "links": links_col, "imgs": imgs_col, "img_body": img_body,
                     "req_hash": pdf["req_hash"], "from_cache": False,
+                    "referer": pdf["referer"],
                 })
 
         return done_raw.mapInPandas(_parse, schema=out_schema)
@@ -646,7 +653,7 @@ class Crawler:
                 url, method, body = s, "GET", None
             else:
                 url, method, body = s
-            rows.append((next_seq, url, 1, method, body))
+            rows.append((next_seq, url, 1, method, body, None))
             next_seq += 1
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])
@@ -751,7 +758,7 @@ class Crawler:
                 F.col("c_links").alias("links"), F.col("c_imgs").alias("imgs"),
                 F.col("c_img_body").alias("img_body"),
                 F.col("url_hash").alias("req_hash"),
-                F.lit(True).alias("from_cache"))
+                F.lit(True).alias("from_cache"), "referer")
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
@@ -800,6 +807,7 @@ class Crawler:
         trace = done.select(
             F.lit(batch).alias("batch"), "seq", "url", "final_url", "depth",
             hostname_udf(F.col("final_url")).alias("host"), "status", "method",
+            "referer",
             (F.pmod(F.col("req_hash"), F.lit(97)).cast("double") / 10.0 + 1.0).alias("connect_ms"),
             (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"))
         m["fetched"] = done.count()
@@ -812,6 +820,7 @@ class Crawler:
         # 4. link/image projection off the checkpointed compact rows
         links = done.select(
             F.col("seq").alias("parent_seq"), (F.col("depth") + 1).alias("depth"),
+            F.col("final_url").alias("referer"),
             F.posexplode("links").alias("link_idx", "url"))
         page_images = done.select(
             F.col("final_url").alias("page_url"), F.explode("imgs").alias("im")
@@ -863,7 +872,7 @@ class Crawler:
                     n_new = allowed_new
             new_frontier = seq_links.select(
                 "seq", "url", "depth", F.lit("GET").alias("method"),
-                F.lit(None).cast("binary").alias("body_req"))
+                F.lit(None).cast("binary").alias("body_req"), "referer")
             next_seq = next_seq + n_new
         m["new_links"] = n_new
         _lap("t_extract")

@@ -127,6 +127,17 @@ SCENARIOS = {
             ("http://d00.test/", "POST", b"b=2"),
         ],
     ),
+    # queue stress (TestQueue analogue, queue/queue_test.go:14-69):
+    # seeded random seed list with duplicates, bad URLs tolerated;
+    # invariant items == requests, per-batch metrics equal
+    "queue_stress": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True),
+        seeds=(lambda: (lambda rng: [
+            (f"http://d{rng.randrange(4):02d}.test/page/{rng.randrange(30)}"
+             if rng.random() > 0.1 else "not a url %zz")
+            for _ in range(300)
+        ])(__import__("random").Random(12387123712321232)))(),
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(
@@ -164,6 +175,12 @@ def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
     sim_m = [(m["batch"], m["fetched"], m["new_links"]) for m in sim.metrics]
     eng_m = [(m["batch"], m["fetched"], m["new_links"]) for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
+
+    # 6. ctx propagation (Referer, extensions/referer.go): each fetched
+    #    request carries its discovering page
+    sim_ref = {(t[1], t[8]) for t in sim.trace}
+    eng_ref = {(r["seq"], r["referer"]) for r in eng.trace().collect()}
+    assert eng_ref == sim_ref, "referer ctx mismatch"
 
 
 def test_images_validated(spark, corpus_pd, corpus_spark, tmp_state):
