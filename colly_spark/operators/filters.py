@@ -30,7 +30,12 @@ def admission_error_expr(cfg: CrawlConfig, url_col, host_col, depth_col):
         return reduce(lambda a, b: a | b, (col.rlike(p) for p in patterns))
 
     def glob_any(col, globs):
-        return reduce(lambda a, b: a | b, (col.rlike(glob_translate(g)) for g in globs))
+        # rlike is a substring *search*; fnmatch.translate only
+        # end-anchors (\Z). Anchor the start too so globs are full-host
+        # matches like the reference's gobwas/glob (filters/glob.go:20-65)
+        # — otherwise 'src*.test' would admit host 'evilsrc0.test'.
+        return reduce(lambda a, b: a | b,
+                      (col.rlike(r"\A(?:" + glob_translate(g) + r")") for g in globs))
 
     chain = []
     if cfg.max_depth > 0:

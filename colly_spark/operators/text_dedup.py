@@ -139,7 +139,10 @@ def ngram_jaccard(df, pairs_df, id_col: str = "doc_id", text_col: str = "text",
     Returns (a, b, inter_n, union_n, jaccard)."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.col(text_col), r"\s+")
+    # trim first so edge whitespace yields no empty tokens — matches
+    # shingles_py/text_quality splits and the DuckDB oracle's
+    # string_split_regex(trim(text), ...)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))

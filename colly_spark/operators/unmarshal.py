@@ -28,6 +28,15 @@ def _parse_selector(sel: str):
     return (tag.lower() if tag else None, id_, cls, attr, attr_val)
 
 
+# HTML void elements never get an end tag — they must not open a depth
+# level, or a <br> inside a captured element keeps the capture alive
+# past the element's close (goquery/DOM text semantics).
+_VOID_ELEMENTS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+})
+
+
 class _FieldExtractor(HTMLParser):
     def __init__(self, specs):
         super().__init__(convert_charrefs=True)
@@ -54,7 +63,9 @@ class _FieldExtractor(HTMLParser):
         return True
 
     def handle_starttag(self, tag, attrs):
-        self._depth += 1
+        is_void = tag in _VOID_ELEMENTS
+        if not is_void:
+            self._depth += 1
         for field, sel, attr in self.specs:
             if field in self.values:
                 continue
@@ -65,14 +76,17 @@ class _FieldExtractor(HTMLParser):
                         self.values[field] = v
                 else:
                     self.values.setdefault(field, "")
-                    self._capturing.append((field, self._depth))
+                    if not is_void:  # void elements have no text content
+                        self._capturing.append((field, self._depth))
 
     def handle_startendtag(self, tag, attrs):
-        self._depth += 1
         self.handle_starttag(tag, attrs)
-        self.handle_endtag(tag)
+        if tag not in _VOID_ELEMENTS:
+            self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
+        if tag in _VOID_ELEMENTS:  # stray </br> etc. — no depth level
+            return
         self._capturing = [(f, d) for f, d in self._capturing if d < self._depth]
         self._depth -= 1
 

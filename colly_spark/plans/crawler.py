@@ -480,7 +480,7 @@ class Crawler:
             # logical plan compounds multiplicatively per hop), then
             # commit the hop's marks from the checkpointed rows
             accepted = accepted.localCheckpoint(eager=True)
-            self._commit_marks(accepted, batch, f"hop{hop}")
+            self._commit_marks(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
                 "req_hash", "referer")
@@ -734,6 +734,7 @@ class Crawler:
         # F9 per-request abort: matched rows were seen-marked at
         # admission but are silently dropped before the fetch
         # (colly.go:655-657 — no error callback)
+        fetch_pool = fetch_now  # the persisted handle (for unpersist)
         if self.cfg.abort_url_filters:
             abort_hit = reduce(
                 lambda a, b: a | b,
@@ -913,7 +914,7 @@ class Crawler:
         _lap("t_commit")
         self._metrics.append(m)
         pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")
-        for df in (admitted, fetch_now, deferred, done, all_errors,
+        for df in (admitted, fetch_pool, deferred, done, all_errors,
                    *self._batch_persists):
             df.unpersist()
         self._batch_persists.clear()
