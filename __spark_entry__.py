@@ -389,23 +389,77 @@ LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 
 
 def q_minhash_lsh_buckets(spark, sf_dir):
-    """MinHash banded LSH bucket assignment (rows-only check: the
-    minhash kernel is not SQL-expressible; its *verification* stage is
-    q_ngram_jaccard, and end-to-end near-dup behavior is pinned by
-    tests/test_training_ops.py)."""
+    """MinHash banded LSH bucket assignment — fused signature+band-FNV
+    UDF, posexplode to (doc_id, band, bucket). Oracled: the SQL inlines
+    the 64 seeded universal-hash (a, b) constants and reproduces the
+    uint64-wrap arithmetic + band FNV exactly."""
     from colly_spark.operators.text_dedup import lsh_buckets
 
     return lsh_buckets(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def _minhash_sql(n_hashes: int = 64, bands: int = 16, k: int = 3,
+                 seed: int = 42) -> str:
+    from colly_spark.operators.text_dedup import _minhash_params
+
+    a, b = _minhash_params(n_hashes, seed)
+    rows = n_hashes // bands
+    params = ",".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+    m61 = "2305843009213693951::HUGEINT"
+    w64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH params(i, pa, pb) AS (VALUES {params}),
+d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_distinct(list_transform(
+                range(0, greatest(len(t)-{k}, 0)+1),
+                i -> array_to_string(list_slice(t, i+1, i+{k}), ' ')))) AS shingle
+       FROM d),
+x AS (SELECT doc_id, ({_FNV_SQL.format(col='shingle')}) % {m61} AS xv FROM sh),
+m AS (SELECT doc_id, p.i,
+             min(((xv * p.pa::HUGEINT) % {w64} + p.pb::HUGEINT) % {w64} % {m61}) AS sig
+      FROM x CROSS JOIN params p GROUP BY doc_id, p.i),
+sigs AS (SELECT doc_id, list(CAST(sig AS BIGINT) ORDER BY i) AS sig FROM m GROUP BY doc_id),
+keys AS (SELECT doc_id, CAST(band AS INT) AS band,
+                array_to_string(list_transform(
+                  list_slice(sig, band*{rows}+1, band*{rows}+{rows}),
+                  v -> v::VARCHAR), ',') AS bkey
+         FROM (SELECT doc_id, unnest(range({bands})) AS band, sig FROM sigs))
+SELECT doc_id, band, {_fnv_signed('bkey')} AS bucket FROM keys
+"""
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only; pinned by unit tests)."""
+    """SimHash fingerprints — FNV-64a per token, frequency-weighted
+    bit-vote; the oracle reproduces the vote in DuckDB bit arithmetic."""
     from pyspark.sql import functions as F
 
     from colly_spark.operators.text_dedup import simhash_udf
 
     return _docs(spark, sf_dir).select(
         "doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+
+
+_Q_SIMHASH_SQL = f"""
+WITH d AS (SELECT doc_id, trim(text) AS tt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split_regex(tt, '\\s+')) AS tok FROM d WHERE tt <> ''),
+h AS (SELECT doc_id, CAST(({_FNV_SQL.format(col='tok')}) AS UBIGINT) AS hv FROM tok),
+v AS (SELECT doc_id, bit,
+             sum(CASE WHEN (hv >> CAST(bit AS UBIGINT)) & 1::UBIGINT = 1::UBIGINT
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, bit),
+s AS (SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(bit AS INT))::HUGEINT
+                      ELSE 0::HUGEINT END) AS u
+      FROM v GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS simhash
+FROM d LEFT JOIN s USING (doc_id)
+"""
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -442,14 +496,52 @@ WHERE rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-5 (rows-only: approximate by design;
-    recall vs q_cosine_topk is asserted in tests/test_training_ops.py)."""
+    """Sign-LSH bucketed ANN top-5. Fully oracled: the bucket bits are
+    computed by the same deterministic JVM left-fold as cosine_topk
+    (no numpy), so the SQL reproduces bucket assignment AND in-bucket
+    ranking bit-exactly from the inlined hyperplane constants. Recall
+    vs q_cosine_topk is additionally asserted in tests/test_training_ops."""
     from pyspark.sql import functions as F
 
     from colly_spark.operators.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _ann_lsh_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
+                 seed: int = 42, n_queries: int = 8) -> str:
+    from colly_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_bits, seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in planes[j]))
+        for j in range(n_bits))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH planes(j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id,
+               CAST(sum(CASE WHEN {dot.format(a='v', b='pv')} > 0
+                             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id),
+c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
+      FROM e JOIN sig ON sig.vec_id = e.vec_id),
+q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
+      FROM e JOIN sig ON sig.vec_id = e.vec_id WHERE e.vec_id < {n_queries}),
+s AS (SELECT query_id, neighbor_id,
+        round({dot.format(a='cv', b='qv')}
+          / (sqrt({dot.format(a='cv', b='cv')}) * sqrt({dot.format(a='qv', b='qv')})),
+          6) AS cos_sim
+      FROM c JOIN q USING (bucket)
+      WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
 
 
 def q_token_stats(spark, sf_dir):
@@ -659,7 +751,9 @@ def q_crawl_trace(spark, sf_dir):
     """Flagship: full frontier drain over the deterministic synthetic
     corpus (seed 42) — canonicalize → filters → robots → Bloom+exact
     dedup → politeness quota → fetch join → redirects → extraction.
-    Returns the fetch trace (BFS per-domain FIFO order)."""
+    Returns the fetch trace (BFS per-domain FIFO order). Oracled
+    against golden/crawl_trace.parquet, generated by the independent
+    pure-Python simulator (scripts/make_golden.py)."""
     from colly_spark.config import CrawlConfig, LimitRule
     from colly_spark.plans.crawler import Crawler
     from colly_spark.plans.util import to_spark_corpus
@@ -678,10 +772,24 @@ def q_crawl_trace(spark, sf_dir):
 
 def q_image_decode(spark, sf_dir):
     """Multimodal plumbing: synthesize a binary image column, decode
-    metadata + phash via Arrow-batched mapInPandas."""
+    metadata + phash via Arrow-batched mapInPandas. Oracled against
+    golden/image_decode.parquet (plain-Python replica of the same
+    deterministic generate→encode→decode pipeline)."""
     from colly_spark.operators.multimodal import decode_meta, synthesize_images
 
     return decode_meta(synthesize_images(spark, 64), repartition_to=8)
+
+
+_Q_CRAWL_TRACE_SQL = f"""
+SELECT batch, seq, url, final_url, depth, host, status, method, referer,
+       connect_ms, ttfb_ms
+FROM '{_REPO}/golden/crawl_trace.parquet'
+"""
+
+_Q_IMAGE_DECODE_SQL = f"""
+SELECT image_id, w, h, fmt, phash, decode_ok
+FROM '{_REPO}/golden/image_decode.parquet'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +872,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": _Q_KEEP_FIRST_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "ngram_jaccard": _Q_JACCARD_SQL,
+        "minhash_lsh_buckets": _minhash_sql(),
+        "simhash": _Q_SIMHASH_SQL,
         "cosine_topk": _Q_COSINE_SQL,
+        "ann_lsh": _ann_lsh_sql(),
         "token_stats": _Q_TOKEN_SQL,
         "langid": _Q_LANGID_SQL,
         "quality_score": _Q_QUALITY_SQL,
@@ -773,8 +884,11 @@ def oracle_sql() -> dict[str, str]:
         "hot_sources": _Q_HOT_SQL,
         "lineitem_pricing": _Q_PRICING_SQL,
         "region_revenue": _Q_REVENUE_SQL,
-        # minhash_lsh_buckets, simhash, ann_lsh, crawl_trace,
-        # image_decode: not ANSI-SQL-expressible (hash kernels /
-        # iterative drain / binary codecs) → rows-only check; semantics
-        # pinned by tests/test_crawler_parity.py + tests/test_training_ops.py
+        # flagship drain + image pipeline: oracled via golden parquet
+        # produced by the independent simulator / plain-Python codec
+        # replica (scripts/make_golden.py) — the iterative drain and
+        # binary codecs aren't ANSI-SQL-expressible, so the golden file
+        # IS the oracle and DuckDB just reads it
+        "crawl_trace": _Q_CRAWL_TRACE_SQL,
+        "image_decode": _Q_IMAGE_DECODE_SQL,
     }

@@ -31,11 +31,12 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", "400000"))
 N_SEEDS = int(os.environ.get("BENCH_SEEDS", "20000"))
 
 QUERY_NAMES = [
-    "admission_filter", "fnv64_hash", "politeness_quota", "quota_multi_rule",
-    "seen_antijoin", "redirect_resolve", "dedup_keep_first",
+    "admission_filter", "url_canonicalize", "fnv64_hash", "politeness_quota",
+    "quota_multi_rule", "seen_antijoin", "redirect_resolve", "dedup_keep_first",
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
-    "cosine_topk", "token_stats", "quality_score", "events_rollup",
-    "sessionize", "lineitem_pricing", "region_revenue",
+    "cosine_topk", "ann_lsh", "token_stats", "langid", "quality_score",
+    "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
+    "region_revenue", "image_decode",
 ]
 
 

@@ -71,21 +71,24 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
 
 
-def lsh_signature_udf(planes: np.ndarray):
-    """embedding → int64 sign-LSH bucket (one matmul per Arrow batch)."""
+def lsh_bucket_expr(planes: np.ndarray, vec_col):
+    """embedding → int64 sign-LSH bucket as a pure-Catalyst expression:
+    bit j = sign(dot(v, plane_j)) with the dot computed by the same
+    deterministic JVM left-fold as ``cosine_expr`` — whole-stage
+    codegen'd, no Python, and bit-identical to the DuckDB oracle's
+    ``list_reduce`` (the previous numpy matmul used SIMD/pairwise
+    summation, which is not reproducible in SQL)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
 
-    def _sig(vecs):
-        out = np.zeros(len(vecs), dtype=np.int64)
-        mats = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if len(mats):
-            signs = (mats @ planes.T) > 0
-            weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
-            out = (signs.astype(np.uint64) @ weights).astype(np.int64)
-        return pd.Series(out)
-
-    return F.pandas_udf(_sig, LongType())
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(F.when(_dot_expr(vd, lit_plane) > 0,
+                           F.lit(int(1 << j))).otherwise(F.lit(0)))
+    return reduce(lambda x, y: x + y, bits).cast("long")
 
 
 def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
@@ -98,13 +101,12 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
     from pyspark.sql import Window, functions as F
 
     planes = hyperplanes(dim, n_bits, seed)
-    sig = lsh_signature_udf(planes)
     c = corpus_df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        sig(F.col(vec_col)).alias("bucket"))
+        lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
     q = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        sig(F.col(vec_col)).alias("bucket"))
+        lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -95,33 +95,74 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 3, seed: int = 42
     return F.pandas_udf(_sig, ArrayType(LongType()))
 
 
+def lsh_bucket_keys_udf(n_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 3, seed: int = 42):
+    """text → array<long> of ``bands`` bucket keys, or NULL for docs
+    with no shingles. ONE fused Arrow pass: signature (vectorized
+    numpy min-reduction) + per-band FNV-64a of the comma-joined
+    signature slice. FNV (not xxhash) so the bucket assignment is
+    exactly reproducible by the DuckDB SQL oracle.
+
+    Empty/whitespace-only docs return NULL — on a real crawl corpus
+    every empty doc otherwise shares one signature and the band join
+    goes quadratic (the degenerate-bucket hazard)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = _minhash_params(n_hashes, seed)
+    rows = n_hashes // bands
+
+    def _keys(texts):
+        out = []
+        for t in texts:
+            sh = shingles_py(t or "", shingle_k)
+            if not sh:
+                out.append(None)
+                continue
+            x = fnv64a_batch(sh).view(np.uint64) % np.uint64(_MERSENNE61)
+            with np.errstate(over="ignore"):
+                hv = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
+            sig = hv.min(axis=0).astype(np.int64)
+            keys = [",".join(str(int(v)) for v in sig[band * rows:(band + 1) * rows])
+                    for band in range(bands)]
+            out.append(fnv64a_batch(keys).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(_keys, ArrayType(LongType()))
+
+
 def lsh_buckets(df, id_col: str = "doc_id", text_col: str = "text",
                 n_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
                 seed: int = 42):
-    """(id, band, bucket) — docs sharing a (band, bucket) are near-dup
-    candidates. bucket = FNV of the band's signature slice."""
+    """(doc_id, band, bucket) — docs sharing a (band, bucket) are
+    near-dup candidates. One UDF pass + posexplode (the previous shape
+    unioned ``bands`` projections over the signature — bands× the scan
+    work). Empty docs (NULL keys) are dropped — see lsh_bucket_keys_udf."""
     from pyspark.sql import functions as F
 
-    rows = n_hashes // bands
-    sig = minhash_signature_udf(n_hashes, shingle_k, seed)
-    df = df.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig"))
-    parts = []
-    for band in range(bands):
-        slice_expr = F.slice("sig", band * rows + 1, rows)
-        parts.append(df.select(
-            "doc_id", F.lit(band).alias("band"),
-            F.xxhash64(F.concat_ws(",", slice_expr.cast("array<string>"))).alias("bucket")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    keys = lsh_bucket_keys_udf(n_hashes, bands, shingle_k, seed)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), keys(F.col(text_col)).alias("_bkeys"))
+        .filter(F.col("_bkeys").isNotNull())
+        .select("doc_id", F.posexplode("_bkeys").alias("band", "bucket"))
+    )
 
 
-def candidate_pairs(buckets_df):
+def candidate_pairs(buckets_df, max_bucket_size: int = 1000):
     """Distinct (a, b) a<b doc pairs sharing any LSH bucket — the
-    band-join. Self-join on (band, bucket); uniform buckets → no skew."""
+    band-join. Self-join on (band, bucket); uniform buckets → no skew.
+
+    ``max_bucket_size`` guards the quadratic blow-up: a (band, bucket)
+    with more than this many members (boilerplate/empty-ish docs all
+    colliding) contributes member²·bands pairs and is dropped instead —
+    at 100 TB one degenerate bucket would otherwise emit ~n² rows.
+    Use ``oversized_buckets`` to report what was dropped."""
     from pyspark.sql import functions as F
 
+    if max_bucket_size > 0:
+        sizes = buckets_df.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        keep = sizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket")
+        buckets_df = buckets_df.join(keep, ["band", "bucket"], "left_semi")
     l = buckets_df.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"))
     r = buckets_df.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"))
     return (
@@ -130,6 +171,16 @@ def candidate_pairs(buckets_df):
         .select("a", "b")
         .distinct()
     )
+
+
+def oversized_buckets(buckets_df, max_bucket_size: int = 1000):
+    """The (band, bucket, n_members) rows candidate_pairs would drop —
+    callers log these so truncation is never silent."""
+    from pyspark.sql import functions as F
+
+    return (buckets_df.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_bucket_size))
 
 
 def ngram_jaccard(df, pairs_df, id_col: str = "doc_id", text_col: str = "text",

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Generate the golden parquet oracles under golden/.
+
+- crawl_trace.parquet: the expected fetch trace of the flagship
+  `crawl_trace` query, produced by the pure-Python reference simulator
+  (oracle/simulator.py) — NOT by the Spark engine — over the exact
+  corpus spec + config the query uses. The DuckDB oracle for
+  `crawl_trace` is a SELECT over this file, which turns the flagship
+  drain into a hard rows+schema+hash CORRECTNESS gate.
+- image_decode.parquet: expected (w, h, fmt, phash, decode_ok) for the
+  64 deterministic synthetic images of `q_image_decode`, computed by a
+  plain-Python replica of the generation+decode pipeline (no Spark) —
+  pins the Arrow/mapInPandas plumbing end-to-end.
+
+Deterministic: re-running reproduces byte-identical values.
+Run from the repo root: python scripts/make_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+GOLDEN = os.path.join(_REPO, "golden")
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def make_crawl_trace() -> None:
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.functions.urlnorm import request_hash
+    from colly_spark.oracle.simulator import Simulator
+    from colly_spark.sources.fixtures import CorpusSpec, make_corpus
+
+    # MUST mirror __spark_entry__.q_crawl_trace exactly
+    corpus = make_corpus(CorpusSpec(seed=42, n_domains=2,
+                                    base_pages_per_domain=5, n_images=4))
+    cfg = CrawlConfig(
+        max_depth=3, ignore_robots=False,
+        limit_rules=(LimitRule(domain_glob="*", delay_ms=50, parallelism=2),))
+    res = Simulator(corpus, cfg).run(["http://d00.test/", "http://d01.test/"])
+
+    rows = []
+    for batch, seq, url, final_url, depth, host, status, method, referer in res.trace:
+        h = _signed(request_hash(url, None))
+        rows.append(dict(
+            batch=batch, seq=seq, url=url, final_url=final_url, depth=depth,
+            host=host, status=status, method=method, referer=referer,
+            connect_ms=(h % 97) / 10.0 + 1.0,
+            ttfb_ms=(h % 331) / 10.0 + 5.0))
+    schema = pa.schema([
+        ("batch", pa.int32()), ("seq", pa.int64()), ("url", pa.string()),
+        ("final_url", pa.string()), ("depth", pa.int32()), ("host", pa.string()),
+        ("status", pa.int32()), ("method", pa.string()), ("referer", pa.string()),
+        ("connect_ms", pa.float64()), ("ttfb_ms", pa.float64()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "crawl_trace.parquet"))
+    print(f"crawl_trace: {len(rows)} rows")
+
+
+def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
+    # plain-Python replica of multimodal.synthesize_images → decode_meta
+    from colly_spark.functions.images import (decode_image, encode_lossy,
+                                              encode_png, phash64)
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        data = encode_png(px) if fmt == "png" else encode_lossy(px)
+        decoded = decode_image(data, fmt)
+        rows.append(dict(image_id=f"img{i:08d}", w=decoded.shape[1],
+                         h=decoded.shape[0], fmt=fmt,
+                         phash=phash64(decoded), decode_ok=True))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("phash", pa.int64()), ("decode_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_decode.parquet"))
+    print(f"image_decode: {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    os.makedirs(GOLDEN, exist_ok=True)
+    make_crawl_trace()
+    make_image_decode()

@@ -65,6 +65,40 @@ class TestUnmarshalVoidElements:
         assert out["f"] == "AB"
 
 
+class TestLshDegenerateBuckets:
+    def test_empty_docs_dropped(self, spark):
+        """10k empty/near-empty docs must not explode the band join:
+        empty docs get NULL bucket keys and are dropped entirely."""
+        from colly_spark.operators.text_dedup import candidate_pairs, lsh_buckets
+
+        rows = [(i, "") for i in range(5000)] + [(i, "   ") for i in range(5000, 10000)]
+        rows += [(20000, "alpha beta gamma delta epsilon"),
+                 (20001, "alpha beta gamma delta epsilon")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        buckets = lsh_buckets(docs)
+        # only the 2 non-empty docs produce buckets (16 bands each)
+        assert buckets.count() == 32
+        pairs = candidate_pairs(buckets).collect()
+        assert {(r["a"], r["b"]) for r in pairs} == {(20000, 20001)}
+
+    def test_oversized_bucket_capped(self, spark):
+        """A bucket with > max members is excluded from the pair join
+        and reported by oversized_buckets (never silently)."""
+        from colly_spark.operators.text_dedup import (candidate_pairs, lsh_buckets,
+                                                      oversized_buckets)
+
+        same = "identical boilerplate text repeated across the corpus body"
+        docs = spark.createDataFrame(
+            [(i, same) for i in range(50)]
+            + [(100, "unique alpha beta gamma delta"), (101, "unique alpha beta gamma delta")],
+            "doc_id long, text string")
+        buckets = lsh_buckets(docs)
+        pairs = candidate_pairs(buckets, max_bucket_size=10).collect()
+        assert {(r["a"], r["b"]) for r in pairs} == {(100, 101)}
+        over = oversized_buckets(buckets, max_bucket_size=10).collect()
+        assert len(over) == 16 and all(r["n_members"] == 50 for r in over)
+
+
 def test_ngram_jaccard_trims_edge_whitespace(spark):
     from colly_spark.operators.text_dedup import ngram_jaccard
 
