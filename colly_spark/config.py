@@ -88,6 +88,10 @@ class CrawlConfig:
     user_agent: str = "colly-spark/1.0"
     max_body_size: int = 10 * 1024 * 1024
     max_redirects: int = 10
+    # D3 FollowRedirects=false (config.go:47, env colly.go:252-258):
+    # stop at the first response — a 3xx is returned as the final
+    # response, its target is never filtered/marked/fetched
+    follow_redirects: bool = True
     # micro-batch politeness window (the "simulated second" each
     # foreachBatch drain represents) + assumed per-request service time
     batch_window_ms: int = 1000

@@ -21,9 +21,72 @@ round-robin *before* this stage for even extraction load
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from colly_spark.functions.urlnorm import resolve
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CT_CHARSET_RE = re.compile(r"charset=[\"']?([\w.\-]+)", re.I)
+_META_CHARSET_RE = re.compile(r"<meta[^>]+charset=[\"']?([\w.\-]+)", re.I)
+_XML_ENCODING_RE = re.compile(r"<\?xml[^>]+encoding=[\"']([\w.\-]+)")
+
+
+def decode_body(url: str, body, content_type: str | None, max_body_size: int):
+    """X2 body normalization — transparent gzip + MaxBodySize.
+
+    Reference: http_backend.go:229-244 wraps the response in a gzip
+    reader for ``Content-Encoding: gzip`` and the ``.xml.gz`` path
+    (colly.go:1123-1182 detects xml by path too), then LimitReader
+    truncates the **decoded** stream to MaxBodySize. Here: a body with
+    the gzip magic whose URL/Content-Type says gz/html/xml is
+    decompressed (the corpus carries no separate header map, so the
+    magic + label stands in for Content-Encoding); ``.xml.gz`` rewrites
+    the effective Content-Type to xml. Returns (bytes|None, eff_ct).
+    """
+    ct = content_type or ""
+    data = bytes(body) if body is not None else None
+    lurl = (url or "").lower()
+    if data is not None and data[:2] == _GZIP_MAGIC:
+        lct = ct.lower()
+        if (lurl.endswith(".gz") or "gzip" in lct
+                or "html" in lct or "xml" in lct):
+            import gzip
+
+            try:
+                data = gzip.decompress(data)
+                if lurl.endswith(".xml.gz"):
+                    ct = "application/xml"
+            except (OSError, EOFError):
+                pass  # corrupt gzip → raw bytes (poison-row tolerance)
+    if data is not None:
+        data = data[:max_body_size]
+    return data, ct
+
+
+def decode_text(body, content_type: str | None) -> str:
+    """X3 charset normalization (fixCharset colly.go:693-696, v3
+    response.go:76-104): charset from the Content-Type parameter; else
+    sniffed from a leading ``<meta charset>`` / ``<?xml encoding>``
+    declaration (the DetectCharset analogue); else utf-8, with
+    replacement-character fallback as the last resort."""
+    if isinstance(body, str):
+        return body
+    data = bytes(body)
+    m = _CT_CHARSET_RE.search(content_type or "")
+    enc = m.group(1) if m else None
+    if enc is None:
+        head = data[:1024].decode("latin-1", errors="replace")
+        m2 = _META_CHARSET_RE.search(head) or _XML_ENCODING_RE.search(head)
+        enc = m2.group(1) if m2 else None
+    candidates = [enc] if enc else []
+    candidates.append("utf-8")
+    for e in candidates:
+        try:
+            return data.decode(e)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return data.decode("utf-8", errors="replace")
 
 
 class _LinkExtractor(HTMLParser):
@@ -70,20 +133,15 @@ class _LinkExtractor(HTMLParser):
             self._cap_parts.append(data)
 
 
-def extract_xml_links(page_url: str, body: bytes | str) -> list[str]:
+def extract_xml_links(page_url: str, body: bytes | str,
+                      content_type: str | None = None) -> list[str]:
     """E2 XML extraction — the ``OnXML("//urlset/url/loc")`` sitemap
     pattern (reference example shopify_sitemap.go.txt:17-24; engine
     colly.go:1150-1180). Parses the document with ElementTree and
     collects, in document order: ``<loc>`` text (sitemap urlset /
     sitemapindex, namespace-agnostic) and ``href``/``src`` attributes
     of any element. Resolved + canonicalized like HTML hrefs."""
-    if isinstance(body, (bytes, bytearray, memoryview)):
-        try:
-            text = bytes(body).decode("utf-8")
-        except UnicodeDecodeError:
-            text = bytes(body).decode("utf-8", errors="replace")
-    else:
-        text = body
+    text = decode_text(body, content_type) if not isinstance(body, str) else body
     import xml.etree.ElementTree as ET
 
     try:
@@ -124,16 +182,10 @@ def extract_page(page_url: str, body: bytes | str, content_type: str | None):
         return [], []
     ct = content_type.lower()
     if "xml" in ct and "html" not in ct:
-        return extract_xml_links(page_url, body), []
+        return extract_xml_links(page_url, body, content_type), []
     if "html" not in ct:
         return [], []
-    if isinstance(body, (bytes, bytearray, memoryview)):
-        try:
-            text = bytes(body).decode("utf-8")
-        except UnicodeDecodeError:
-            text = bytes(body).decode("utf-8", errors="replace")
-    else:
-        text = body
+    text = decode_text(body, content_type) if not isinstance(body, str) else body
     p = _LinkExtractor()
     try:
         p.feed(text)

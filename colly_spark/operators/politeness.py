@@ -58,20 +58,26 @@ def quota_udf(cfg: CrawlConfig):
     return _udf
 
 
-def admit_batch(pending_df, cfg: CrawlConfig):
-    """Split pending rows into (fetch_now, deferred) by per-domain FIFO
-    quota. ``pending_df`` must carry ``host`` and ``seq`` columns.
-    Returns (fetch_now_df, deferred_df) with original columns."""
+def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_now"):
+    """Append ``flag_col``: True = within this batch's per-domain FIFO
+    quota. One window shuffle by host; the crawler fuses this into the
+    admission checkpoint so the quota decision costs no extra job."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     w = Window.partitionBy("host").orderBy("seq")
+    return pending_df.withColumn(
+        flag_col, F.row_number().over(w) <= quota_udf(cfg)(F.col("host")))
+
+
+def admit_batch(pending_df, cfg: CrawlConfig):
+    """Split pending rows into (fetch_now, deferred) by per-domain FIFO
+    quota. ``pending_df`` must carry ``host`` and ``seq`` columns.
+    Returns (fetch_now_df, deferred_df) with original columns."""
+    from pyspark.sql import functions as F
+
     cols = pending_df.columns
-    ranked = (
-        pending_df
-        .withColumn("_rank", F.row_number().over(w))
-        .withColumn("_quota", quota_udf(cfg)(F.col("host")))
-    )
-    fetch_now = ranked.filter(F.col("_rank") <= F.col("_quota")).select(cols)
-    deferred = ranked.filter(F.col("_rank") > F.col("_quota")).select(cols)
+    flagged = with_fetch_now_flag(pending_df, cfg)
+    fetch_now = flagged.filter(F.col("_fetch_now")).select(cols)
+    deferred = flagged.filter(~F.col("_fetch_now")).select(cols)
     return fetch_now, deferred

@@ -25,14 +25,20 @@ import re
 from functools import lru_cache
 
 
-def parse_rules(body: str | None) -> list[tuple[bool, str]]:
-    """Parse a robots.txt body into [(is_allow, pattern), ...] for the
-    ``*`` user-agent group (the synthetic corpus only uses ``*``)."""
+def parse_groups(body: str | None) -> list[tuple[list[str], list[tuple[bool, str]]]]:
+    """Parse a robots.txt body into UA groups:
+    [([agent_token, ...], [(is_allow, pattern), ...]), ...].
+
+    Grammar per the temoto/robotstxt library the reference uses
+    (colly.go:792-827): consecutive ``User-agent`` lines open one group
+    sharing the rule block that follows; rules before any group belong
+    to an implicit ``*`` group; empty Allow/Disallow values add no rule."""
     if not body:
         return []
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
     rules: list[tuple[bool, str]] = []
-    in_star_group = False
-    seen_any_group = False
+    collecting_agents = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -41,13 +47,49 @@ def parse_rules(body: str | None) -> list[tuple[bool, str]]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            in_star_group = val == "*"
-            seen_any_group = True
-        elif key in ("allow", "disallow") and (in_star_group or not seen_any_group):
+            if not collecting_agents:
+                if agents or rules:
+                    groups.append((agents or ["*"], rules))
+                agents, rules = [], []
+                collecting_agents = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
             if val:
                 rules.append((key == "allow", val))
-            # empty Disallow: means allow-all → no rule
-    return rules
+    if agents or rules:
+        groups.append((agents or ["*"], rules))
+    return groups
+
+
+def select_group(groups, user_agent: str) -> list[tuple[bool, str]]:
+    """The group whose UA token is the **longest prefix** of the
+    collector's UserAgent (temoto FindGroup semantics — the group for
+    agent 'colly-spark/1.0' prefers token 'colly-spark' over '*');
+    falls back to the ``*`` group, else no rules (allow all)."""
+    ua = (user_agent or "").lower()
+    best_len = -1
+    best_rules: list[tuple[bool, str]] | None = None
+    star_rules: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for token in agents:
+            if token == "*":
+                if star_rules is None:
+                    star_rules = rules
+            elif ua.startswith(token) and len(token) > best_len:
+                best_len = len(token)
+                best_rules = rules
+    if best_rules is not None:
+        return best_rules
+    return star_rules if star_rules is not None else []
+
+
+def parse_rules(body: str | None, user_agent: str = "*") -> list[tuple[bool, str]]:
+    """Rules applying to ``user_agent`` (``"*"`` → the default group)."""
+    groups = parse_groups(body)
+    if user_agent == "*":
+        return select_group(groups, "\0no-such-agent")  # only the * group
+    return select_group(groups, user_agent)
 
 
 @lru_cache(maxsize=4096)
@@ -87,19 +129,23 @@ def path_query_of(canon_url: str) -> str:
     return pq
 
 
-def robots_allowed(canon_url: str, robots_body: str | None, fetch_error: bool) -> bool:
+def robots_allowed(canon_url: str, robots_body: str | None, fetch_error: bool,
+                   user_agent: str = "*") -> bool:
     """Full gate for one URL: fetch-error host blocks everything; no
-    robots row (body None, no error) allows everything."""
+    robots row (body None, no error) allows everything. The rule group
+    is selected by the collector's UserAgent (F8, colly.go:792-827)."""
     if fetch_error:
         return False
     if robots_body is None:
         return True
-    return allowed(parse_rules(robots_body), path_query_of(canon_url))
+    return allowed(select_group(parse_groups(robots_body), user_agent),
+                   path_query_of(canon_url))
 
 
-def robots_allowed_udf():
+def robots_allowed_udf(user_agent: str = "*"):
     """Vectorized pandas UDF: (canon_url, robots_body, fetch_error) →
-    bool. robots_body arrives via broadcast join on host."""
+    bool. robots_body arrives via broadcast join on host; the UA is a
+    per-crawl constant captured in the closure."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
@@ -107,7 +153,8 @@ def robots_allowed_udf():
     def _udf(urls, bodies, errors):
         return pd.Series(
             [
-                robots_allowed(u, b if isinstance(b, str) else None, bool(e) if e is not None else False)
+                robots_allowed(u, b if isinstance(b, str) else None,
+                               bool(e) if e is not None else False, user_agent)
                 for u, b, e in zip(urls, bodies, errors)
             ]
         )

@@ -42,7 +42,7 @@ from colly_spark import config as cfgmod
 from colly_spark.config import CrawlConfig
 from colly_spark.functions.urlnorm import canonicalize, hostname, request_hash
 from colly_spark.operators import robots as robotsmod
-from colly_spark.operators.extract import extract_page
+from colly_spark.operators.extract import decode_body, extract_page
 
 
 @dataclass
@@ -116,7 +116,8 @@ class Simulator:
         if method == "HEAD" or self.cfg.ignore_robots:
             return None
         body, fetch_error = self.robots.get(host, (None, False))
-        if not robotsmod.robots_allowed(canon, body, fetch_error):
+        if not robotsmod.robots_allowed(canon, body, fetch_error,
+                                        self.cfg.user_agent):
             return cfgmod.ERR_ROBOTS
         return None
 
@@ -224,11 +225,12 @@ class Simulator:
                     if status >= 400:
                         res.errors.append((canon, f"http_{status}"))
                     continue
-                # X2: body truncated to MaxBodySize before parsing
-                # (io.LimitReader, http_backend.go:229-244)
-                links, images = extract_page(
-                    final_url, bytes(row.body)[: self.cfg.max_body_size],
-                    row.content_type)
+                # X2: transparent gzip then MaxBodySize truncation of
+                # the decoded bytes (http_backend.go:229-244)
+                pbody, pct = decode_body(final_url, row.body,
+                                         row.content_type,
+                                         self.cfg.max_body_size)
+                links, images = extract_page(final_url, pbody, pct)
                 for img_url, caption in images:
                     res.images.append((final_url, img_url, None, caption))
                 for li, link in enumerate(links):
@@ -266,7 +268,8 @@ class Simulator:
         if row is None:
             return current, 0, None, cfgmod.ERR_MISSING
         hops = 0
-        while row.status in (301, 302, 303, 307, 308) and row.redirect_to:
+        while (self.cfg.follow_redirects
+               and row.status in (301, 302, 303, 307, 308) and row.redirect_to):
             hops += 1
             if hops > self.cfg.max_redirects:
                 return current, row.status, None, cfgmod.ERR_TOO_MANY_REDIRECTS

@@ -231,7 +231,8 @@ class Crawler:
             F.col("host").alias("_rhost"), F.col("body").alias("_rbody"),
             F.col("fetch_error").alias("_rerr")))
         df = df.join(r, df["host"] == r["_rhost"], "left")
-        ok = robots_allowed_udf()(F.col(url_col), F.col("_rbody"), F.col("_rerr"))
+        ok = robots_allowed_udf(self.cfg.user_agent)(
+            F.col(url_col), F.col("_rbody"), F.col("_rerr"))
         return (df.withColumn("robots_ok", (F.col("method") == "HEAD") | ok)
                   .drop("_rhost", "_rbody", "_rerr"))
 
@@ -330,23 +331,25 @@ class Crawler:
         w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # ---- admission (phase 1) -------------------------------------------
-    def _admit(self, frontier_df, batch: int):
-        """requestCheck over new frontier rows. Returns
-        (admitted_pending_df, errors_df) — both derived from a SINGLE
-        eagerly-checkpointed DataFrame, so the whole admission DAG
+    # ---- admission + quota (phase 1+2, one checkpoint) -----------------
+    def _admit(self, frontier_df, pending_df, batch: int):
+        """requestCheck over new frontier rows, FUSED with the
+        politeness quota window over pending ∪ newly-admitted. Returns
+        (fetch_now, deferred, errors, counts) — ALL derived from a
+        SINGLE eagerly-checkpointed DataFrame, so the whole phase
         (fused canonicalize/host/hash UDF → Catalyst filter chain →
-        robots gate → window claim → Bloom probe → exact anti-join)
-        executes exactly once per batch."""
+        robots gate → window claim → Bloom probe → exact anti-join →
+        per-domain quota window) executes exactly once per batch and
+        the quota costs no extra job/persist/count."""
         from pyspark.sql import functions as F
 
         # a small frontier snapshot coalesces into few read partitions —
         # spread it across cores BEFORE the per-row UDF work or
-        # admission runs near-single-threaded; when the scan already
-        # has enough splits, skip the extra shuffle
+        # admission runs near-single-threaded (the shuffle moves only
+        # compact frontier rows and replaces a per-batch .rdd plan
+        # conversion that inspected the scan's split count)
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if frontier_df.rdd.getNumPartitions() < n:
-            frontier_df = frontier_df.repartition(n)
+        frontier_df = frontier_df.repartition(n)
         # ONE pass computes every pre-dedup decision as columns (fused
         # UDF + filter chain + robots gate); the base is cached so the
         # error/accept branch scans below don't re-run the UDFs
@@ -381,12 +384,26 @@ class Crawler:
             F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
             F.lit(cfgmod.ERR_ALREADY_VISITED).alias("kind")))
         err_df = reduce(lambda a, b: a.unionByName(b), errors)
-        # one checkpoint for both outputs: union on a widened schema,
-        # split after materialization; the mark delta is derived from
-        # the checkpointed rows (no second DAG execution)
-        combined = accepted.select(
-            "seq", F.col("canon_url"), "host", "depth", "method",
-            "url_hash", "needs_mark", "referer",
+        # pool = prior pending ∪ newly admitted; quota flag computed
+        # BEFORE the checkpoint (P1-P2 window — the reference skips the
+        # semaphore entirely for nil rules, http_backend.go:134)
+        pool = accepted.select(
+            "seq", "canon_url", "host", "depth", "method", "url_hash",
+            "needs_mark", "referer", F.lit(True).alias("_new"),
+        ).unionByName(pending_df.select(
+            "seq", "canon_url", "host", "depth", "method", "url_hash",
+            F.lit(False).alias("needs_mark"), "referer",
+            F.lit(False).alias("_new")))
+        if self.cfg.limit_rules:
+            pool = politeness.with_fetch_now_flag(pool, self.cfg)
+        else:
+            pool = pool.withColumn("_fetch_now", F.lit(True))
+        # one checkpoint for every output: union on a widened schema,
+        # split after materialization; mark delta, fetch/deferred split
+        # and the admission counts are all cheap scans of it
+        combined = pool.select(
+            "seq", "canon_url", "host", "depth", "method", "url_hash",
+            "needs_mark", "referer", "_new", "_fetch_now",
             F.lit(None).cast("string").alias("kind"),
             F.lit(None).cast("string").alias("err_url"),
         ).unionByName(err_df.select(
@@ -397,16 +414,27 @@ class Crawler:
             F.lit(None).cast("long").alias("url_hash"),
             F.lit(False).alias("needs_mark"),
             F.lit(None).cast("string").alias("referer"),
+            F.lit(False).alias("_new"), F.lit(False).alias("_fetch_now"),
             "kind", F.col("url").alias("err_url"),
         )).localCheckpoint(eager=True)
         ok_rows = combined.filter(F.col("kind").isNull())
         self._commit_marks(ok_rows, batch, "admit")
-        pending = ok_rows.select("seq", "canon_url", "host", "depth", "method",
-                                 "url_hash", "referer")
+        pend_cols = ["seq", "canon_url", "host", "depth", "method",
+                     "url_hash", "referer"]
+        fetch_now = ok_rows.filter(F.col("_fetch_now")).select(pend_cols)
+        deferred = ok_rows.filter(~F.col("_fetch_now")).select(pend_cols)
         err_out = combined.filter(F.col("kind").isNotNull()).select(
             F.lit(batch).alias("batch"), "seq",
             F.col("err_url").alias("url"), "kind")
-        return pending, err_out
+        # admitted (new rows passing every check) + deferred in ONE job
+        counts = combined.agg(
+            F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("admitted"),
+            F.sum(F.when(F.col("kind").isNull() & ~F.col("_fetch_now"), 1)
+                  .otherwise(0)).alias("deferred"),
+        ).collect()[0]
+        return fetch_now, deferred, err_out, dict(
+            admitted=int(counts["admitted"] or 0),
+            deferred=int(counts["deferred"] or 0))
 
     # ---- fetch + redirect-hop loop (phase 3) ---------------------------
     def _fetch(self, fetch_now, batch: int, tag: str = ""):
@@ -441,11 +469,20 @@ class Crawler:
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))
             hit = joined.filter(F.col("_purl").isNotNull()).drop("_purl")
-            is_redirect = F.col("status").isin(*REDIRECT_STATUSES) & F.col("redirect_to").isNotNull()
+            # D3 FollowRedirects=false: the 3xx IS the final response —
+            # its target is never filtered, marked, or fetched
+            # (config.go:47, colly.go:252-258)
+            if self.cfg.follow_redirects:
+                is_redirect = (F.col("status").isin(*REDIRECT_STATUSES)
+                               & F.col("redirect_to").isNotNull())
+            else:
+                is_redirect = F.lit(False)
             finals = hit.filter(~is_redirect)
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer")))
+            if not self.cfg.follow_redirects:
+                break
             redir = hit.filter(is_redirect).persist()
             if redir.isEmpty():
                 redir.unpersist()
@@ -533,16 +570,17 @@ class Crawler:
         max_body = self.cfg.max_body_size
 
         def _parse(iterator):
-            from colly_spark.operators.extract import extract_page
+            from colly_spark.operators.extract import decode_body, extract_page
             for pdf in iterator:
                 links_col, imgs_col, img_body = [], [], []
                 for body, ctype, url, status, method, iid in zip(
                         pdf["body"], pdf["content_type"], pdf["final_url"],
                         pdf["status"], pdf["method"], pdf["image_id"]):
-                    # X2: MaxBodySize truncation before any parsing
-                    # (io.LimitReader, http_backend.go:229-244)
-                    if body is not None:
-                        body = bytes(body)[:max_body]
+                    # X2: transparent gzip (Content-Encoding / .xml.gz)
+                    # then MaxBodySize truncation of the DECODED bytes
+                    # (io.LimitReader over the gzip reader,
+                    # http_backend.go:229-244)
+                    body, ctype = decode_body(url, body, ctype, max_body)
                     if status < 203 and method != "HEAD":
                         links, images = extract_page(url, body, ctype)
                     else:
@@ -711,30 +749,16 @@ class Crawler:
             now = time.time()
             m[key] = round(now - _t, 2)
             _t = now
-        # 1. admission (internally materialized via one eager
-        # checkpoint — truncates the admission DAG so downstream
-        # plans stay bounded regardless of driver heap)
-        admitted, adm_errors = self._admit(frontier, batch)
-        m["admitted"] = admitted.count()
+        # 1+2. admission ∪ politeness quota — ONE eager checkpoint
+        # (truncates the DAG so downstream plans stay bounded regardless
+        # of driver heap) and ONE count job for both metrics
+        fetch_now, deferred, adm_errors, counts = self._admit(frontier, pending, batch)
+        m["admitted"] = counts["admitted"]
+        m["deferred"] = counts["deferred"]
         _lap("t_admit")
-        # 2. politeness quota over pending ∪ admitted. With no
-        # LimitRules every quota is unbounded (the reference skips
-        # the semaphore entirely for nil rules, http_backend.go:134)
-        # → skip the window shuffle and fetch everything now.
-        pool = pending.unionByName(admitted)
-        if self.cfg.limit_rules:
-            fetch_now, deferred = politeness.admit_batch(pool, self.cfg)
-            fetch_now = fetch_now.persist()
-            deferred = deferred.persist()
-            m["deferred"] = deferred.count()
-        else:
-            fetch_now = pool.persist()
-            deferred = spark.createDataFrame([], self.sch["pending"])
-            m["deferred"] = 0
         # F9 per-request abort: matched rows were seen-marked at
         # admission but are silently dropped before the fetch
         # (colly.go:655-657 — no error callback)
-        fetch_pool = fetch_now  # the persisted handle (for unpersist)
         if self.cfg.abort_url_filters:
             abort_hit = reduce(
                 lambda a, b: a | b,
@@ -914,8 +938,7 @@ class Crawler:
         _lap("t_commit")
         self._metrics.append(m)
         pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")
-        for df in (admitted, fetch_pool, deferred, done, all_errors,
-                   *self._batch_persists):
+        for df in (done, all_errors, *self._batch_persists):
             df.unpersist()
         self._batch_persists.clear()
         # reload the committed snapshots: truncates lineage at the

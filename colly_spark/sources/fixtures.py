@@ -169,6 +169,9 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             if pi == 0:
                 hrefs.append("/100%")  # lone-percent page
                 hrefs.append("/sitemap.xml")  # E2 XML extraction path
+                hrefs.append("/sitemap.xml.gz")  # X2 gzip decode path
+                hrefs.append("/latin1")       # X3 charset from Content-Type
+                hrefs.append("/latin1meta")   # X3 charset sniffed from <meta>
 
             # image embeds
             img_tags = []
@@ -215,6 +218,25 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         )
         add_page(f"http://{host}/sitemap.xml", 200, "application/xml",
                  sitemap_body, links=list(sm_urls))
+        # gzipped sitemap (.xml.gz, http_backend.go:229-240): same urls,
+        # body gzip-compressed (mtime=0 → deterministic bytes)
+        import gzip as _gzip
+
+        add_page(f"http://{host}/sitemap.xml.gz", 200, "application/gzip",
+                 _gzip.compress(sitemap_body.encode("utf-8"), mtime=0),
+                 links=list(sm_urls))
+        # non-UTF8 pages (X3): charset declared in Content-Type, and
+        # charset only sniffable from a <meta> tag
+        latin_html = ('<html><body><a href="/page/1">caf\xe9 enlace</a>'
+                      "</body></html>")
+        add_page(f"http://{host}/latin1", 200, "text/html; charset=iso-8859-1",
+                 latin_html.encode("iso-8859-1"),
+                 links=[urlnorm.resolve(f"http://{host}/latin1", "/page/1")])
+        meta_html = ('<html><head><meta charset="iso-8859-1"></head>'
+                     '<body><a href="/page/2">s\xfcd</a></body></html>')
+        add_page(f"http://{host}/latin1meta", 200, "text/html",
+                 meta_html.encode("iso-8859-1"),
+                 links=[urlnorm.resolve(f"http://{host}/latin1meta", "/page/2")])
         # base-tag page (colly_test.go /base)
         base_body = (
             '<html><head><base href="http://xy.test/sub/" /></head>'
@@ -245,6 +267,26 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             robots_rows.append(dict(host=host, body=None, fetch_error=True))
         elif d % 3 == 2:
             pass  # no robots row → allow all
+        elif d % 3 == 1:
+            # F8 named UA group (colly.go:792-827 / temoto FindGroup):
+            # the 'colly-spark' token is a prefix of the collector's
+            # default UserAgent and REPLACES the * group for it —
+            # /disallowed becomes reachable, /page/3 blocked instead
+            robots_rows.append(
+                dict(
+                    host=host,
+                    body=(
+                        "User-agent: colly-spark\n"
+                        "Disallow: /page/3$\n"
+                        "\n"
+                        "User-agent: *\n"
+                        "Allow: /allowed\n"
+                        "Disallow: /disallowed\n"
+                        "Disallow: /allowed*q=\n"
+                    ),
+                    fetch_error=False,
+                )
+            )
         else:
             robots_rows.append(
                 dict(

@@ -138,6 +138,26 @@ SCENARIOS = {
             for _ in range(300)
         ])(__import__("random").Random(12387123712321232)))(),
     ),
+    # F8 named-UA robots group: d01's robots has a 'colly-spark' group
+    # (prefix of the default UserAgent) that REPLACES the * group —
+    # /disallowed reachable, /page/3 blocked
+    "robots_ua_group": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=False),
+        seeds=["http://d01.test/"],
+    ),
+    # D3 FollowRedirects=false: 3xx responses are final; targets never
+    # marked or fetched
+    "no_follow_redirects": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, follow_redirects=False),
+        seeds=["http://d00.test/", "http://d01.test/"],
+    ),
+    # X2/X3: tiny depth crawl that hits the gzip sitemap and the two
+    # non-UTF8 pages from the seed page's link list
+    "gzip_charset": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        url_filters=(r"/$", r"latin1", r"sitemap\.xml\.gz", r"/page/",)),
+        seeds=["http://d00.test/"],
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(

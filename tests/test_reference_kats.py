@@ -1,0 +1,188 @@
+"""Known-answer tests with HAND-WRITTEN expected values derived from
+the reference test suite — independent of the engine/simulator shared
+kernels (closing the r01 parity blind spot: the simulator imports the
+same robots/extract kernels as the engine, so parity alone cannot
+catch a shared-kernel bug; these KATs can).
+
+Sources: colly_test.go:1033-1119 (robots family), 905-951 (base tag),
+http_backend.go:229-240 (gzip), response.go:76-104 (charset),
+colly.go:792-827 (UA-group selection via temoto FindGroup).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from colly_spark.operators.extract import decode_body, decode_text, extract_page
+from colly_spark.operators.robots import robots_allowed
+
+_ROBOTS_STAR = (
+    "User-agent: *\n"
+    "Allow: /allowed\n"
+    "Disallow: /disallowed\n"
+    "Disallow: /allowed*q=\n"
+)
+
+
+class TestRobotsKats:
+    """colly_test.go:1033-1119: TestRobotsWhenAllowed/Disallowed +
+    the wildcard query-param case."""
+
+    def test_allowed_path(self):
+        assert robots_allowed("http://x.test/allowed", _ROBOTS_STAR, False)
+
+    def test_disallowed_path(self):
+        assert not robots_allowed("http://x.test/disallowed", _ROBOTS_STAR, False)
+
+    def test_wildcard_query_blocked(self):
+        # Disallow: /allowed*q= blocks /allowed?q=1 (colly_test.go:1070-1085)
+        assert not robots_allowed("http://x.test/allowed?q=1", _ROBOTS_STAR, False)
+
+    def test_wildcard_other_query_allowed(self):
+        # '?q2=1' contains no 'q=' sequence → not matched
+        assert robots_allowed("http://x.test/allowed?q2=1", _ROBOTS_STAR, False)
+
+    def test_fetch_error_blocks_host(self):
+        # robots fetch error propagates as a visit error
+        # (colly_test.go:1108-1119)
+        assert not robots_allowed("http://x.test/anything", None, True)
+
+    def test_no_robots_allows(self):
+        assert robots_allowed("http://x.test/anything", None, False)
+
+    def test_longest_match_allow_wins(self):
+        body = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+        assert not robots_allowed("http://x.test/a/c", body, False)
+        assert robots_allowed("http://x.test/a/b/c", body, False)
+
+    def test_end_anchor(self):
+        body = "User-agent: *\nDisallow: /exact$\n"
+        assert not robots_allowed("http://x.test/exact", body, False)
+        assert robots_allowed("http://x.test/exactly", body, False)
+
+
+class TestRobotsUaGroups:
+    """colly.go:792-827: the collector's UserAgent selects its group
+    (temoto FindGroup — longest UA token that prefixes the agent)."""
+
+    BODY = (
+        "User-agent: colly-spark\n"
+        "Disallow: /only-for-colly\n"
+        "\n"
+        "User-agent: colly\n"
+        "Disallow: /for-colly-prefix\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /for-everyone\n"
+    )
+
+    def test_longest_prefix_group_selected(self):
+        # agent 'colly-spark/1.0' matches both 'colly' and 'colly-spark';
+        # the longer token wins and REPLACES every other group
+        ua = "colly-spark/1.0"
+        assert not robots_allowed("http://x.test/only-for-colly", self.BODY, False, ua)
+        assert robots_allowed("http://x.test/for-colly-prefix", self.BODY, False, ua)
+        assert robots_allowed("http://x.test/for-everyone", self.BODY, False, ua)
+
+    def test_shorter_prefix_group(self):
+        ua = "colly/2.0"
+        assert not robots_allowed("http://x.test/for-colly-prefix", self.BODY, False, ua)
+        assert robots_allowed("http://x.test/only-for-colly", self.BODY, False, ua)
+
+    def test_unknown_agent_falls_back_to_star(self):
+        ua = "googlebot/2.1"
+        assert not robots_allowed("http://x.test/for-everyone", self.BODY, False, ua)
+        assert robots_allowed("http://x.test/only-for-colly", self.BODY, False, ua)
+
+    def test_multiple_agents_share_group(self):
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert not robots_allowed("http://t.test/x", body, False, "a/1.0")
+        assert not robots_allowed("http://t.test/x", body, False, "b/1.0")
+        assert robots_allowed("http://t.test/x", body, False, "c/1.0")
+
+    def test_rules_before_any_group_apply_to_all(self):
+        body = "Disallow: /x\n"
+        assert not robots_allowed("http://t.test/x", body, False, "anyone/1.0")
+
+
+class TestBaseTagKats:
+    """colly_test.go:905-951: <base href> rebinds relative resolution."""
+
+    def test_absolute_base(self):
+        html = ('<html><head><base href="http://xy.com/" /></head>'
+                '<body><a href="z">link</a></body></html>')
+        links, _ = extract_page("http://a.test/base", html, "text/html")
+        assert links == ["http://xy.com/z"]
+
+    def test_relative_base(self):
+        # /base_relative with base "sub/" resolves against the page URL
+        html = ('<html><head><base href="sub/" /></head>'
+                '<body><a href="z">link</a></body></html>')
+        links, _ = extract_page("http://a.test/base_relative", html, "text/html")
+        assert links == ["http://a.test/z"] or links == ["http://a.test/sub/z"]
+        # WHATWG: base 'sub/' against /base_relative → /sub/ ; href z → /sub/z
+        assert links == ["http://a.test/sub/z"]
+
+    def test_fragment_href_skipped(self):
+        html = '<a href="#frag">f</a><a href="/real">r</a>'
+        links, _ = extract_page("http://a.test/", html, "text/html")
+        assert links == ["http://a.test/real"]
+
+    def test_first_base_wins(self):
+        html = ('<base href="http://one.test/"><base href="http://two.test/">'
+                '<a href="z">l</a>')
+        links, _ = extract_page("http://a.test/", html, "text/html")
+        assert links == ["http://one.test/z"]
+
+
+class TestGzipCharsetKats:
+    def test_xml_gz_decode_and_ct_rewrite(self):
+        raw = b"<urlset><url><loc>http://x.test/p</loc></url></urlset>"
+        body, ct = decode_body("http://x.test/sitemap.xml.gz",
+                               gzip.compress(raw, mtime=0),
+                               "application/gzip", 1 << 20)
+        assert body == raw and ct == "application/xml"
+
+    def test_content_encoding_style_html(self):
+        raw = b"<html><body><a href='/x'>l</a></body></html>"
+        body, ct = decode_body("http://x.test/page", gzip.compress(raw, mtime=0),
+                               "text/html; charset=utf-8", 1 << 20)
+        assert body == raw and "html" in ct
+
+    def test_truncation_applies_to_decoded_bytes(self):
+        raw = b"A" * 1000
+        body, _ = decode_body("http://x.test/p.gz", gzip.compress(raw, mtime=0),
+                              "application/gzip", 100)
+        assert body == b"A" * 100
+
+    def test_corrupt_gzip_tolerated(self):
+        bad = b"\x1f\x8b" + b"corrupt"
+        body, _ = decode_body("http://x.test/p.gz", bad, "application/gzip", 1 << 20)
+        assert body == bad  # raw passthrough, no crash
+
+    def test_binary_not_decompressed_without_label(self):
+        data = b"\x1f\x8b\x00\x00payload"
+        body, ct = decode_body("http://x.test/blob.bin", data,
+                               "application/octet-stream", 1 << 20)
+        assert body == data and ct == "application/octet-stream"
+
+    def test_charset_from_content_type(self):
+        text = "caf\xe9"
+        assert decode_text(text.encode("iso-8859-1"),
+                           "text/html; charset=iso-8859-1") == text
+
+    def test_charset_sniffed_from_meta(self):
+        html = '<html><head><meta charset="iso-8859-1"></head><body>s\xfcd</body></html>'
+        assert decode_text(html.encode("iso-8859-1"), "text/html") == html
+
+    def test_utf8_default_with_replacement_fallback(self):
+        assert decode_text("héllo".encode(), "text/html") == "héllo"
+        garbled = decode_text(b"\xff\xfe\xfa", "text/html")
+        assert "�" in garbled
+
+    def test_latin1_link_extraction_end_to_end(self):
+        html = '<html><body><a href="/page/1">caf\xe9</a></body></html>'
+        links, _ = extract_page("http://d.test/latin1",
+                                html.encode("iso-8859-1"),
+                                "text/html; charset=iso-8859-1")
+        assert links == ["http://d.test/page/1"]
