@@ -615,6 +615,88 @@ FROM t
 """
 
 # ---------------------------------------------------------------------------
+# extraction engine (E1-E3): CSS unmarshal + XPath over synthesized HTML
+# ---------------------------------------------------------------------------
+
+def _doc_html_col():
+    """Deterministic per-doc HTML synthesized from safe columns —
+    extraction queries pull the values back out and the oracle states
+    the identities analytically."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit('<html><body><div class="meta"><span id="src">'), F.col("source"),
+        F.lit('</span><a href="/doc/'), F.col("doc_id"),
+        F.lit('" rel="canonical">x</a></div><ul><li>'), F.col("doc_id"),
+        F.lit("</li><li>"), F.col("source"),
+        F.lit("</li></ul></body></html>"))
+
+
+def q_unmarshal_fields(spark, sf_dir):
+    """E3 UnmarshalHTML analogue over the CSS engine (dom.py): HTML is
+    synthesized from document columns, the spec extracts them back
+    (compound selectors, child combinator, :first-child, attr, nested
+    struct, []string), and the oracle states the identities in SQL —
+    a full rows+schema+hash gate on the selector engine."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.unmarshal import extract_fields_udf
+
+    spec = [
+        {"field": "src", "selector": "#src"},
+        {"field": "link", "selector": "a[rel=canonical]", "attr": "href"},
+        {"field": "first_li", "selector": "ul > li:first-child"},
+        {"field": "items", "selector": "li", "many": True},
+        {"field": "meta", "selector": "div.meta",
+         "fields": [{"field": "s", "selector": "span"}]},
+    ]
+    d = _docs(spark, sf_dir).select("doc_id", _doc_html_col().alias("html"))
+    u = extract_fields_udf(spec)
+    return d.select(
+        "doc_id", u(F.col("html")).alias("_u")
+    ).select(
+        "doc_id", F.col("_u.src").alias("src"), F.col("_u.link").alias("link"),
+        F.col("_u.first_li").alias("first_li"),
+        F.concat_ws(",", F.col("_u.items")).alias("items"),
+        F.col("_u.meta.s").alias("nested_src"))
+
+
+_Q_UNMARSHAL_SQL = """
+SELECT doc_id, source AS src, '/doc/' || doc_id AS link,
+       doc_id::VARCHAR AS first_li,
+       doc_id || ',' || source AS items,
+       source AS nested_src
+FROM documents
+"""
+
+
+def q_xpath_links(spark, sf_dir):
+    """E2 OnXML-over-HTML (colly.go:1123-1182): XPath-lite rows over
+    the same synthesized HTML (@attr and text() terminals), exploded to
+    per-match rows like an OnXML callback sees them."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.extract import on_xml_udf
+
+    d = _docs(spark, sf_dir).select("doc_id", _doc_html_col().alias("html"))
+    u = on_xml_udf(["//a/@href", "//li/text()"])
+    return (d.select("doc_id", F.explode(u(F.col("html"))).alias("el"))
+             .select("doc_id", F.col("el.xpath").alias("xpath"),
+                     F.col("el.index").alias("idx"),
+                     F.col("el.text").alias("text")))
+
+
+_Q_XPATH_SQL = """
+SELECT doc_id, '//a/@href' AS xpath, 0 AS idx, '/doc/' || doc_id AS text
+FROM documents
+UNION ALL
+SELECT doc_id, '//li/text()', 0, doc_id::VARCHAR FROM documents
+UNION ALL
+SELECT doc_id, '//li/text()', 1, source FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # events / relational (scheduler metrics shapes)
 # ---------------------------------------------------------------------------
 
@@ -857,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "crawl_trace": q_crawl_trace,
         "image_decode": q_image_decode,
+        "unmarshal_fields": q_unmarshal_fields,
+        "xpath_links": q_xpath_links,
     }.items()}
 
 
@@ -891,4 +975,6 @@ def oracle_sql() -> dict[str, str]:
         # IS the oracle and DuckDB just reads it
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
+        "unmarshal_fields": _Q_UNMARSHAL_SQL,
+        "xpath_links": _Q_XPATH_SQL,
     }

@@ -36,7 +36,7 @@ QUERY_NAMES = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
     "cosine_topk", "ann_lsh", "token_stats", "langid", "quality_score",
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
-    "region_revenue", "image_decode",
+    "region_revenue", "image_decode", "unmarshal_fields", "xpath_links",
 ]
 
 

@@ -164,6 +164,81 @@ def extract_xml_links(page_url: str, body: bytes | str,
     return out
 
 
+def extract_elements(text: str, css_selectors: list[str]) -> list[dict]:
+    """E1 generic OnHTML surface (colly.go:1104-1119): for each
+    registered CSS selector, the matched elements in document order
+    with a running index — the rows an OnHTML callback would see."""
+    from colly_spark.operators.dom import parse_dom, select
+
+    root = parse_dom(text or "")
+    rows: list[dict] = []
+    for sel in css_selectors:
+        for idx, n in enumerate(select(root, sel)):
+            rows.append(dict(selector=sel, index=idx, tag=n.tag,
+                             text=n.text().strip(), attrs=dict(n.attrs)))
+    return rows
+
+
+def extract_xpath(text: str, xpaths: list[str]) -> list[dict]:
+    """E2 generic OnXML surface — XPath over HTML *and* XML documents
+    (colly.go:1123-1182 runs htmlquery on HTML docs and xmlquery on
+    xml ones; one DOM serves both here, namespace prefixes ignored)."""
+    from colly_spark.operators.dom import Node, parse_dom, xpath_lite
+
+    root = parse_dom(text or "")
+    rows: list[dict] = []
+    for xp in xpaths:
+        for idx, r in enumerate(xpath_lite(root, xp)):
+            if isinstance(r, Node):
+                rows.append(dict(xpath=xp, index=idx, tag=r.tag,
+                                 text=r.text().strip(), attrs=dict(r.attrs)))
+            else:
+                rows.append(dict(xpath=xp, index=idx, tag=None,
+                                 text=str(r).strip(), attrs={}))
+    return rows
+
+
+def _elements_schema(key_field: str):
+    from pyspark.sql.types import (ArrayType, IntegerType, MapType, StringType,
+                                   StructField, StructType)
+
+    return ArrayType(StructType([
+        StructField(key_field, StringType()),
+        StructField("index", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("text", StringType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+    ]))
+
+
+def on_html_udf(css_selectors: list[str]):
+    """Arrow-batched UDF: html → array<struct<selector,index,tag,text,
+    attrs>> — ``explode`` it for the per-element callback rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sels = list(css_selectors)
+
+    def _udf(htmls):
+        return pd.Series([extract_elements(h or "", sels) for h in htmls])
+
+    return F.pandas_udf(_udf, _elements_schema("selector"))
+
+
+def on_xml_udf(xpaths: list[str]):
+    """Arrow-batched UDF: document → array<struct<xpath,index,tag,text,
+    attrs>> (works on HTML and XML bodies alike)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    xps = list(xpaths)
+
+    def _udf(docs):
+        return pd.Series([extract_xpath(d or "", xps) for d in docs])
+
+    return F.pandas_udf(_udf, _elements_schema("xpath"))
+
+
 def extract_page(page_url: str, body: bytes | str, content_type: str | None):
     """Parse one page → (out_links, images) where
 
