@@ -157,6 +157,10 @@ class Simulator:
             next_seq += 1
         # admitted, awaiting fetch: (seq, canon, depth, host, method, referer)
         pending: list[tuple] = []
+        # cookie jar: host → {name: value}; Set-Cookie rows staged
+        # during a batch become visible the NEXT batch (concurrent
+        # requests in one politeness window don't see each other)
+        jar: dict[str, dict[str, str]] = {}
         batch = 0
         while (frontier or pending) and batch < max_batches:
             m = dict(batch=batch, submitted=len(frontier), admitted=0, fetched=0,
@@ -193,6 +197,7 @@ class Simulator:
             m["deferred"] = len(defer)
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
+            staged_cookies: list[tuple] = []
             for seq, canon, depth, host, method, referer in fetch_now:
                 # F9: abort after mark, before fetch — silent
                 # (colly.go:655-657 returns nil on abort)
@@ -203,7 +208,7 @@ class Simulator:
                 # and skips robots.
                 if self.cfg.check_head and method == "GET":
                     h_final, h_status, _h_row, h_err = self._fetch_with_redirects(
-                        canon, depth, "HEAD", res.seen)
+                        canon, depth, "HEAD", res.seen, jar, staged_cookies)
                     if h_err:
                         res.errors.append((canon, h_err))
                         m["errors"] += 1
@@ -212,7 +217,7 @@ class Simulator:
                                       hostname(h_final), h_status, "HEAD", referer))
                     m["fetched"] += 1
                 final_url, status, row, err = self._fetch_with_redirects(
-                    canon, depth, method, res.seen
+                    canon, depth, method, res.seen, jar, staged_cookies
                 )
                 if err:
                     res.errors.append((canon, err))
@@ -257,16 +262,30 @@ class Simulator:
                 next_seq += 1
                 kept += 1
             m["new_links"] = kept
+            # commit staged Set-Cookie rows — visible from next batch
+            for chost, cname, cval in staged_cookies:
+                jar.setdefault(chost, {})[cname] = cval
             res.metrics.append(m)
             batch += 1
         return res
 
-    def _fetch_with_redirects(self, canon, depth, method, seen):
+    def _cookie_block(self, row, current, jar):
+        """True when the page requires a cookie the jar doesn't hold
+        (terminal 403 — matches the engine's cookie gate per hop)."""
+        req = getattr(row, "require_cookie", None)
+        if not isinstance(req, str) or not req:
+            return False
+        name, _, val = req.partition("=")
+        return jar.get(hostname(current), {}).get(name) != val
+
+    def _fetch_with_redirects(self, canon, depth, method, seen, jar, staged):
         """Returns (final_url, status, corpus_row, err)."""
         current = canon
         row = self.pages.get(current)
         if row is None:
             return current, 0, None, cfgmod.ERR_MISSING
+        if self._cookie_block(row, current, jar):
+            return current, 403, None, None
         hops = 0
         while (self.cfg.follow_redirects
                and row.status in (301, 302, 303, 307, 308) and row.redirect_to):
@@ -284,4 +303,10 @@ class Simulator:
             row = self.pages.get(current)
             if row is None:
                 return current, 0, None, cfgmod.ERR_MISSING
+            if self._cookie_block(row, current, jar):
+                return current, 403, None, None
+        sc = getattr(row, "set_cookie", None)
+        if isinstance(sc, str) and sc:
+            name, _, val = sc.partition("=")
+            staged.append((hostname(current), name, val))
         return current, int(row.status), row, None

@@ -201,6 +201,12 @@ class Crawler:
         # Iceberg table and the scan prunes to the probe's buckets)
         self._visited_paths: list = []
         self._cache_paths: list = []
+        # cookie jar (cookiejar.go:23-60 analogue): per-host cookie
+        # deltas committed per batch; a cookie set in batch N is
+        # visible to fetches from batch N+1 on (concurrent requests in
+        # one politeness window don't see each other's Set-Cookie)
+        self._cookie_paths: list = []
+        self._has_cookies = "set_cookie" in corpus["pages"].columns
         self._visited_rows = 0
         self._bloom_threshold = bloom_threshold_rows
         self._bloom_active = bloom_threshold_rows <= 0
@@ -331,6 +337,43 @@ class Crawler:
         w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
+    def _cookie_jar(self):
+        """Latest (c_host, c_name) → c_value from the committed cookie
+        deltas (strictly earlier batches). None when no cookies exist."""
+        from pyspark.sql import Window, functions as F
+
+        if not self._cookie_paths:
+            return None
+        df = self.spark.read.parquet(*self._cookie_paths)
+        w = Window.partitionBy("c_host", "c_name").orderBy(F.col("c_batch").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "c_batch"))
+
+    def _apply_cookie_gate(self, hit, jar):
+        """Rows whose page requires a cookie the jar doesn't hold become
+        terminal 403s (no body, no redirect, no Set-Cookie)."""
+        from pyspark.sql import functions as F
+
+        host = F.regexp_extract(F.col("cur"), "^[a-z]+://([^/]+)", 1)
+        req_name = F.substring_index(F.col("require_cookie"), "=", 1)
+        req_val = F.expr(
+            "substring(require_cookie, instr(require_cookie, '=') + 1)")
+        if jar is not None:
+            j = F.broadcast(jar)
+            hit = hit.join(
+                j, (host == j["c_host"]) & (req_name == j["c_name"]), "left")
+            ok = F.col("require_cookie").isNull() | (F.col("c_value") == req_val)
+            hit = hit.withColumn("_cookie_ok", ok).drop("c_host", "c_name", "c_value")
+        else:
+            hit = hit.withColumn("_cookie_ok", F.col("require_cookie").isNull())
+        ok = F.col("_cookie_ok")
+        return (hit
+                .withColumn("status", F.when(ok, F.col("status")).otherwise(F.lit(403)))
+                .withColumn("body", F.when(ok, F.col("body")))
+                .withColumn("redirect_to", F.when(ok, F.col("redirect_to")))
+                .withColumn("set_cookie", F.when(ok, F.col("set_cookie")))
+                .drop("_cookie_ok"))
+
     # ---- admission + quota (phase 1+2, one checkpoint) -----------------
     def _admit(self, frontier_df, pending_df, batch: int):
         """requestCheck over new frontier rows, FUSED with the
@@ -447,9 +490,16 @@ class Crawler:
         body column pruned by the columnar cache."""
         from pyspark.sql import functions as F
 
-        pages = self.pages.select(
+        page_cols = [
             F.col("url").alias("_purl"), F.col("status"), F.col("content_type"),
-            F.col("body"), F.col("redirect_to"), F.col("image_id"))
+            F.col("body"), F.col("redirect_to"), F.col("image_id")]
+        if self._has_cookies:
+            page_cols += [F.col("set_cookie"), F.col("require_cookie")]
+        else:
+            page_cols += [F.lit(None).cast("string").alias("set_cookie"),
+                          F.lit(None).cast("string").alias("require_cookie")]
+        pages = self.pages.select(*page_cols)
+        jar = self._cookie_jar() if self._has_cookies else None
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
             "depth", "method", F.col("url_hash").alias("req_hash"), "referer")
@@ -469,6 +519,8 @@ class Crawler:
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))
             hit = joined.filter(F.col("_purl").isNotNull()).drop("_purl")
+            if self._has_cookies:
+                hit = self._apply_cookie_gate(hit, jar)
             # D3 FollowRedirects=false: the 3xx IS the final response —
             # its target is never filtered, marked, or fetched
             # (config.go:47, colly.go:252-258)
@@ -480,7 +532,8 @@ class Crawler:
             finals = hit.filter(~is_redirect)
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
-                "status", "content_type", "body", "image_id", "req_hash", "referer")))
+                "status", "content_type", "body", "image_id", "req_hash", "referer",
+                "set_cookie")))
             if not self.cfg.follow_redirects:
                 break
             redir = hit.filter(is_redirect).persist()
@@ -565,6 +618,7 @@ class Crawler:
             StructField("req_hash", LongType()),
             StructField("from_cache", BooleanType()),
             StructField("referer", StringType()),
+            StructField("set_cookie", StringType()),
         ])
 
         max_body = self.cfg.max_body_size
@@ -596,7 +650,7 @@ class Crawler:
                     "content_type": pdf["content_type"], "image_id": pdf["image_id"],
                     "links": links_col, "imgs": imgs_col, "img_body": img_body,
                     "req_hash": pdf["req_hash"], "from_cache": False,
-                    "referer": pdf["referer"],
+                    "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
                 })
 
         return done_raw.mapInPandas(_parse, schema=out_schema)
@@ -668,6 +722,8 @@ class Crawler:
             _glob.glob(os.path.join(self.state, "out", "visited", "batch_*")))
         self._cache_paths = sorted(
             _glob.glob(os.path.join(self.state, "out", "cache", "batch_*")))
+        self._cookie_paths = sorted(
+            _glob.glob(os.path.join(self.state, "out", "cookies", "batch_*")))
         self._visited_rows = sum(_parquet_rows(p) for p in self._visited_paths)
         # Bloom = pure function of the visited set → rebuild (deployment:
         # Iceberg-snapshot the segments instead)
@@ -783,7 +839,10 @@ class Crawler:
                 F.col("c_links").alias("links"), F.col("c_imgs").alias("imgs"),
                 F.col("c_img_body").alias("img_body"),
                 F.col("url_hash").alias("req_hash"),
-                F.lit(True).alias("from_cache"), "referer")
+                F.lit(True).alias("from_cache"), "referer",
+                # replayed cache hits never re-set cookies (the jar
+                # lives at the HTTP layer; cache hits bypass Do())
+                F.lit(None).cast("string").alias("set_cookie"))
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
@@ -825,6 +884,18 @@ class Crawler:
                 F.lit(batch).alias("c_created"),
             ).write.mode("overwrite").parquet(cache_dir)
             self._cache_paths.append(cache_dir)
+        if self._has_cookies:
+            # commit this batch's Set-Cookie rows — visible from the
+            # next batch on (cookiejar.go:23-60; cache replays excluded)
+            ck_dir = os.path.join(self.state, "out", "cookies", f"batch_{batch:06d}")
+            done.filter(F.col("set_cookie").isNotNull() & ~F.col("from_cache")).select(
+                F.regexp_extract("final_url", "^[a-z]+://([^/]+)", 1).alias("c_host"),
+                F.substring_index("set_cookie", "=", 1).alias("c_name"),
+                F.expr("substring(set_cookie, instr(set_cookie, '=') + 1)").alias("c_value"),
+                F.lit(batch).alias("c_batch"),
+            ).dropDuplicates(["c_host", "c_name", "c_value"]) \
+             .write.mode("overwrite").parquet(ck_dir)
+            self._cookie_paths.append(ck_dir)
         # X6 http-trace plumbing (http_trace.go:9-37): per-request
         # connect/first-byte timings. No network here → deterministic
         # synthetic latencies derived from the request hash (the column

@@ -92,6 +92,8 @@ def to_spark_corpus(spark, tables: dict) -> dict:
             StructField("image_id", StringType()),
             StructField("links", ArrayType(StringType())),
             StructField("depth_from_seed", IntegerType()),
+            StructField("set_cookie", StringType()),
+            StructField("require_cookie", StringType()),
         ]),
         "robots": StructType([
             StructField("host", StringType()),

@@ -117,7 +117,8 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
     pages_rows: list[dict] = []
     img_idx = 0
 
-    def add_page(url, status, ctype, body, redirect_to=None, image_id=None, links=None, depth=0):
+    def add_page(url, status, ctype, body, redirect_to=None, image_id=None,
+                 links=None, depth=0, set_cookie=None, require_cookie=None):
         pages_rows.append(
             dict(
                 url=url,
@@ -128,6 +129,8 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 image_id=image_id,
                 links=links or [],
                 depth_from_seed=np.int32(depth),
+                set_cookie=set_cookie,
+                require_cookie=require_cookie,
             )
         )
 
@@ -172,6 +175,7 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 hrefs.append("/sitemap.xml.gz")  # X2 gzip decode path
                 hrefs.append("/latin1")       # X3 charset from Content-Type
                 hrefs.append("/latin1meta")   # X3 charset sniffed from <meta>
+                hrefs.append("/login")        # cookie jar: Set-Cookie route
 
             # image embeds
             img_tags = []
@@ -237,6 +241,17 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         add_page(f"http://{host}/latin1meta", 200, "text/html",
                  meta_html.encode("iso-8859-1"),
                  links=[urlnorm.resolve(f"http://{host}/latin1meta", "/page/2")])
+        # cookie jar routes (cookiejar.go:23-60 analogue): /login sets a
+        # per-host session cookie and links /account, which requires it.
+        # /account is reachable with 200 only after /login's response
+        # committed the cookie (a strictly earlier micro-batch).
+        add_page(f"http://{host}/login", 200, "text/html; charset=utf-8",
+                 '<html><body><a href="/account">account</a></body></html>',
+                 links=[urlnorm.resolve(f"http://{host}/login", "/account")],
+                 set_cookie=f"sid=tok-{host}")
+        add_page(f"http://{host}/account", 200, "text/html; charset=utf-8",
+                 "<html><body>welcome back</body></html>",
+                 require_cookie=f"sid=tok-{host}")
         # base-tag page (colly_test.go /base)
         base_body = (
             '<html><head><base href="http://xy.test/sub/" /></head>'

@@ -158,6 +158,12 @@ SCENARIOS = {
                         url_filters=(r"/$", r"latin1", r"sitemap\.xml\.gz", r"/page/",)),
         seeds=["http://d00.test/"],
     ),
+    # cookie jar: /login sets sid → /account (depth 3, next batch)
+    # succeeds; a directly-seeded /account with an empty jar gets 403
+    "cookies": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True),
+        seeds=["http://d00.test/", "http://d02.test/account"],
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(
