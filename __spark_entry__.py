@@ -864,7 +864,7 @@ def q_image_decode(spark, sf_dir):
 
 _Q_CRAWL_TRACE_SQL = f"""
 SELECT batch, seq, url, final_url, depth, host, status, method, referer,
-       connect_ms, ttfb_ms
+       connect_ms, ttfb_ms, ua, proxy
 FROM '{_REPO}/golden/crawl_trace.parquet'
 """
 

@@ -86,6 +86,18 @@ class CrawlConfig:
     allow_url_revisit: bool = False
     ignore_robots: bool = True
     user_agent: str = "colly-spark/1.0"
+    # RandomUserAgent extension (extensions/random_user_agent.go:24-29):
+    # non-empty pool → per-request UA chosen deterministically from the
+    # request hash (the engine's seeded stand-in for "random"); the
+    # chosen UA drives robots UA-group selection per request. Empty →
+    # the fixed user_agent above.
+    user_agents: tuple = ()
+    # ProxyFunc seam (proxy/proxy.go:27-58 round-robin switcher,
+    # per-request proxy recorded in ctx colly.go:682-684): non-empty →
+    # proxy = proxies[seq % len], recorded in the trace. No network in
+    # the sandbox, so this is the ctx/bookkeeping seam the fetch UDF
+    # inherits at deployment.
+    proxies: tuple = ()
     max_body_size: int = 10 * 1024 * 1024
     max_redirects: int = 10
     # D3 FollowRedirects=false (config.go:47, env colly.go:252-258):
@@ -98,6 +110,25 @@ class CrawlConfig:
     service_time_ms: int = 20
     limit_rules: tuple = field(default_factory=tuple)  # tuple[LimitRule]
     seed: int = 42  # drives deterministic pseudo-random delay
+
+    def pick_user_agent(self, req_hash_signed: int) -> str:
+        """Per-request UA from the pool, keyed on the request hash —
+        reproduces the engine's JVM expression exactly: Java's wrapping
+        int64 add of the seed, then pmod by the pool size."""
+        if not self.user_agents:
+            return self.user_agent
+        x = req_hash_signed + self.seed
+        if x > (1 << 63) - 1:
+            x -= 1 << 64
+        elif x < -(1 << 63):
+            x += 1 << 64
+        return self.user_agents[x % len(self.user_agents)]
+
+    def pick_proxy(self, seq: int) -> str | None:
+        """Round-robin proxy per submission seq (proxy.go:27-58)."""
+        if not self.proxies:
+            return None
+        return self.proxies[seq % len(self.proxies)]
 
     def matching_rule(self, host: str) -> LimitRule | None:
         """First-match-wins over priority-ordered rules

@@ -142,20 +142,22 @@ def robots_allowed(canon_url: str, robots_body: str | None, fetch_error: bool,
                    path_query_of(canon_url))
 
 
-def robots_allowed_udf(user_agent: str = "*"):
-    """Vectorized pandas UDF: (canon_url, robots_body, fetch_error) →
-    bool. robots_body arrives via broadcast join on host; the UA is a
-    per-crawl constant captured in the closure."""
+def robots_allowed_udf():
+    """Vectorized pandas UDF: (canon_url, robots_body, fetch_error,
+    user_agent) → bool. robots_body arrives via broadcast join on
+    host; the UA is a per-ROW column (a constant lit for a fixed UA,
+    or the RandomUserAgent pick — each request's UA selects its own
+    robots group, colly.go:792-827)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
-    def _udf(urls, bodies, errors):
+    def _udf(urls, bodies, errors, uas):
         return pd.Series(
             [
                 robots_allowed(u, b if isinstance(b, str) else None,
-                               bool(e) if e is not None else False, user_agent)
-                for u, b, e in zip(urls, bodies, errors)
+                               bool(e) if e is not None else False, ua or "*")
+                for u, b, e, ua in zip(urls, bodies, errors, uas)
             ]
         )
 

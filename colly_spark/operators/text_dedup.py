@@ -236,11 +236,10 @@ def simhash_udf(seed: int = 42):
             hv = fnv64a_batch(toks).view(np.uint64)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sh.astype(np.int64))
+            # bit b of the result ⇔ votes[b] > 0 — packbits(little)
+            # assembles the word in one vector op (no per-bit loop)
+            word = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
+            out[i] = np.int64(word.astype(np.int64))
         return pd.Series(out)
 
     return F.pandas_udf(_simhash, LongType())

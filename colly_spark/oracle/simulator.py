@@ -112,22 +112,29 @@ class Simulator:
             return cfgmod.ERR_FORBIDDEN_DOMAIN
         return None
 
-    def _check_robots(self, canon: str, host: str, method: str) -> str | None:
+    @staticmethod
+    def _signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def _check_robots(self, canon: str, host: str, method: str,
+                      ua: str) -> str | None:
         if method == "HEAD" or self.cfg.ignore_robots:
             return None
         body, fetch_error = self.robots.get(host, (None, False))
-        if not robotsmod.robots_allowed(canon, body, fetch_error,
-                                        self.cfg.user_agent):
+        if not robotsmod.robots_allowed(canon, body, fetch_error, ua):
             return cfgmod.ERR_ROBOTS
         return None
 
     def _admit(self, canon, host, depth, method, body, seen) -> str | None:
         """Full requestCheck. Returns error kind or None (admitted).
-        Mutates ``seen`` (check-and-mark)."""
+        Mutates ``seen`` (check-and-mark). The per-request UA (random-
+        UA pool) is derived from this request's own hash — redirect
+        targets re-derive from the target hash, like the engine."""
         err = self._check_filters(canon, host, depth)
         if err:
             return err
-        err = self._check_robots(canon, host, method)
+        ua = self.cfg.pick_user_agent(self._signed(request_hash(canon, body)))
+        err = self._check_robots(canon, host, method, ua)
         if err:
             return err
         if not self.cfg.allow_url_revisit:
@@ -178,7 +185,8 @@ class Simulator:
                     res.errors.append((canon, err))
                     m["errors"] += 1
                     continue
-                pending.append((seq, canon, depth, host, method, referer))
+                pending.append((seq, canon, depth, host, method, referer,
+                                request_hash(canon, body)))
                 m["admitted"] += 1
             frontier = []
             # 2. politeness: per-domain quota by seq order
@@ -198,7 +206,9 @@ class Simulator:
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
             staged_cookies: list[tuple] = []
-            for seq, canon, depth, host, method, referer in fetch_now:
+            for seq, canon, depth, host, method, referer, rhash in fetch_now:
+                ua = self.cfg.pick_user_agent(self._signed(rhash))
+                proxy = self.cfg.pick_proxy(seq)
                 # F9: abort after mark, before fetch — silent
                 # (colly.go:655-657 returns nil on abort)
                 if self._abort_res and any(r.search(canon) for r in self._abort_res):
@@ -214,7 +224,8 @@ class Simulator:
                         m["errors"] += 1
                         continue
                     res.trace.append((batch, seq, canon, h_final, depth,
-                                      hostname(h_final), h_status, "HEAD", referer))
+                                      hostname(h_final), h_status, "HEAD",
+                                      referer, ua, proxy))
                     m["fetched"] += 1
                 final_url, status, row, err = self._fetch_with_redirects(
                     canon, depth, method, res.seen, jar, staged_cookies
@@ -224,7 +235,8 @@ class Simulator:
                     m["errors"] += 1
                     continue
                 res.trace.append((batch, seq, canon, final_url, depth,
-                                  hostname(final_url), status, method, referer))
+                                  hostname(final_url), status, method,
+                                  referer, ua, proxy))
                 m["fetched"] += 1
                 if status >= 203 or method == "HEAD":
                     if status >= 400:

@@ -116,6 +116,8 @@ def _schemas():
         StructField("referer", StringType()),
         StructField("connect_ms", DoubleType()),
         StructField("ttfb_ms", DoubleType()),
+        StructField("ua", StringType()),
+        StructField("proxy", StringType()),
     ])
     images = StructType([
         StructField("batch", IntegerType()),
@@ -208,6 +210,7 @@ class Crawler:
         self._cookie_paths: list = []
         self._has_cookies = "set_cookie" in corpus["pages"].columns
         self._visited_rows = 0
+        self._cache_rows = 0
         self._bloom_threshold = bloom_threshold_rows
         self._bloom_active = bloom_threshold_rows <= 0
         self._filters = self._compile_filters()
@@ -225,10 +228,24 @@ class Crawler:
 
         return err_expr
 
+    def _ua_expr(self):
+        """Per-request UserAgent column (RandomUserAgent analogue):
+        pool[pmod(url_hash + seed, n)] — JVM-side, deterministic, and
+        reproduced exactly by CrawlConfig.pick_user_agent."""
+        from pyspark.sql import functions as F
+
+        pool = self.cfg.user_agents
+        if not pool:
+            return F.lit(self.cfg.user_agent)
+        arr = F.array(*[F.lit(u) for u in pool])
+        idx = F.pmod(F.col("url_hash") + F.lit(self.cfg.seed), F.lit(len(pool)))
+        return F.element_at(arr, (idx + 1).cast("int"))
+
     def _robots_gate(self, df, url_col="canon_url"):
         """Append robots_ok:boolean. Broadcast join (robots table is
-        per-host — tiny) + vectorized matcher UDF. HEAD skips robots
-        (colly.go:723); IgnoreRobotsTxt short-circuits entirely."""
+        per-host — tiny) + vectorized matcher UDF keyed by the
+        per-request UA. HEAD skips robots (colly.go:723);
+        IgnoreRobotsTxt short-circuits entirely."""
         from pyspark.sql import functions as F
 
         if self.cfg.ignore_robots:
@@ -237,8 +254,8 @@ class Crawler:
             F.col("host").alias("_rhost"), F.col("body").alias("_rbody"),
             F.col("fetch_error").alias("_rerr")))
         df = df.join(r, df["host"] == r["_rhost"], "left")
-        ok = robots_allowed_udf(self.cfg.user_agent)(
-            F.col(url_col), F.col("_rbody"), F.col("_rerr"))
+        ok = robots_allowed_udf()(
+            F.col(url_col), F.col("_rbody"), F.col("_rerr"), self._ua_expr())
         return (df.withColumn("robots_ok", (F.col("method") == "HEAD") | ok)
                   .drop("_rhost", "_rbody", "_rerr"))
 
@@ -330,6 +347,7 @@ class Crawler:
 
         if not self.cfg.cache_enabled or not self._cache_paths:
             return None
+        self._cache_rows = sum(_parquet_rows(p) for p in self._cache_paths)
         df = self.spark.read.parquet(*self._cache_paths)
         ttl = self.cfg.cache_ttl_batches
         if ttl > 0:
@@ -826,8 +844,11 @@ class Crawler:
         cache_hits_done = None
         cache = self._cache_latest(batch)
         if cache is not None:
+            # broadcast decision keyed on the CACHE's own row count
+            # (its rows carry c_links/c_imgs/c_img_body — heavy), not
+            # the visited count, which is a different table entirely
             probe = fetch_now.join(
-                F.broadcast(cache) if self._visited_rows < 5_000_000 else cache,
+                F.broadcast(cache) if self._cache_rows < 2_000_000 else cache,
                 (fetch_now["url_hash"] == cache["c_hash"])
                 & (fetch_now["method"] == "GET"), "left")
             cache_hits_done = probe.filter(F.col("c_hash").isNotNull()).select(
@@ -900,12 +921,24 @@ class Crawler:
         # connect/first-byte timings. No network here → deterministic
         # synthetic latencies derived from the request hash (the column
         # shape and metrics rollup are what deployment inherits).
+        if self.cfg.proxies:
+            parr = F.array(*[F.lit(p) for p in self.cfg.proxies])
+            proxy_expr = F.element_at(
+                parr, (F.pmod(F.col("seq"), F.lit(len(self.cfg.proxies))) + 1).cast("int"))
+        else:
+            proxy_expr = F.lit(None).cast("string")
+        ua_trace = self._ua_expr() if not self.cfg.user_agents else (
+            F.element_at(
+                F.array(*[F.lit(u) for u in self.cfg.user_agents]),
+                (F.pmod(F.col("req_hash") + F.lit(self.cfg.seed),
+                        F.lit(len(self.cfg.user_agents))) + 1).cast("int")))
         trace = done.select(
             F.lit(batch).alias("batch"), "seq", "url", "final_url", "depth",
             hostname_udf(F.col("final_url")).alias("host"), "status", "method",
             "referer",
             (F.pmod(F.col("req_hash"), F.lit(97)).cast("double") / 10.0 + 1.0).alias("connect_ms"),
-            (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"))
+            (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"),
+            ua_trace.alias("ua"), proxy_expr.alias("proxy"))
         m["fetched"] = done.count()
         _lap("t_fetch")
         # http status errors (recorded, not counted in m["errors"] —

@@ -51,18 +51,21 @@ def make_crawl_trace() -> None:
     res = Simulator(corpus, cfg).run(["http://d00.test/", "http://d01.test/"])
 
     rows = []
-    for batch, seq, url, final_url, depth, host, status, method, referer in res.trace:
+    for (batch, seq, url, final_url, depth, host, status, method, referer,
+         ua, proxy) in res.trace:
         h = _signed(request_hash(url, None))
         rows.append(dict(
             batch=batch, seq=seq, url=url, final_url=final_url, depth=depth,
             host=host, status=status, method=method, referer=referer,
             connect_ms=(h % 97) / 10.0 + 1.0,
-            ttfb_ms=(h % 331) / 10.0 + 5.0))
+            ttfb_ms=(h % 331) / 10.0 + 5.0,
+            ua=ua, proxy=proxy))
     schema = pa.schema([
         ("batch", pa.int32()), ("seq", pa.int64()), ("url", pa.string()),
         ("final_url", pa.string()), ("depth", pa.int32()), ("host", pa.string()),
         ("status", pa.int32()), ("method", pa.string()), ("referer", pa.string()),
         ("connect_ms", pa.float64()), ("ttfb_ms", pa.float64()),
+        ("ua", pa.string()), ("proxy", pa.string()),
     ])
     tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
                                preserve_index=False)

@@ -11,8 +11,11 @@ machine (driver instruction). Protocol per level:
      first-run wall time is ~2x warm and pure noise),
   3. one measured drain; report submitted URLs / wall seconds.
 
-Usage: python scripts/scaling_bench.py <cpus> [n_pages] [n_seeds]
-Prints one JSON line.
+Usage: python scripts/scaling_bench.py <cpus> [n_pages] [n_seeds] [repeats]
+Prints one JSON line (per-repeat walls + median). Run under
+``taskset -c 0-{cpus-1}`` for a CPU-pinned measurement (the JVM and
+every Python worker inherit the affinity mask) — see
+scripts/scaling_evidence.py for the pinned 2-level protocol.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -29,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 N_PAGES = int(sys.argv[2]) if len(sys.argv) > 2 else 3_200_000
 N_SEEDS = int(sys.argv[3]) if len(sys.argv) > 3 else 160_000
+REPEATS = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 
 def drain(spark, n_pages, n_seeds):
@@ -65,9 +70,12 @@ def main():
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
     warm = drain(spark, max(N_PAGES // 8, 10000), max(N_SEEDS // 8, 1000))
-    measured = drain(spark, N_PAGES, N_SEEDS)
+    runs = [drain(spark, N_PAGES, N_SEEDS) for _ in range(REPEATS)]
+    med = statistics.median(r["urls_per_sec"] for r in runs)
     print(json.dumps(dict(cpus=CPUS, n_pages=N_PAGES, n_seeds=N_SEEDS,
-                          warmup=warm, measured=measured)))
+                          warmup=warm, runs=runs,
+                          median_urls_per_sec=round(med, 1),
+                          affinity_cpus=len(os.sched_getaffinity(0)))))
     spark.stop()
 
 

@@ -158,6 +158,16 @@ SCENARIOS = {
                         url_filters=(r"/$", r"latin1", r"sitemap\.xml\.gz", r"/page/",)),
         seeds=["http://d00.test/"],
     ),
+    # RandomUserAgent pool + proxy switcher: per-request UA drives
+    # per-request robots UA-group selection on d01; round-robin proxy
+    # recorded in the trace ctx
+    "random_ua": dict(
+        cfg=CrawlConfig(
+            max_depth=3, ignore_robots=False,
+            user_agents=("colly-spark/2.0", "googlebot/2.1"),
+            proxies=("http://proxy0:8080", "http://proxy1:8080")),
+        seeds=["http://d01.test/", "http://d00.test/"],
+    ),
     # cookie jar: /login sets sid → /account (depth 3, next batch)
     # succeeds; a directly-seeded /account with an empty jar gets 403
     "cookies": dict(
@@ -202,11 +212,12 @@ def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
     eng_m = [(m["batch"], m["fetched"], m["new_links"]) for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
 
-    # 6. ctx propagation (Referer, extensions/referer.go): each fetched
-    #    request carries its discovering page
-    sim_ref = {(t[1], t[8]) for t in sim.trace}
-    eng_ref = {(r["seq"], r["referer"]) for r in eng.trace().collect()}
-    assert eng_ref == sim_ref, "referer ctx mismatch"
+    # 6. ctx propagation: referer (extensions/referer.go), per-request
+    #    UA (RandomUserAgent pool), round-robin proxy (proxy.go:27-58)
+    sim_ref = {(t[1], t[8], t[9], t[10]) for t in sim.trace}
+    eng_ref = {(r["seq"], r["referer"], r["ua"], r["proxy"])
+               for r in eng.trace().collect()}
+    assert eng_ref == sim_ref, "referer/ua/proxy ctx mismatch"
 
 
 def test_images_validated(spark, corpus_pd, corpus_spark, tmp_state):
