@@ -78,9 +78,18 @@ def drain_bench(spark) -> dict:
     from colly_spark.plans.bench_corpus import bench_corpus, bench_seeds
     from colly_spark.plans.crawler import Crawler
 
-    corpus = bench_corpus(spark, N_PAGES, heavy=True)
     cfg = CrawlConfig(max_depth=3, ignore_robots=True)  # quota unbounded
     state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # warm-up drain (JIT/codegen + Python-worker spin-up): cold first
+    # runs are ~1.5-2x slower and pure noise
+    warm_state = tempfile.mkdtemp(prefix="colly_bench_warm_", dir=state_root)
+    try:
+        warm_corpus = bench_corpus(spark, max(N_PAGES // 8, 10_000), heavy=True)
+        Crawler(spark, warm_corpus, cfg, warm_state).run(
+            bench_seeds(max(N_SEEDS // 8, 1_000)), max_batches=10)
+    finally:
+        shutil.rmtree(warm_state, ignore_errors=True)
+    corpus = bench_corpus(spark, N_PAGES, heavy=True)
     state = tempfile.mkdtemp(prefix="colly_bench_", dir=state_root)
     try:
         crawler = Crawler(spark, corpus, cfg, state)

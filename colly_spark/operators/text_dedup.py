@@ -113,19 +113,27 @@ def lsh_bucket_keys_udf(n_hashes: int = 64, bands: int = 16,
     rows = n_hashes // bands
 
     def _keys(texts):
-        out = []
+        # two passes: per-doc signature (vectorized over shingles ×
+        # hashes), then ONE fnv sweep over every band key in the Arrow
+        # batch (a per-row fnv call pays numpy setup cost ~16× per doc)
+        starts: list = []
+        all_keys: list = []
         for t in texts:
             sh = shingles_py(t or "", shingle_k)
             if not sh:
-                out.append(None)
+                starts.append(None)
                 continue
             x = fnv64a_batch(sh).view(np.uint64) % np.uint64(_MERSENNE61)
             with np.errstate(over="ignore"):
                 hv = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
             sig = hv.min(axis=0).astype(np.int64)
-            keys = [",".join(str(int(v)) for v in sig[band * rows:(band + 1) * rows])
-                    for band in range(bands)]
-            out.append(fnv64a_batch(keys).view(np.int64).tolist())
+            starts.append(len(all_keys))
+            all_keys.extend(
+                ",".join(str(int(v)) for v in sig[band * rows:(band + 1) * rows])
+                for band in range(bands))
+        hashed = (fnv64a_batch(all_keys).view(np.int64)
+                  if all_keys else np.zeros(0, dtype=np.int64))
+        out = [None if s is None else hashed[s:s + bands].tolist() for s in starts]
         return pd.Series(out)
 
     return F.pandas_udf(_keys, ArrayType(LongType()))

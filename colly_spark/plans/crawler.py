@@ -132,6 +132,21 @@ def _schemas():
                 error=error, trace=trace, images=images)
 
 
+def _count_nonhttp_errors(errors_dir: str) -> int:
+    """Driver-side count over the written error files (one thin column
+    via pyarrow — replaces a whole Spark count job re-executing the
+    fetch-error plan)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in _glob.glob(os.path.join(errors_dir, "*.parquet")):
+        kind = pq.read_table(f, columns=["kind"]).column("kind").to_pylist()
+        n += sum(1 for k in kind if k is not None and not k.startswith("http_"))
+    return n
+
+
 @dataclass
 class CrawlHandles:
     """Lazy readers over the crawl's sink directories."""
@@ -477,9 +492,22 @@ class Crawler:
             F.lit(None).cast("string").alias("referer"),
             F.lit(False).alias("_new"), F.lit(False).alias("_fetch_now"),
             "kind", F.col("url").alias("err_url"),
-        )).localCheckpoint(eager=True)
+        ))
+        # the admitted/deferred metrics ride the checkpoint job itself
+        # (Observation) — no separate count job
+        from pyspark.sql import Observation
+        obs = Observation(f"admit_{batch}")
+        combined = combined.observe(
+            obs,
+            F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("admitted"),
+            F.sum(F.when(F.col("kind").isNull() & ~F.col("_fetch_now"), 1)
+                  .otherwise(0)).alias("deferred"),
+            F.sum(F.when(F.col("needs_mark"), 1).otherwise(0)).alias("marks"),
+        ).localCheckpoint(eager=True)
+        counts = obs.get
         ok_rows = combined.filter(F.col("kind").isNull())
-        self._commit_marks(ok_rows, batch, "admit")
+        if int(counts["marks"] or 0) > 0:
+            self._commit_marks(ok_rows, batch, "admit")
         pend_cols = ["seq", "canon_url", "host", "depth", "method",
                      "url_hash", "referer"]
         fetch_now = ok_rows.filter(F.col("_fetch_now")).select(pend_cols)
@@ -487,12 +515,6 @@ class Crawler:
         err_out = combined.filter(F.col("kind").isNotNull()).select(
             F.lit(batch).alias("batch"), "seq",
             F.col("err_url").alias("url"), "kind")
-        # admitted (new rows passing every check) + deferred in ONE job
-        counts = combined.agg(
-            F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("admitted"),
-            F.sum(F.when(F.col("kind").isNull() & ~F.col("_fetch_now"), 1)
-                  .otherwise(0)).alias("deferred"),
-        ).collect()[0]
         return fetch_now, deferred, err_out, dict(
             admitted=int(counts["admitted"] or 0),
             deferred=int(counts["deferred"] or 0))
@@ -886,9 +908,16 @@ class Crawler:
             done, fetch_errors = self._fetch(fetch_now_eff, batch)
         if cache_hits_done is not None:
             done = done.unionByName(cache_hits_done)
-        done = done.localCheckpoint(eager=True)
+        # fetched/cache-hit counts ride the checkpoint job (Observation)
+        from pyspark.sql import Observation
+        done_obs = Observation(f"done_{batch}")
+        done = done.observe(
+            done_obs, F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.when(F.col("from_cache"), 1).otherwise(0)).alias("cache_hits"),
+        ).localCheckpoint(eager=True)
+        done_counts = done_obs.get
         if self.cfg.cache_enabled:
-            m["cache_hits"] = done.filter(F.col("from_cache")).count()
+            m["cache_hits"] = int(done_counts["cache_hits"] or 0)
             # store: GET, never 5xx, fresh fetches only
             to_store = done.filter(
                 (F.col("method") == "GET") & (F.col("status") < 500)
@@ -939,7 +968,7 @@ class Crawler:
             (F.pmod(F.col("req_hash"), F.lit(97)).cast("double") / 10.0 + 1.0).alias("connect_ms"),
             (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"),
             ua_trace.alias("ua"), proxy_expr.alias("proxy"))
-        m["fetched"] = done.count()
+        m["fetched"] = int(done_counts["fetched"] or 0)
         _lap("t_fetch")
         # http status errors (recorded, not counted in m["errors"] —
         # simulator parity)
@@ -977,15 +1006,16 @@ class Crawler:
             F.lit(None).cast("string").alias("page_url"),
             "image_url", "image_id",
             F.lit(None).cast("string").alias("caption"), "ok", "psnr_db"))
-        # 5. dense discovery seqs for new links → next frontier
+        # 5. dense discovery seqs for new links → next frontier.
+        # dense_seq's own per-partition count pass doubles as the
+        # emptiness check (a separate links.isEmpty() was one more job)
         queue_full_errors = spark.createDataFrame([], self.sch["error"])
-        if links.isEmpty():
+        seq_links, next_seq_after = dense_seq(
+            links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
+        n_new = next_seq_after - next_seq
+        if n_new == 0:
             new_frontier = spark.createDataFrame([], self.sch["frontier"])
-            n_new = 0
         else:
-            seq_links, next_seq_after = dense_seq(
-                links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
-            n_new = next_seq_after - next_seq
             # S6 frontier capacity: keep the first (max_queue_size −
             # pending) links in discovery order, drop the rest with
             # ErrQueueFull (queue/queue.go:35, storage/mem/fifo.go:188)
@@ -1005,34 +1035,48 @@ class Crawler:
             next_seq = next_seq + n_new
         m["new_links"] = n_new
         _lap("t_extract")
-        # 6. sinks (idempotent per-batch partitions)
+        # 6. sinks (idempotent per-batch partitions) — all writes are
+        # independent jobs submitted concurrently; the error count is a
+        # driver-side pyarrow scan of the written files afterwards (was
+        # a fourth Spark job re-running the fetch-error plan). Small
+        # batches coalesce so a near-empty batch doesn't write
+        # n_shuffle tiny tasks/files per sink. The manifest (the commit
+        # point, in _commit below) is written only after every write.
         all_errors = (adm_errors.unionByName(fetch_errors)
                       .unionByName(http_errors).unionByName(queue_full_errors))
-        all_errors = all_errors.persist()
         out = os.path.join(self.state, "out")
-        # sinks, snapshot writes, and the error count are all
-        # independent jobs → submit concurrently; the manifest (the
-        # actual commit point, inside _commit below) is written only
-        # after every one of them has finished
+        small = m["fetched"] + m["admitted"] < 100_000
+
+        def shrink(df):
+            return df.coalesce(4) if small else df
+
+        errors_dir = os.path.join(out, "errors", f"batch_{batch:06d}")
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=6) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
             futs = [
-                ex.submit(lambda: trace.write.mode("overwrite").parquet(
-                    os.path.join(out, "trace", f"batch_{batch:06d}"))),
-                ex.submit(lambda: all_errors.write.mode("overwrite").parquet(
-                    os.path.join(out, "errors", f"batch_{batch:06d}"))),
-                ex.submit(lambda: images_out.write.mode("overwrite").parquet(
-                    os.path.join(out, "images", f"batch_{batch:06d}"))),
-                ex.submit(lambda: all_errors.filter(
-                    ~F.col("kind").startswith("http_")).count()),
-                ex.submit(lambda: new_frontier.write.mode("overwrite").parquet(
-                    os.path.join(self.state, "snap", f"frontier_{batch:06d}"))),
-                ex.submit(lambda: deferred.write.mode("overwrite").parquet(
+                ex.submit(lambda: shrink(all_errors).write.mode("overwrite")
+                          .parquet(errors_dir)),
+                ex.submit(lambda: (new_frontier.coalesce(4) if small and n_new else new_frontier)
+                          .write.mode("overwrite").parquet(
+                              os.path.join(self.state, "snap", f"frontier_{batch:06d}"))),
+                ex.submit(lambda: shrink(deferred).write.mode("overwrite").parquet(
                     os.path.join(self.state, "snap", f"pending_{batch:06d}"))),
             ]
-            results = [f.result() for f in futs]
-        m["errors"] = results[3]
+            if m["fetched"] > 0:
+                # a batch with no fetches has an empty trace and no
+                # images — skip those write jobs entirely (handles glob
+                # only existing dirs; a deterministic recompute repeats
+                # the same skip, so resume stays exact)
+                futs += [
+                    ex.submit(lambda: shrink(trace).write.mode("overwrite").parquet(
+                        os.path.join(out, "trace", f"batch_{batch:06d}"))),
+                    ex.submit(lambda: shrink(images_out).write.mode("overwrite").parquet(
+                        os.path.join(out, "images", f"batch_{batch:06d}"))),
+                ]
+            for f in futs:
+                f.result()
+        m["errors"] = _count_nonhttp_errors(errors_dir)
         _lap("t_sinks")
         # 7. commit point — then reload the snapshots, which both
         # truncates the lineage at the batch boundary (otherwise the
@@ -1042,7 +1086,7 @@ class Crawler:
         _lap("t_commit")
         self._metrics.append(m)
         pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")
-        for df in (done, all_errors, *self._batch_persists):
+        for df in (done, *self._batch_persists):
             df.unpersist()
         self._batch_persists.clear()
         # reload the committed snapshots: truncates lineage at the

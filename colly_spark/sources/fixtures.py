@@ -207,6 +207,16 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             else:
                 # AlreadyVisited-on-redirect case (colly_test.go:682-712)
                 add_page(f"http://{host}/r/{c}", 301, "text/html", b"", redirect_to=f"http://{host}/")
+        # two chains sharing an intermediate (same-batch claim): the
+        # lower-seq chain claims /shared at hop 1, the other gets
+        # AlreadyVisited — pins the (hop, seq) tie-break. Unreachable
+        # from page links; exercised by direct seeds only.
+        add_page(f"http://{host}/rx/a", 301, "text/html", b"",
+                 redirect_to=f"http://{host}/shared")
+        add_page(f"http://{host}/rx/b", 301, "text/html", b"",
+                 redirect_to=f"http://{host}/shared")
+        add_page(f"http://{host}/shared", 200, "text/html; charset=utf-8",
+                 "<html><body>shared target</body></html>")
         # error page + disallowed + wildcard-query page + lone-%
         add_page(f"http://{host}/500", 500, "text/html", b"server error")
         add_page(f"http://{host}/disallowed", 200, "text/html; charset=utf-8", "<html><body>blocked by robots</body></html>")

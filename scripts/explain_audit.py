@@ -23,8 +23,9 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 AUDIT = [
     "admission_filter", "fnv64_hash", "politeness_quota", "seen_antijoin",
-    "exact_dedup", "ngram_jaccard", "cosine_topk", "token_stats",
-    "events_rollup", "sessionize", "lineitem_pricing", "region_revenue",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
+    "cosine_topk", "ann_lsh", "token_stats", "events_rollup", "sessionize",
+    "lineitem_pricing", "region_revenue", "unmarshal_fields", "xpath_links",
 ]
 
 

@@ -168,6 +168,13 @@ SCENARIOS = {
             proxies=("http://proxy0:8080", "http://proxy1:8080")),
         seeds=["http://d01.test/", "http://d00.test/"],
     ),
+    # D2 cross-chain claim: two same-batch redirect chains sharing an
+    # intermediate — the lower-seq chain claims /shared at hop 1, the
+    # other resolves AlreadyVisited ((hop, seq) tie-break)
+    "redirect_shared_intermediate": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True),
+        seeds=["http://d00.test/rx/a", "http://d00.test/rx/b"],
+    ),
     # cookie jar: /login sets sid → /account (depth 3, next batch)
     # succeeds; a directly-seeded /account with an empty jar gets 403
     "cookies": dict(
