@@ -47,7 +47,8 @@ def make_spark():
     # otherwise serializes on one disk and caps scaling (a real cluster
     # has one disk set per executor — tmpfs is the honest single-node
     # equivalent)
-    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    suffix = os.environ.get("SPARK_GRAFT_LOCAL_SUFFIX", "")
+    local_dir = f"/dev/shm/spark-local{suffix}" if os.path.isdir("/dev/shm") else None
     b = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("colly-spark-bench")
