@@ -509,8 +509,22 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: each query also probes its 8
+    Hamming-1 neighbor buckets — the recall/cost dial of the scale
+    path. Same deterministic JVM fold; fully oracled (probe buckets
+    generated by XOR in both engines)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, multiprobe=8)
+
+
 def _ann_lsh_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
-                 seed: int = 42, n_queries: int = 8) -> str:
+                 seed: int = 42, n_queries: int = 8,
+                 multiprobe: int = 0) -> str:
     from colly_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_bits, seed)
@@ -528,8 +542,12 @@ sig AS (SELECT vec_id,
         FROM e CROSS JOIN planes GROUP BY vec_id),
 c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
       FROM e JOIN sig ON sig.vec_id = e.vec_id),
-q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
-      FROM e JOIN sig ON sig.vec_id = e.vec_id WHERE e.vec_id < {n_queries}),
+q AS (SELECT query_id, qv, unnest(probes) AS bucket FROM (
+        SELECT e.vec_id AS query_id, v AS qv,
+               list_prepend(bucket, list_transform(
+                 range({multiprobe}), j -> xor(bucket, (1::BIGINT << j)))) AS probes
+        FROM e JOIN sig ON sig.vec_id = e.vec_id
+        WHERE e.vec_id < {n_queries})),
 s AS (SELECT query_id, neighbor_id,
         round({dot.format(a='cv', b='qv')}
           / (sqrt({dot.format(a='cv', b='cv')}) * sqrt({dot.format(a='qv', b='qv')})),
@@ -929,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_multiprobe": q_ann_multiprobe,
         "token_stats": q_token_stats,
         "langid": q_langid,
         "quality_score": q_quality_score,
@@ -960,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _Q_SIMHASH_SQL,
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),
+        "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
         "token_stats": _Q_TOKEN_SQL,
         "langid": _Q_LANGID_SQL,
         "quality_score": _Q_QUALITY_SQL,

@@ -30,6 +30,10 @@ class LimitRule:
     delay_ms: int = 0
     random_delay_ms: int = 0
     parallelism: int = 1
+    # v3 labeled SubConfig (config.go:93-105, NewSubConfig
+    # config.go:219-230; labeled/removable filters filter.go:81-154):
+    # rules are addressable by label for per-label overrides/removal
+    label: str | None = None
 
     def quota(self, window_ms: int, service_ms: int) -> int:
         """Max admissions for a matching domain in one micro-batch of
@@ -140,6 +144,36 @@ class CrawlConfig:
             if r.domain_regexp and re.search(r.domain_regexp, host):
                 return r
             if r.domain_glob and fnmatch.fnmatchcase(host, r.domain_glob):
+                return r
+        return None
+
+    # --- v3 labeled SubConfig surface (P3) --------------------------------
+    # The reference's filter/config objects are labeled, removable, and
+    # per-label overridable (filter.go:81-154 labeled adders,
+    # NewSubConfig config.go:219-230). Configs here are frozen, so the
+    # label operations return a NEW CrawlConfig — the same crawl-start
+    # immutability the engine broadcasts.
+    def with_rule_override(self, label: str, **overrides) -> "CrawlConfig":
+        """New config with the labeled rule's fields replaced (e.g.
+        ``delay_ms=500`` — the SubConfig per-label override)."""
+        from dataclasses import replace
+
+        rules = tuple(
+            replace(r, **overrides) if r.label == label else r
+            for r in self.limit_rules)
+        return replace(self, limit_rules=rules)
+
+    def without_rule(self, label: str) -> "CrawlConfig":
+        """New config with the labeled rule removed (removable labeled
+        filters, filter.go:118-131)."""
+        from dataclasses import replace
+
+        return replace(self, limit_rules=tuple(
+            r for r in self.limit_rules if r.label != label))
+
+    def rule_by_label(self, label: str) -> LimitRule | None:
+        for r in self.limit_rules:
+            if r.label == label:
                 return r
         return None
 

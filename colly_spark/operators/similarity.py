@@ -93,11 +93,17 @@ def lsh_bucket_expr(planes: np.ndarray, vec_col):
 
 def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64, seed: int = 42):
+                 dim: int = 64, seed: int = 42, multiprobe: int = 0):
     """Approximate top-k: bucket by sign-LSH, exact cosine within the
     query's bucket only. Returns (query_id, neighbor_id, rank, cos_sim).
     At 10^9-vector scale the bucket join replaces the full cross
-    product with a ~1/2^b fraction."""
+    product with a ~1/2^b fraction.
+
+    ``multiprobe``: additionally probe the ``multiprobe`` nearest
+    Hamming-1 neighbor buckets (bucket XOR bit j) per query — the
+    standard recall/cost dial: each extra probe adds ~1/2^b of the
+    corpus to the candidate set. Corpus vectors keep ONE bucket, so
+    probes never duplicate a candidate pair."""
     from pyspark.sql import Window, functions as F
 
     planes = hyperplanes(dim, n_bits, seed)
@@ -107,6 +113,12 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
     q = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(min(multiprobe, n_bits))])
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

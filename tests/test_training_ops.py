@@ -102,6 +102,31 @@ def test_ann_lsh_recall(spark):
             assert r["cos_sim"] == exact_sims[key]
 
 
+def test_ann_multiprobe_recall_not_worse(spark):
+    """Hamming-1 multi-probe must retrieve a superset-or-equal
+    candidate pool → recall ≥ single-probe on the same data."""
+    from colly_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(64) * 0.35
+        rows.append((i, [float(x) for x in v], i % 10))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in ann_lsh_topk(emb, queries, k=5, n_bits=8).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in ann_lsh_topk(emb, queries, k=5, n_bits=8, multiprobe=8).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.8
+
+
 def test_multimodal_roundtrip(spark):
     from colly_spark.operators.multimodal import (decode_meta, resize_nearest,
                                                   synthesize_images)
