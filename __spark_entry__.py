@@ -562,6 +562,106 @@ WHERE rank <= {k}
 """
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup (the fifth dedup mode): sign-LSH
+    bucketed pairs (+ Hamming-1 multiprobe) with cosine ≥ τ, then the
+    one-hop keep rule — drop any vector that has a LOWER-id near-dup
+    among the candidates (one anti-join; no transitive closure).
+    Returns surviving (vec_id)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_near_dup_pairs(emb, threshold=0.25)
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+def _embedding_dedup_sql(threshold: float = 0.25, n_bits: int = 8,
+                         dim: int = 64, seed: int = 42,
+                         multiprobe: int = 8) -> str:
+    from colly_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_bits, seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in planes[j]))
+        for j in range(n_bits))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH planes(j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id,
+               CAST(sum(CASE WHEN {dot.format(a='v', b='pv')} > 0
+                             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id),
+base AS (SELECT e.vec_id AS id, v, bucket FROM e JOIN sig ON sig.vec_id = e.vec_id),
+l AS (SELECT id AS a, v AS va, unnest(list_prepend(bucket, list_transform(
+          range({multiprobe}), j -> xor(bucket, (1::BIGINT << j))))) AS bucket
+      FROM base),
+pairs AS (SELECT l.a, r.id AS b,
+                 round({dot.format(a='va', b='r.v')}
+                   / (sqrt({dot.format(a='va', b='va')}) * sqrt({dot.format(a='r.v', b='r.v')})),
+                   6) AS cos_sim
+          FROM l JOIN base r USING (bucket) WHERE l.a < r.id),
+dropped AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos_sim >= {threshold})
+SELECT vec_id FROM e ANTI JOIN dropped USING (vec_id)
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The composed training-corpus cleanroom pass: exact-dup removal
+    (keep lowest id) ∩ language = en ∩ quality ≥ 0.35 ∩ 16 ≤ tokens —
+    one declarative plan reusing the oracled operator expressions;
+    returns surviving (doc_id, lang_guess, quality_score, n_tokens)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_dedup import normalized_fingerprint_cols
+    from colly_spark.operators.text_quality import (langid_expr,
+                                                    quality_score_expr,
+                                                    token_count_expr)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        langid_expr(F.col("text")).alias("lang_guess"),
+        quality_score_expr(F.col("text")).alias("quality_score"),
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        normalized_fingerprint_cols(F.col("text"))[1].alias("_fp"))
+    keep = d.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    return (d.join(keep, ["doc_id", "_fp"], "left_semi")
+             .filter((F.col("lang_guess") == "en")
+                     & (F.col("quality_score") >= 0.35)
+                     & (F.col("n_tokens") >= 16))
+             .select("doc_id", "lang_guess", "quality_score", "n_tokens"))
+
+
+_Q_CORPUS_FILTER_SQL = r"""
+WITH t AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+q AS (SELECT doc_id, fp,
+        len(toks)::BIGINT AS n_tokens,
+        round(least(len(toks)::DOUBLE / 256.0, 1.0) * 0.5
+              + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+              + least((list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b)::DOUBLE
+                       / len(toks)) / 8.0, 1.0) * 0.2, 6) AS quality_score,
+        len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is'))) AS en,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','es'))) AS es,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist'))) AS de
+      FROM t),
+lang AS (SELECT *, CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                        WHEN es >= de AND es > 0 THEN 'es'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_guess FROM q),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM lang GROUP BY fp)
+SELECT l.doc_id, lang_guess, quality_score, n_tokens
+FROM lang l SEMI JOIN keep k ON l.doc_id = k.doc_id AND l.fp = k.fp
+WHERE lang_guess = 'en' AND quality_score >= 0.35 AND n_tokens >= 16
+"""
+
+
 def q_token_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -948,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
+        "embedding_dedup": q_embedding_dedup,
+        "corpus_filter": q_corpus_filter,
         "token_stats": q_token_stats,
         "langid": q_langid,
         "quality_score": q_quality_score,
@@ -980,6 +1082,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
+        "embedding_dedup": _embedding_dedup_sql(),
+        "corpus_filter": _Q_CORPUS_FILTER_SQL,
         "token_stats": _Q_TOKEN_SQL,
         "langid": _Q_LANGID_SQL,
         "quality_score": _Q_QUALITY_SQL,

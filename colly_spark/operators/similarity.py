@@ -66,6 +66,41 @@ def cosine_topk(corpus_df, query_df, k: int = 10,
     )
 
 
+def embedding_near_dup_pairs(emb_df, threshold: float, n_bits: int = 8,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, seed: int = 42,
+                             multiprobe: int = 8):
+    """Embedding-cosine near-duplicate candidate pairs: sign-LSH
+    bucket join (+ Hamming-1 multiprobe) → exact cosine ≥ threshold.
+    Returns (a, b, cos_sim) with a < b. The bucketed join keeps the
+    pair generation ~n/2^bits per probe — never all-pairs — which is
+    the 10^9-vector shape; dedup policy on top is one anti-join
+    (see q_embedding_dedup)."""
+    from pyspark.sql import functions as F
+
+    planes = hyperplanes(dim, n_bits, seed)
+    base = emb_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                         lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
+    left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(min(multiprobe, n_bits))])
+        left = left.select("a", "va", F.explode(probes).alias("bucket"))
+    right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        # no distinct needed: each vector owns ONE bucket and probe
+        # sets are distinct values, so a pair matches exactly once
+        # (Hamming-1 XOR is symmetric, so no orientation is missed)
+        .select("a", "b", "cos_sim")
+    )
+
+
 def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
