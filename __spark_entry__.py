@@ -980,6 +980,33 @@ def q_image_decode(spark, sf_dir):
     return decode_meta(synthesize_images(spark, 64), repartition_to=8)
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup detection over perceptual hashes: synthesize 96
+    base images + 32 lossy re-encoded variants, recompute phash through
+    the distributed mapInPandas decode, then find all pairs within
+    Hamming ≤ 3 via the Manku-style banded join (4×16-bit blocks; pure
+    Catalyst, provably equal to brute force for k < bands). Oracle:
+    DuckDB brute-force O(n²) bit_count(xor) join over the golden phash
+    table (plain-Python replica of the same generate→decode pipeline)."""
+    from colly_spark.operators.multimodal import (decode_meta,
+                                                  phash_near_dup_pairs,
+                                                  synthesize_images)
+
+    imgs = synthesize_images(spark, 96, n_variants=32)
+    meta = decode_meta(imgs, repartition_to=8)
+    return phash_near_dup_pairs(meta, k=3).orderBy("id_a", "id_b")
+
+
+_Q_PHASH_NEAR_DUP_SQL = f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM '{_REPO}/golden/image_phash.parquet' a
+JOIN '{_REPO}/golden/image_phash.parquet' b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 _Q_CRAWL_TRACE_SQL = f"""
 SELECT batch, seq, url, final_url, depth, host, status, method, referer,
        connect_ms, ttfb_ms, ua, proxy
@@ -1060,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "crawl_trace": q_crawl_trace,
         "image_decode": q_image_decode,
+        "phash_near_dup": q_phash_near_dup,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
     }.items()}
@@ -1099,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         # IS the oracle and DuckDB just reads it
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
+        "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
     }

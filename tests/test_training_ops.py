@@ -147,6 +147,43 @@ def test_multimodal_roundtrip(spark):
     imgs.unpersist()
 
 
+def test_phash_near_dup_banded_equals_bruteforce(spark):
+    """The 4×16-bit banded Hamming join must find EXACTLY the
+    brute-force pair set for k < n_bands (pigeonhole), including on
+    adversarial phashes whose differing bits straddle band borders."""
+    from colly_spark.operators.multimodal import phash_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    hashes = [int(x) for x in rng.integers(-(1 << 63), 1 << 63, 40, dtype=np.int64)]
+    # planted near-dups: flip ≤3 bits at band-straddling positions
+    for i, bits in [(0, [15, 16]), (1, [31, 32, 33]), (2, [63]), (3, [0, 16, 48])]:
+        h = hashes[i]
+        for b in bits:
+            h ^= (1 << b) if b < 63 else -(1 << 63)
+        hashes.append(h)
+    rows = [(f"im{i:04d}", h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = sorted((r["id_a"], r["id_b"], r["hamming"])
+                 for r in phash_near_dup_pairs(df, k=3).collect())
+    want = sorted(
+        (a_id, b_id, bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+        for i, (a_id, a) in enumerate(rows) for b_id, b in rows[i + 1:]
+        if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3)
+    assert got == want
+    assert len(want) >= 4  # every planted variant found
+
+
+def test_phash_near_dup_finds_reencoded_variants(spark):
+    from colly_spark.operators.multimodal import (decode_meta,
+                                                  phash_near_dup_pairs,
+                                                  synthesize_images)
+
+    meta = decode_meta(synthesize_images(spark, 24, n_variants=24))
+    pairs = {(r["id_a"], r["id_b"]) for r in phash_near_dup_pairs(meta, k=3).collect()}
+    hits = sum((f"img{j:08d}", f"img{j + 24:08d}") in pairs for j in range(24))
+    assert hits == 24  # lossy re-encode measured at Hamming 0-2 << k=3
+
+
 def test_lsh_buckets_deterministic(spark, near_dup_docs):
     from colly_spark.operators.text_dedup import lsh_buckets
 
