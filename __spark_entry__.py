@@ -462,6 +462,52 @@ FROM d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprints by winnowing (Schleimer et al. SIGMOD'03,
+    the MOSS algorithm): rolling FNV-64a over char 8-grams, 4-wide
+    window minima with rightmost tie-break — the guarantee is that any
+    two documents sharing ≥ 11 normalized chars share a fingerprint.
+    Map-side numpy per Arrow batch; the oracle replays k-gram hashing,
+    window minima and tie-breaks in pure SQL, bit-exact."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_dedup import winnow_udf
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(winnow_udf(k=8, w=4)(F.col("text"))).alias("s"))
+    return (d.select("doc_id", F.col("s.pos").alias("pos"),
+                     F.col("s.fp").alias("fp"))
+             .orderBy("doc_id", "pos"))
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    fnv = _fnv_signed("kg")
+    return f"""
+WITH norm AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+        FROM norm WHERE len(t) >= {k}),
+-- kg materialized here: inlining it into the FNV template would let
+-- the template's lambda variable i shadow this position column
+g AS (SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), {k}) AS kg
+      FROM pos),
+h AS (SELECT doc_id, i, {fnv} AS fp FROM g),
+nn AS (SELECT doc_id, max(i) AS n FROM h GROUP BY doc_id),
+wj AS (SELECT doc_id, unnest(range(1, greatest(n - {w} + 1, 1) + 1)) AS j
+       FROM nn),
+wrows AS (
+  SELECT w.doc_id, w.j, h.i, h.fp,
+         row_number() OVER (PARTITION BY w.doc_id, w.j
+                            ORDER BY h.fp ASC, h.i DESC) AS rn
+  FROM wj w JOIN h ON h.doc_id = w.doc_id
+                  AND h.i BETWEEN w.j AND w.j + {w} - 1
+)
+SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS pos, fp
+FROM wrows WHERE rn = 1 ORDER BY doc_id, pos
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 neighbors for 16 query vectors —
     JVM-side fold arithmetic, bit-identical to the SQL oracle."""
@@ -1070,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
@@ -1105,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": _Q_KEEP_FIRST_SQL,
         "exact_dedup": _Q_EXACT_DEDUP_SQL,
         "ngram_jaccard": _Q_JACCARD_SQL,
+        "winnow_fingerprints": _winnow_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash": _Q_SIMHASH_SQL,
         "cosine_topk": _Q_COSINE_SQL,

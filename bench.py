@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
     "region_revenue", "image_decode", "unmarshal_fields", "xpath_links",
     "embedding_dedup", "corpus_filter", "phash_near_dup",
+    "winnow_fingerprints",
 ]
 
 

@@ -122,27 +122,40 @@ def with_pid(df, hash_col: str = "url_hash", p: int = DEFAULT_PARTITIONS):
     return df.withColumn("pid", F.pmod(F.col(hash_col), F.lit(p)).cast("int"))
 
 
-def bloom_probe(df, segments: BloomSegments, hash_col: str = "url_hash"):
+def bloom_probe(df, segments: BloomSegments, hash_col: str = "url_hash",
+                claim: bool = False):
     """Append ``maybe_seen:boolean`` — co-partitioned probe.
 
     ``applyInPandas`` over ``groupBy(pid)``: each task loads only its
     own segment file. No broadcast, no shuffle beyond the pid
     repartition (which doubles as the layout the exact visited table is
     bucketed by).
-    """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    ``claim=True`` additionally appends ``_claim:int`` — the within-
+    batch first-claim rank (1 = lowest ``seq`` per hash). pid is a pure
+    function of the hash, so every duplicate of a hash lands in the
+    same task and the rank is exact — this fuses the crawler's
+    within-batch dedup window into the probe's ONE exchange instead of
+    shuffling by url_hash and again by pid."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StructField,
+                                   StructType)
 
     df = with_pid(df, hash_col, segments.p)
-    out_schema = StructType(df.schema.fields + [StructField("maybe_seen", BooleanType())])
-    seg_dir, m, k, p = segments.dir, segments.m, segments.k, segments.p
+    extra = [StructField("maybe_seen", BooleanType())]
+    if claim:
+        extra.append(StructField("_claim", IntegerType()))
+    out_schema = StructType(df.schema.fields + extra)
+    seg_dir, m, k = segments.dir, segments.m, segments.k
 
     def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])
         path = os.path.join(seg_dir, f"seg_{pid:04d}.npy")
         bits = np.load(path) if os.path.exists(path) else np.zeros(m // 8, dtype=np.uint8)
-        hashes = pdf[hash_col].to_numpy(dtype=np.int64)
         pdf = pdf.copy()
+        if claim:
+            pdf = pdf.sort_values([hash_col, "seq"], kind="mergesort")
+            pdf["_claim"] = (pdf.groupby(hash_col).cumcount() + 1).astype("int32")
+        hashes = pdf[hash_col].to_numpy(dtype=np.int64)
         pdf["maybe_seen"] = probe_bits(bits, hashes, k)
         return pdf
 

@@ -253,6 +253,60 @@ def simhash_udf(seed: int = 42):
     return F.pandas_udf(_simhash, LongType())
 
 
+def winnow_udf(k: int = 8, w: int = 4):
+    """text → array<struct<pos:int, fp:long>> — document fingerprints
+    by winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    algorithm): normalize (lowercase, collapse whitespace), hash every
+    char k-gram with FNV-64a, slide a w-window over the hash sequence
+    and select each window's MINIMUM (rightmost on ties); the distinct
+    selected (position, hash) pairs are the fingerprint set —
+    guaranteed to share a fingerprint with any document overlapping in
+    ≥ w+k-1 normalized characters.
+
+    Whole computation is map-side inside one Arrow batch (numpy rolling
+    FNV: k vector steps; window minima via a strided view — no Python
+    per char); at corpus scale the only wide dependency is whatever the
+    caller does with the fingerprints (e.g. groupBy(fp) for overlap
+    clustering), which is uniformly distributed by construction.
+    Documents shorter than k chars yield no fingerprints; with fewer
+    than w k-grams the whole sequence is one window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    out_t = ArrayType(StructType([
+        StructField("pos", IntegerType()), StructField("fp", LongType())]))
+
+    def _winnow_one(t: str):
+        norm = " ".join((t or "").lower().split())
+        data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            return []
+        # rolling FNV-64a of every k-gram: k vectorized steps
+        h = np.full(n, 14695981039346656037, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = (h ^ data[j:j + n].astype(np.uint64)) * prime
+        hs = h.view(np.int64)
+        if n <= w:
+            # single window over the whole (short) sequence
+            pos = int(np.flatnonzero(hs == hs.min())[-1])
+            return [(pos + 1, int(hs[pos]))]
+        win = np.lib.stride_tricks.sliding_window_view(hs, w)
+        # rightmost minimum per window: argmin over the reversed view
+        right_idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        sel = np.arange(len(win)) + right_idx
+        pairs = sorted({(int(p) + 1, int(hs[p])) for p in sel})
+        return pairs
+
+    def _winnow(texts):
+        return pd.Series([_winnow_one(t) for t in texts])
+
+    return F.pandas_udf(_winnow, out_t)
+
+
 def near_dup_pairs_minhash(df, id_col: str = "doc_id", text_col: str = "text",
                            threshold: float = 0.7, n_hashes: int = 64,
                            bands: int = 16, shingle_k: int = 3, seed: int = 42):

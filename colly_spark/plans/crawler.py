@@ -77,8 +77,9 @@ def _parquet_rows(path: str) -> int:
 
 
 def _schemas():
-    from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, IntegerType,
-                                   LongType, StringType, StructField, StructType)
+    from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
+                                   IntegerType, LongType, StringType, StructField,
+                                   StructType)
 
     frontier = StructType([
         StructField("seq", LongType()),
@@ -128,7 +129,27 @@ def _schemas():
         StructField("ok", BooleanType()),
         StructField("psnr_db", DoubleType()),
     ])
-    return dict(frontier=frontier, pending=pending, visited=visited,
+    done = StructType([
+        StructField("seq", LongType()),
+        StructField("url", StringType()),
+        StructField("final_url", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("method", StringType()),
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("image_id", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("imgs", ArrayType(StructType([
+            StructField("url", StringType()),
+            StructField("caption", StringType()),
+        ]))),
+        StructField("img_body", BinaryType()),
+        StructField("req_hash", LongType()),
+        StructField("from_cache", BooleanType()),
+        StructField("referer", StringType()),
+        StructField("set_cookie", StringType()),
+    ])
+    return dict(done=done, frontier=frontier, pending=pending, visited=visited,
                 error=error, trace=trace, images=images)
 
 
@@ -342,10 +363,32 @@ class Crawler:
             return df, df.limit(0)
         bypass = df.filter(~F.col("needs_mark"))
         cand = df.filter(F.col("needs_mark"))
+        vis = self._visited_df()
+        if self._bloom_active and self.cfg.max_revisits == 0:
+            # ONE exchange: the within-batch claim (lowest seq per hash
+            # wins) is computed inside the co-partitioned probe task —
+            # pid is a function of url_hash, so duplicates co-locate.
+            # Definitely-new rows skip the exact join entirely.
+            probed = seen.bloom_probe(cand, self.bloom, claim=True).persist()
+            self._batch_persists.append(probed)
+            dup_in_batch = probed.filter(F.col("_claim") > 1) \
+                                 .drop("_claim", "maybe_seen", "pid")
+            first = probed.filter(F.col("_claim") == 1) \
+                          .drop("_claim", "maybe_seen", "pid")
+            maybe_first = probed.filter((F.col("_claim") == 1)
+                                        & F.col("maybe_seen")) \
+                                .drop("_claim", "maybe_seen", "pid")
+            fresh = probed.filter((F.col("_claim") == 1)
+                                  & ~F.col("maybe_seen")) \
+                          .drop("_claim", "maybe_seen", "pid")
+            already_exact = maybe_first.join(vis, "url_hash", "left_semi")
+            confirmed_new = maybe_first.join(vis, "url_hash", "left_anti")
+            accepted = fresh.unionByName(confirmed_new)
+            already = dup_in_batch.unionByName(already_exact)
+            return accepted.unionByName(bypass), already
         # within-batch claim: lowest seq per hash wins
         w = Window.partitionBy("url_hash").orderBy("seq")
         ranked = cand.withColumn("_claim", F.row_number().over(w))
-        vis = self._visited_df()
         if self.cfg.max_revisits > 0:
             # F7 visit-count mode (filters/revisit.go): a URL may be
             # visited 1+max_revisits times. The Bloom layer is
@@ -360,19 +403,9 @@ class Crawler:
             return accepted.unionByName(bypass), already
         dup_in_batch = ranked.filter(F.col("_claim") > 1).drop("_claim")
         first = ranked.filter(F.col("_claim") == 1).drop("_claim")
-        if self._bloom_active:
-            # Bloom probe: definitely-new rows skip the exact join entirely
-            probed = seen.bloom_probe(first, self.bloom).persist()
-            self._batch_persists.append(probed)
-            fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "pid")
-            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "pid")
-            already_exact = maybe.join(vis, "url_hash", "left_semi")
-            confirmed_new = maybe.join(vis, "url_hash", "left_anti")
-            accepted = fresh.unionByName(confirmed_new)
-        else:
-            # small-visited regime: one anti-join (AQE broadcasts vis)
-            already_exact = first.join(vis, "url_hash", "left_semi")
-            accepted = first.join(vis, "url_hash", "left_anti")
+        # small-visited regime: one anti-join (AQE broadcasts vis)
+        already_exact = first.join(vis, "url_hash", "left_semi")
+        accepted = first.join(vis, "url_hash", "left_anti")
         already = dup_in_batch.unionByName(already_exact)
         return accepted.unionByName(bypass), already
 
@@ -381,7 +414,13 @@ class Crawler:
         fold into the Bloom segments. MUST run after the accepted rows
         are materialized (checkpointed) and BEFORE the fetch stage /
         any later check (mark-before-fetch, colly.go:745-753); the
-        caller's checkpoint makes this a cheap scan, not a DAG re-run."""
+        caller's checkpoint makes this a cheap scan, not a DAG re-run.
+
+        The delta stays a NARROW url_hash-only file on purpose: the
+        visited table is the hottest scan in the engine (every batch's
+        anti-join at 10^10 keys) — a wide checkpoint file doubling as
+        the delta was tried and regressed both that scan (deferred rows
+        rewritten every batch) and the downstream checkpoint reads."""
         from pyspark.sql import functions as F
 
         marks = accepted_df.filter(F.col("needs_mark")).select("url_hash")
@@ -554,6 +593,8 @@ class Crawler:
             F.sum(F.when(F.col("kind").isNull() & ~F.col("_fetch_now"), 1)
                   .otherwise(0)).alias("deferred"),
             F.sum(F.when(F.col("needs_mark"), 1).otherwise(0)).alias("marks"),
+            F.sum(F.when(F.col("kind").isNull() & F.col("_fetch_now"), 1)
+                  .otherwise(0)).alias("fetch_now"),
         ).localCheckpoint(eager=True)
         counts = obs.get
         ok_rows = combined.filter(F.col("kind").isNull())
@@ -568,7 +609,8 @@ class Crawler:
             F.col("err_url").alias("url"), "kind")
         return fetch_now, deferred, err_out, dict(
             admitted=int(counts["admitted"] or 0),
-            deferred=int(counts["deferred"] or 0))
+            deferred=int(counts["deferred"] or 0),
+            fetch_now=int(counts["fetch_now"] or 0))
 
     # ---- fetch + redirect-hop loop (phase 3) ---------------------------
     def _fetch(self, fetch_now, batch: int, tag: str = ""):
@@ -606,8 +648,15 @@ class Crawler:
         for hop in range(self.cfg.max_redirects + 2):
             if self.live is not None:
                 # real sockets: map-side mapInPandas fetch, same output
-                # contract; network failures surface as _purl NULL
-                joined = self.live.lookup(remaining, jar=jar)
+                # contract; network failures surface as _purl NULL.
+                # persist so the downstream branches (redirect probe,
+                # parse, error channels) never re-execute the network
+                # fetch — caching is per-partition, so every URL hits
+                # the wire exactly once per hop
+                from pyspark import StorageLevel
+                joined = self.live.lookup(remaining, jar=jar).persist(
+                    StorageLevel.MEMORY_AND_DISK)
+                self._batch_persists.append(joined)
             else:
                 # shuffle-hash hint: the corpus side is pre-hash-
                 # partitioned and cached; a sort-merge join would
@@ -638,6 +687,11 @@ class Crawler:
                 "set_cookie")))
             if not self.cfg.follow_redirects:
                 break
+            # NOTE: a probe-less variant (Observation on the redirect
+            # rows riding the hop checkpoint) was tried and regressed:
+            # it pays the full window/anti-join/checkpoint plan on hops
+            # with no redirects, where this isEmpty exits for one cheap
+            # job. Keep the probe.
             redir = hit.filter(is_redirect).persist()
             if redir.isEmpty():
                 redir.unpersist()
@@ -669,11 +723,17 @@ class Crawler:
             t = t.withColumn("needs_mark", F.col("method") == "GET")
             accepted, already = self._check_and_mark(t, batch, f"{tag}hop{hop}")
             err_parts.append(err_rows(already, F.lit(cfgmod.ERR_ALREADY_VISITED)))
-            # truncate the per-hop plan chain (few rows; without this the
-            # logical plan compounds multiplicatively per hop), then
-            # commit the hop's marks from the checkpointed rows
-            accepted = accepted.localCheckpoint(eager=True)
-            self._commit_marks(accepted, batch, f"{tag}hop{hop}")
+            # truncate the per-hop plan chain (few rows; without this
+            # the logical plan compounds multiplicatively per hop); the
+            # marks count rides the checkpoint job (Observation), so an
+            # all-dup hop skips the marks write
+            from pyspark.sql import Observation
+            mobs = Observation(f"marks_{batch}_{tag}{hop}")
+            accepted = accepted.observe(
+                mobs, F.sum(F.col("needs_mark").cast("int")).alias("marks"),
+            ).localCheckpoint(eager=True)
+            if int(mobs.get["marks"] or 0) > 0:
+                self._commit_marks(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
                 "req_hash", "referer")
@@ -703,26 +763,7 @@ class Crawler:
         from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, IntegerType,
                                        LongType, StringType, StructField, StructType)
 
-        out_schema = StructType([
-            StructField("seq", LongType()),
-            StructField("url", StringType()),
-            StructField("final_url", StringType()),
-            StructField("depth", IntegerType()),
-            StructField("method", StringType()),
-            StructField("status", IntegerType()),
-            StructField("content_type", StringType()),
-            StructField("image_id", StringType()),
-            StructField("links", ArrayType(StringType())),
-            StructField("imgs", ArrayType(StructType([
-                StructField("url", StringType()),
-                StructField("caption", StringType()),
-            ]))),
-            StructField("img_body", BinaryType()),
-            StructField("req_hash", LongType()),
-            StructField("from_cache", BooleanType()),
-            StructField("referer", StringType()),
-            StructField("set_cookie", StringType()),
-        ])
+        out_schema = self.sch["done"]
 
         max_body = self.cfg.max_body_size
 
@@ -924,10 +965,21 @@ class Crawler:
                 (F.col("canon_url").rlike(p) for p in self.cfg.abort_url_filters))
             fetch_now = fetch_now.filter(~abort_hit)
         _lap("t_quota")
-        # 3a. X4 response-cache probe: GET rows with a valid cached
-        # entry skip the fetch/redirect/parse path entirely
+        # zero-fetch batch (everything deferred/rejected — the common
+        # shape in a politeness-bounded drain): skip the cache probe,
+        # the fetch join and the whole redirect-hop machinery — their
+        # jobs on empty inputs were the largest slice of the per-batch
+        # floor. The count rode the admission checkpoint (Observation).
+        skip_fetch = counts["fetch_now"] == 0
         cache_hits_done = None
-        cache = self._cache_latest(batch)
+        if skip_fetch:
+            done = spark.createDataFrame([], self.sch["done"])
+            fetch_errors = spark.createDataFrame([], self.sch["error"])
+            cache = None
+        else:
+            # 3a. X4 response-cache probe: GET rows with a valid cached
+            # entry skip the fetch/redirect/parse path entirely
+            cache = self._cache_latest(batch)
         if cache is not None:
             # broadcast decision keyed on the CACHE's own row count
             # (its rows carry c_links/c_imgs/c_img_body — heavy), not
@@ -956,7 +1008,9 @@ class Crawler:
         # materializes the compact (body-free) parsed output once.
         # X5 CheckHead: HEAD copies fetch first; only seqs whose HEAD
         # succeeded proceed to the GET (colly.go:492-497)
-        if self.cfg.check_head:
+        if skip_fetch:
+            pass  # done/fetch_errors pre-built empty above
+        elif self.cfg.check_head:
             gets = fetch_now_eff.filter(F.col("method") == "GET")
             others = fetch_now_eff.filter(F.col("method") != "GET")
             head_rows = gets.withColumn("method", F.lit("HEAD"))

@@ -184,6 +184,30 @@ def test_phash_near_dup_finds_reencoded_variants(spark):
     assert hits == 24  # lossy re-encode measured at Hamming 0-2 << k=3
 
 
+def test_winnow_guarantee_and_determinism(spark):
+    """Schleimer et al. guarantee: two documents sharing a normalized
+    substring of ≥ w+k-1 (=11) chars share at least one fingerprint —
+    a full w-window of identical k-gram hashes lies inside the match
+    and its rightmost-minimum is selected identically in both."""
+    from colly_spark.operators.text_dedup import winnow_udf
+
+    shared = "a very distinctive shared passage"
+    rows = [(0, "prefix text one " + shared + " suffix alpha"),
+            (1, "Totally   different opener " + shared + "\tand closer"),
+            (2, "no overlap with anything else at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = df.select("doc_id", F.explode(winnow_udf()(F.col("text"))).alias("s")) \
+            .select("doc_id", F.col("s.fp").alias("fp"))
+    a = sorted(map(tuple, sel.collect()))
+    by: dict = {}
+    for doc_id, fp in a:
+        by.setdefault(doc_id, set()).add(fp)
+    assert by[0] & by[1], "shared passage must yield a shared fingerprint"
+    assert by[2]  # every non-trivial doc gets fingerprints
+    b = sorted(map(tuple, sel.collect()))
+    assert a == b  # deterministic
+
+
 def test_lsh_buckets_deterministic(spark, near_dup_docs):
     from colly_spark.operators.text_dedup import lsh_buckets
 
