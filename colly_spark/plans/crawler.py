@@ -215,9 +215,11 @@ class Crawler:
         and reference images still come from the corpus tables; with
         ``corpus=None`` the crawl is fully live: robots.txt is fetched
         lazily per new host and there are no reference images to
-        pixel-validate. Live POST requests carry no body at the fetch
-        stage (the body is hashed into the dedup key at admission and
-        deliberately not checkpointed — same as the corpus path).
+        pixel-validate. Live POST bodies are transmitted on the wire:
+        bodies enter only via bootstrap seed tuples, so the admission
+        checkpoint stays narrow (the body is hashed into the dedup key
+        there) and the fetch stage re-attaches the body by seq from a
+        small broadcast side table (``_live_bodies``).
 
         ``bloom_threshold_rows``: below this visited-set size the Bloom
         layer is bypassed — a plain anti-join against a small visited
@@ -276,6 +278,12 @@ class Crawler:
                              else "set_cookie" in corpus["pages"].columns)
         self._visited_rows = 0
         self._cache_rows = 0
+        # live POST bodies: bodies enter the frontier only at bootstrap
+        # (S3/S4 seed tuples); the admission checkpoint stays NARROW
+        # (url_hash already folds the body in), and the live fetch
+        # stage re-attaches the body by seq from this small broadcast
+        # side table (bounded by the driver-provided seed list)
+        self._live_bodies = None
         self._bloom_threshold = bloom_threshold_rows
         self._bloom_active = bloom_threshold_rows <= 0
         self._filters = self._compile_filters()
@@ -654,7 +662,14 @@ class Crawler:
                 # fetch — caching is per-partition, so every URL hits
                 # the wire exactly once per hop
                 from pyspark import StorageLevel
-                joined = self.live.lookup(remaining, jar=jar).persist(
+                to_fetch = remaining
+                if self._live_bodies is not None:
+                    # re-attach S3/S4 POST bodies by seq (stable across
+                    # redirect hops); broadcast — the side is bounded
+                    # by the seed list
+                    to_fetch = remaining.join(
+                        F.broadcast(self._live_bodies), "seq", "left")
+                joined = self.live.lookup(to_fetch, jar=jar).persist(
                     StorageLevel.MEMORY_AND_DISK)
                 self._batch_persists.append(joined)
             else:
@@ -895,6 +910,10 @@ class Crawler:
             next_seq += 1
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])
+        if self.live is not None and any(r[4] is not None for r in rows):
+            from pyspark.sql import functions as F
+            self._live_bodies = self._frontier.filter(
+                F.col("body_req").isNotNull()).select("seq", "body_req")
         self._batch, self._next_seq = 0, next_seq
         self._n_frontier, self._n_pending = len(rows), 0
         self._metrics: list = []
@@ -907,6 +926,11 @@ class Crawler:
         self._batch, self._next_seq, self._frontier, self._pending = loaded
         self._n_frontier = self._frontier.count()
         self._n_pending = self._pending.count()
+        if self.live is not None:
+            from pyspark.sql import functions as F
+            bodies = self._frontier.filter(
+                F.col("body_req").isNotNull()).select("seq", "body_req")
+            self._live_bodies = bodies if not bodies.isEmpty() else None
         self._metrics = []
 
     def handles(self) -> CrawlHandles:
