@@ -24,6 +24,13 @@ Semantics pinned to the reference:
   the first-matching LimitRule (http_backend.go:134-149, 199-211) —
   quota = parallelism × window / (service + delay + E[rand]); deferred
   requests stay pending in per-domain FIFO (seq) order.
+- X4 response cache (http_backend.go:153-195, v3 cache.go:153-211):
+  GET-only, probed BEFORE the CheckHead split (a cached GET skips its
+  HEAD copy), stores every fresh 0<status<500 GET keyed by request
+  hash, entries visible from the NEXT batch, TTL in batch logical
+  time. A hit replays the final response — trace row, http_NNN error,
+  discovered links and (image, caption) pairs — without touching the
+  cookie jar (hits bypass Do(), so no gate and no Set-Cookie).
 
 Crawl ordering model (the distributed-parity contract): requests are
 processed in micro-batches; within a batch, per-domain admission is by
@@ -168,10 +175,17 @@ class Simulator:
         # during a batch become visible the NEXT batch (concurrent
         # requests in one politeness window don't see each other)
         jar: dict[str, dict[str, str]] = {}
+        # X4 response cache: request-hash → latest committed entry;
+        # entries staged during a batch become probe-able the NEXT
+        # batch (the engine reads only earlier batches' cache deltas)
+        cache: dict[int, dict] = {}
+        ttl = self.cfg.cache_ttl_batches
         batch = 0
         while (frontier or pending) and batch < max_batches:
             m = dict(batch=batch, submitted=len(frontier), admitted=0, fetched=0,
                      deferred=0, errors=0, new_links=0)
+            if self.cfg.cache_enabled:
+                m["cache_hits"] = 0
             # 1. admission on new frontier rows, in seq order
             for seq, raw, depth, method, body, referer in sorted(frontier, key=lambda t: t[0]):
                 canon = canonicalize(raw)
@@ -206,6 +220,7 @@ class Simulator:
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
             staged_cookies: list[tuple] = []
+            staged_cache: list[tuple] = []
             for seq, canon, depth, host, method, referer, rhash in fetch_now:
                 ua = self.cfg.pick_user_agent(self._signed(rhash))
                 proxy = self.cfg.pick_proxy(seq)
@@ -213,6 +228,26 @@ class Simulator:
                 # (colly.go:655-657 returns nil on abort)
                 if self._abort_res and any(r.search(canon) for r in self._abort_res):
                     continue
+                # X4 cache probe — BEFORE the CheckHead split (the
+                # engine probes fetch_now, then splits: a cached GET
+                # never sends its HEAD copy). A hit replays the final
+                # response and bypasses the cookie jar entirely.
+                if self.cfg.cache_enabled and method == "GET":
+                    ent = cache.get(rhash)
+                    if ent is not None and (ttl == 0
+                                            or ent["created"] + ttl > batch):
+                        final_url, status = ent["final_url"], ent["status"]
+                        res.trace.append((batch, seq, canon, final_url, depth,
+                                          hostname(final_url), status, "GET",
+                                          referer, ua, proxy))
+                        m["fetched"] += 1
+                        m["cache_hits"] += 1
+                        if status >= 400:
+                            res.errors.append((canon, f"http_{status}"))
+                        res.images.extend(ent["images"])
+                        for li, link in enumerate(ent["links"]):
+                            new_frontier.append((link, depth + 1, li, final_url))
+                        continue
                 # X5 CheckHead: HEAD precedes the GET; a HEAD error
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
                 # and skips robots.
@@ -241,6 +276,14 @@ class Simulator:
                 if status >= 203 or method == "HEAD":
                     if status >= 400:
                         res.errors.append((canon, f"http_{status}"))
+                    # X4 store: every fresh sub-500 GET response is
+                    # cached — including cookie-gate 403s and no-parse
+                    # statuses (empty link/image replay)
+                    if (self.cfg.cache_enabled and method == "GET"
+                            and 0 < status < 500):
+                        staged_cache.append((rhash, dict(
+                            created=batch, final_url=final_url,
+                            status=status, links=[], images=[])))
                     continue
                 # X2: transparent gzip then MaxBodySize truncation of
                 # the decoded bytes (http_backend.go:229-244)
@@ -248,8 +291,8 @@ class Simulator:
                                          row.content_type,
                                          self.cfg.max_body_size)
                 links, images = extract_page(final_url, pbody, pct)
-                for img_url, caption in images:
-                    res.images.append((final_url, img_url, None, caption))
+                req_images = [(final_url, img_url, None, caption)
+                              for img_url, caption in images]
                 for li, link in enumerate(links):
                     # ctx propagation: discovered links carry their
                     # parent page as referer (extensions/referer.go)
@@ -257,7 +300,12 @@ class Simulator:
                 # direct image fetch: validate payload row
                 if row.content_type and row.content_type.startswith("image/") and row.image_id:
                     # a direct image fetch: (page_url=None, image_url, image_id, caption=None)
-                    res.images.append((None, final_url, row.image_id, None))
+                    req_images.append((None, final_url, row.image_id, None))
+                res.images.extend(req_images)
+                if self.cfg.cache_enabled and method == "GET":
+                    staged_cache.append((rhash, dict(
+                        created=batch, final_url=final_url, status=status,
+                        links=list(links), images=req_images)))
             # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
             #    (new_frontier was appended in fetch order = seq order, link order);
             #    S6 capacity: links beyond max_queue_size − pending are dropped
@@ -277,6 +325,11 @@ class Simulator:
             # commit staged Set-Cookie rows — visible from next batch
             for chost, cname, cval in staged_cookies:
                 jar.setdefault(chost, {})[cname] = cval
+            # commit staged cache entries — probe-able from next batch
+            # (latest c_created wins; same-batch duplicates are
+            # identical rows, so overwrite order is immaterial)
+            for chash, ent in staged_cache:
+                cache[chash] = ent
             res.metrics.append(m)
             batch += 1
         return res

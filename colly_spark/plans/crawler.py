@@ -550,9 +550,12 @@ class Crawler:
             F.col("_kind_pre").alias("kind"))]
         ok = base.filter(F.col("_kind_pre").isNull()).drop("_kind_pre", "robots_ok")
         # HEAD / bodyless non-GET skip check-and-mark entirely
-        # (colly.go:728-734)
+        # (colly.go:728-734); AllowURLRevisit skips the check AND the
+        # mark (colly.go:736-753 guards both behind !AllowURLRevisit)
         ok = ok.withColumn(
-            "needs_mark", (F.col("method") == "GET") | F.col("body_req").isNotNull())
+            "needs_mark",
+            F.lit(False) if self.cfg.allow_url_revisit
+            else (F.col("method") == "GET") | F.col("body_req").isNotNull())
         accepted, already = self._check_and_mark(ok, batch, "admit")
         errors.append(already.select(
             F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
@@ -735,7 +738,10 @@ class Crawler:
             t = self._robots_gate(t)
             err_parts.append(err_rows(t.filter(~F.col("robots_ok")), F.lit(cfgmod.ERR_ROBOTS)))
             t = t.filter(F.col("robots_ok")).drop("robots_ok")
-            t = t.withColumn("needs_mark", F.col("method") == "GET")
+            t = t.withColumn(
+                "needs_mark",
+                F.lit(False) if self.cfg.allow_url_revisit
+                else F.col("method") == "GET")
             accepted, already = self._check_and_mark(t, batch, f"{tag}hop{hop}")
             err_parts.append(err_rows(already, F.lit(cfgmod.ERR_ALREADY_VISITED)))
             # truncate the per-hop plan chain (few rows; without this

@@ -12,6 +12,7 @@ throughput + per-executor efficiency. Shared memory bandwidth remains
 the one un-isolatable resource; the residual gap to 1.0 bounds it.
 
 Usage: python scripts/executor_scaling.py [n_pages] [n_seeds] [repeats]
+                                          [cores_per_exec]
 Prints one JSON line.
 """
 
@@ -27,7 +28,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
 N_SEEDS = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-CORES_PER_EXEC = 4
+CORES_PER_EXEC = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 
 def launch(exec_idx: int):

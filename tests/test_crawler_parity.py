@@ -181,6 +181,23 @@ SCENARIOS = {
         cfg=CrawlConfig(max_depth=3, ignore_robots=True),
         seeds=["http://d00.test/", "http://d02.test/account"],
     ),
+    # X4 response cache: max_revisits=1 re-admits every URL once more;
+    # the second fetch (later batch) replays from the cache — trace,
+    # links, images, and http_NNN errors re-emitted, cookie jar
+    # untouched, HEAD copies skipped on hits
+    "cache_replay": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True),
+        seeds=["http://d00.test/", "http://d02.test/"],
+    ),
+    # X4 TTL expiry in batch logical time: entries created in batch b
+    # are invalid from b+1 with ttl=1, so every revisit refetches
+    "cache_ttl": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        allow_url_revisit=True, cache_enabled=True,
+                        cache_ttl_batches=1),
+        seeds=["http://d00.test/"],
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(
@@ -214,9 +231,12 @@ def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
         (r["url"], r["kind"]) for r in eng.errors().collect())
     assert eng_errors == sim_errors, "error multiset mismatch"
 
-    # 5. batch/metrics parity: fetched + admitted counts per batch
-    sim_m = [(m["batch"], m["fetched"], m["new_links"]) for m in sim.metrics]
-    eng_m = [(m["batch"], m["fetched"], m["new_links"]) for m in eng.metrics]
+    # 5. batch/metrics parity: fetched + new-link counts per batch,
+    #    plus per-batch cache-hit counts when the cache is on
+    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+             for m in sim.metrics]
+    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+             for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
 
     # 6. ctx propagation: referer (extensions/referer.go), per-request
