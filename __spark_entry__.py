@@ -568,6 +568,62 @@ def q_ann_multiprobe(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, multiprobe=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN top-5 (the inverted-file scale path, complementing
+    sign-LSH): corpus assigned map-side to its nearest of 16 coarse
+    centroids, each query probes its 4 nearest cells, exact cosine only
+    within probed cells. Centroid constants are seeded + inlined in
+    both engines, and cell assignment/probe ranking use the same
+    deterministic JVM left-fold dot as cosine_topk — fully oracled."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                        nlist=16, nprobe=4)
+
+
+def _ann_ivf_sql(k: int = 5, nlist: int = 16, nprobe: int = 4,
+                 dim: int = 64, seed: int = 7, n_queries: int = 8) -> str:
+    from colly_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, nlist, seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in cents[j]))
+        for j in range(nlist))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH cents(j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.j, {dot.format(a='v', b='pv')} AS d
+      FROM e CROSS JOIN cents c),
+ranked AS (SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, j) AS rn
+           FROM d),
+cell AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, j AS cell
+           FROM ranked WHERE vec_id < {n_queries} AND rn <= {nprobe}),
+c AS (SELECT e.vec_id AS neighbor_id, v AS cv, cell
+      FROM e JOIN cell ON cell.vec_id = e.vec_id),
+q AS (SELECT query_id, v AS qv, cell
+      FROM probes JOIN e ON e.vec_id = probes.query_id),
+s AS (SELECT query_id, neighbor_id,
+        round({dot.format(a='cv', b='qv')}
+          / (sqrt({dot.format(a='cv', b='cv')}) * sqrt({dot.format(a='qv', b='qv')})),
+          6) AS cos_sim
+      FROM c JOIN q USING (cell)
+      WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
                  seed: int = 42, n_queries: int = 8,
                  multiprobe: int = 0) -> str:
@@ -1043,6 +1099,41 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup_pairs(meta, k=3).orderBy("id_a", "id_b")
 
 
+def q_image_corpus_filter(spark, sf_dir):
+    """Training-corpus admission over the image+caption table (the
+    input_hint schema): fmt allowlist ∩ min side 64 px ∩ aspect ≤ 3 ∩
+    caption ≥ 3 tokens, then exact phash dedup keeping the lowest
+    image_id. Input is the deterministic golden/images_meta.parquet
+    (an INPUT fixture, not an expected output — both engines read it
+    and compute the filter independently). Predicates are map-side;
+    the parquet scan prunes the binary column; the only shuffle is the
+    keep-min groupBy on phash."""
+    from colly_spark.operators.multimodal import image_corpus_filter
+
+    imgs = spark.read.parquet(os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return image_corpus_filter(imgs)
+
+
+_Q_IMAGE_CORPUS_FILTER_SQL = rf"""
+WITH base AS (
+  SELECT image_id, w, h, fmt, phash,
+         CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(caption), '\s+')) END AS INT)
+           AS n_caption_tokens,
+         round(w::DOUBLE * h::DOUBLE / 1e6, 4) AS megapixels
+  FROM '{_REPO}/golden/images_meta.parquet'),
+admitted AS (
+  SELECT * FROM base
+  WHERE fmt IN ('png', 'jpeg', 'webp')
+    AND least(w, h) >= 64
+    AND greatest(w, h)::DOUBLE / least(w, h)::DOUBLE <= 3.0
+    AND n_caption_tokens >= 3),
+keep AS (SELECT phash, min(image_id) AS image_id FROM admitted GROUP BY phash)
+SELECT a.image_id, w, h, fmt, n_caption_tokens, megapixels
+FROM admitted a SEMI JOIN keep k ON a.image_id = k.image_id AND a.phash = k.phash
+"""
+
+
 _Q_PHASH_NEAR_DUP_SQL = f"""
 SELECT a.image_id AS id_a, b.image_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
@@ -1122,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
+        "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         "corpus_filter": q_corpus_filter,
         "token_stats": q_token_stats,
@@ -1135,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace": q_crawl_trace,
         "image_decode": q_image_decode,
         "phash_near_dup": q_phash_near_dup,
+        "image_corpus_filter": q_image_corpus_filter,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
     }.items()}
@@ -1158,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
+        "ann_ivf": _ann_ivf_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "corpus_filter": _Q_CORPUS_FILTER_SQL,
         "token_stats": _Q_TOKEN_SQL,
@@ -1176,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
+        "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
     }

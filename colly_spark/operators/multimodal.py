@@ -207,3 +207,49 @@ def resize_nearest(df, out_size: int = 8, id_col: str = "image_id",
             yield pd.DataFrame(out)
 
     return sel.mapInPandas(_resize, schema=schema)
+
+
+def caption_token_count_expr(caption_col):
+    """caption → whitespace token count (0 for empty/blank), matching
+    text_quality's tokenization and the DuckDB oracle's
+    string_split_regex(trim(...))."""
+    from pyspark.sql import functions as F
+
+    t = F.trim(caption_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
+                        min_caption_tokens: int = 3,
+                        fmts: tuple = ("png", "jpeg", "webp")):
+    """Training-corpus admission over the image+caption table (the
+    LAION-style cleanroom pass): keep rows whose format is decodable,
+    whose short side is ≥ ``min_side`` px, whose aspect ratio is
+    bounded, and whose caption has enough tokens; then exact-dedup on
+    the perceptual hash keeping the lowest image_id (near-dup policy
+    is ``phash_near_dup_pairs``'s job, composable on top).
+
+    Returns (image_id, w, h, fmt, n_caption_tokens, megapixels).
+
+    Scale shape: all predicates are map-side Catalyst over scan columns
+    (w/h/fmt/caption — the parquet scan prunes ``bytes``, by far the
+    widest column, entirely); the only shuffle is the keep-min groupBy
+    on phash, which is uniformly distributed by construction."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        "image_id", "w", "h", "fmt", "phash",
+        caption_token_count_expr(F.col("caption")).alias("n_caption_tokens"),
+        F.round(F.col("w").cast("double") * F.col("h").cast("double") / 1e6, 4)
+         .alias("megapixels"))
+    admitted = base.filter(
+        F.col("fmt").isin(*fmts)
+        & (F.least("w", "h") >= min_side)
+        & ((F.greatest("w", "h").cast("double")
+            / F.least("w", "h").cast("double")) <= max_aspect)
+        & (F.col("n_caption_tokens") >= min_caption_tokens))
+    keep = admitted.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+    return (admitted.join(keep, ["image_id", "phash"], "left_semi")
+                    .select("image_id", "w", "h", "fmt",
+                            "n_caption_tokens", "megapixels"))

@@ -165,3 +165,85 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_centroids(dim: int, nlist: int, seed: int = 7) -> np.ndarray:
+    """Deterministic L2-normalized coarse-quantizer centroids. A
+    production IVF trains these offline (k-means over a sample) and
+    passes them in; the harness uses seeded Gaussian directions so the
+    DuckDB oracle can inline the exact same constants. The normalization
+    happens here in numpy — both engines then see identical literals,
+    so there is no cross-engine float-fold concern at this step."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim)).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_entries(centroids: np.ndarray, vec_col):
+    """array<struct<d:double, nj:int>> of (dot(v, c_j), -j) — struct
+    ordering makes max = (highest dot, ties → smallest j)."""
+    from pyspark.sql import functions as F
+
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    entries = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        entries.append(F.struct(_dot_expr(vd, lit_c).alias("d"),
+                                F.lit(-j).alias("nj")))
+    return F.array(*entries)
+
+
+def ivf_cell_expr(centroids: np.ndarray, vec_col):
+    """embedding → int cell id: argmax_j dot(v, centroid_j), ties to
+    the smallest j. Pure Catalyst (same deterministic JVM left-fold
+    dot as ``cosine_expr``), whole-stage codegen'd — the corpus-side
+    assignment is a map-side pass with NO shuffle and no Python."""
+    from pyspark.sql import functions as F
+
+    best = F.array_max(_cell_entries(centroids, vec_col))
+    return (-best["nj"]).cast("int")
+
+
+def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
+                 nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64, seed: int = 7):
+    """IVF-Flat approximate top-k (the inverted-file counterpart to
+    ``ann_lsh_topk``): corpus vectors are assigned to their nearest of
+    ``nlist`` coarse centroids map-side; each query probes its
+    ``nprobe`` nearest cells and evaluates exact cosine only against
+    those cells' members. Returns (query_id, neighbor_id, rank,
+    cos_sim).
+
+    Scale shape (10^9 vectors, trained centroids, nlist ≈ √n): cell
+    assignment is embarrassingly parallel; the candidate join is
+    hash-partitioned on ``cell`` so each probe touches ~n/nlist of the
+    corpus; the query side is tiny and broadcast. nprobe is the
+    recall/cost dial — recall vs ``cosine_topk`` is asserted in
+    tests/test_training_ops."""
+    from pyspark.sql import Window, functions as F
+
+    cents = ivf_centroids(dim, nlist, seed)
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        ivf_cell_expr(cents, F.col(vec_col)).alias("cell"))
+    # query side: rank ALL cells by dot desc (ties → smallest j) and
+    # keep the first nprobe. reverse(array_sort) on struct(d, nj)
+    # gives exactly that order; queries ≪ corpus so this stays tiny.
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.slice(F.reverse(F.array_sort(_cell_entries(cents, F.col(vec_col)))),
+                1, nprobe).alias("_probes"))
+    q = q.select("query_id", "qv",
+                 F.explode(F.transform("_probes", lambda s: (-s["nj"]).cast("int")))
+                  .alias("cell"))
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

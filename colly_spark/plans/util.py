@@ -118,3 +118,29 @@ def to_spark_corpus(spark, tables: dict) -> dict:
         records = pdf.where(pd.notnull(pdf), None).to_dict("records")
         out[name] = spark.createDataFrame(records, schema=schemas[name])
     return out
+
+
+def ship_package(spark) -> None:
+    """Ship the colly_spark package to executor Python workers — the
+    in-session equivalent of ``spark-submit --py-files colly_spark.zip``.
+    Needed whenever the driver's cwd is not the repo root (pandas UDFs
+    import colly_spark inside the worker). Idempotent per context."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_colly_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"colly_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for r, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(r, f)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zip_path)
+    sc._colly_pkg_shipped = True

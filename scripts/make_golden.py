@@ -124,8 +124,55 @@ def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
     print(f"image_phash: {len(rows)} rows")
 
 
+def make_images_meta(n: int = 512, seed: int = 99) -> None:
+    """Deterministic image-metadata INPUT table for the
+    `image_corpus_filter` query (NOT an expected-output golden): varied
+    (w, h, fmt, caption, phash) with deliberate degenerate rows — tiny
+    images, extreme aspect ratios, blank/short captions, undecodable
+    formats, exact phash duplicates — so every filter clause and the
+    keep-min dedup are exercised. Both engines read this file and
+    compute the filter independently."""
+    import random
+
+    rng = random.Random(seed)
+    words = ("a sunny beach photo of two dogs playing with red ball near "
+             "old wooden pier at golden sunset light").split()
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.10:          # tiny
+            w, h = rng.choice((8, 16, 32, 48)), rng.choice((8, 16, 32, 48))
+        elif kind < 0.20:        # extreme aspect (banners/sprites)
+            w, h = rng.choice((64, 1024, 2048)), rng.choice((8, 16, 32))
+            if rng.random() < 0.5:
+                w, h = h, w
+        else:
+            w, h = rng.choice((64, 128, 256, 512, 1024)), rng.choice(
+                (64, 128, 256, 512, 768))
+        fmt = rng.choice(("png", "jpeg", "jpeg", "webp", "gif", "bmp", "avif"))
+        n_tok = rng.choice((0, 1, 2, 3, 4, 6, 8, 12))
+        caption = " ".join(rng.choice(words) for _ in range(n_tok))
+        if rng.random() < 0.05:
+            caption = "   " + caption + "  "   # whitespace padding
+        if rows and rng.random() < 0.12:       # exact phash duplicate
+            phash = rows[rng.randrange(len(rows))]["phash"]
+        else:
+            phash = _signed(rng.getrandbits(64))
+        rows.append(dict(image_id=f"img{i:08d}", w=np.int32(w), h=np.int32(h),
+                         fmt=fmt, caption=caption, phash=phash))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("caption", pa.string()), ("phash", pa.int64()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "images_meta.parquet"))
+    print(f"images_meta: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
     make_image_decode()
     make_image_phash()
+    make_images_meta()

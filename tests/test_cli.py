@@ -1,0 +1,56 @@
+"""CLI surface (cmd/colly/colly.go re-expressed): scaffold generation
+and the end-to-end crawl subcommand (which is also the spark-submit
+--py-files entry path — the subprocess runs from a foreign cwd, so the
+executor-side package shipping is exercised too)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_new_scaffold_compiles(tmp_path):
+    from colly_spark.__main__ import main
+
+    out = tmp_path / "scraper.py"
+    rc = main(["new", str(out), "--callbacks", "html,request,response,error",
+               "--hosts", "a.test,b*.test"])
+    assert rc == 0
+    text = out.read_text()
+    compile(text, str(out), "exec")  # must be valid Python
+    assert "allowed_domain_globs=('a.test', 'b*.test',)" in text
+    assert "OnHTML" in text and "OnError" in text
+
+
+def test_new_scaffold_stdout(capsys):
+    from colly_spark.__main__ import main
+
+    assert main(["new"]) == 0
+    text = capsys.readouterr().out
+    compile(text, "<scaffold>", "exec")
+
+
+def test_crawl_subcommand_end_to_end(tmp_path):
+    """Fixture crawl from a foreign cwd: summary JSON printed, sinks
+    written, and the trace re-readable with the expected columns."""
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "colly_spark", "crawl", "http://d00.test/",
+         "--fixture-corpus", "--state-dir", str(tmp_path / "state"),
+         "--out", str(tmp_path / "out"), "--max-depth", "2",
+         "--cpus", "4", "--shuffle-partitions", "8"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["fetched"] > 0 and summary["batches"] >= 2
+    import pyarrow.parquet as pq
+    import glob as _glob
+    files = _glob.glob(str(tmp_path / "out" / "trace" / "*.parquet"))
+    assert files
+    cols = set(pq.read_table(files[0]).column_names)
+    assert {"batch", "seq", "url", "status", "method"} <= cols

@@ -127,6 +127,33 @@ def test_ann_multiprobe_recall_not_worse(spark):
     assert r_multi >= 0.8
 
 
+def test_ann_ivf_recall(spark):
+    """IVF-Flat with nprobe=4/16 cells must retrieve most true top-5
+    neighbors on clustered data, and in-cell sims must equal the exact
+    path's sims (same cosine expression)."""
+    from colly_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(64) * 0.2
+        rows.append((i, [float(x) for x in v], i % 10))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF recall too low on clustered data: {recall}"
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cos_sim"] == exact_sims[key]
+
+
 def test_multimodal_roundtrip(spark):
     from colly_spark.operators.multimodal import (decode_meta, resize_nearest,
                                                   synthesize_images)
@@ -214,3 +241,27 @@ def test_lsh_buckets_deterministic(spark, near_dup_docs):
     a = sorted(map(tuple, lsh_buckets(near_dup_docs).collect()))
     b = sorted(map(tuple, lsh_buckets(near_dup_docs).collect()))
     assert a == b
+
+
+def test_image_corpus_filter_clauses(spark):
+    """Each admission clause independently rejects its degenerate class,
+    and the phash keep-min drops exact perceptual duplicates."""
+    from colly_spark.operators.multimodal import image_corpus_filter
+
+    rows = [
+        # image_id, w, h, fmt, caption, phash
+        ("img0", 256, 256, "png", "three token caption", 1),     # keeps
+        ("img1", 32, 256, "png", "three token caption", 2),      # tiny side
+        ("img2", 1024, 64, "png", "three token caption", 3),     # aspect 16
+        ("img3", 256, 256, "gif", "three token caption", 4),     # fmt
+        ("img4", 256, 256, "jpeg", "two tokens", 5),             # caption
+        ("img5", 256, 256, "jpeg", "   ", 6),                    # blank caption
+        ("img6", 256, 256, "webp", "dup of img0 pixels here", 1),  # phash dup
+        ("img7", 128, 128, "jpeg", "another fine caption", 7),   # keeps
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string, phash long")
+    out = {r["image_id"]: r for r in image_corpus_filter(df).collect()}
+    assert set(out) == {"img0", "img7"}
+    assert out["img0"]["n_caption_tokens"] == 3
+    assert out["img0"]["megapixels"] == 0.0655
