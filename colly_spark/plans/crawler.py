@@ -170,33 +170,51 @@ def _count_nonhttp_errors(errors_dir: str) -> int:
 
 @dataclass
 class CrawlHandles:
-    """Lazy readers over the crawl's sink directories."""
+    """Lazy readers over the crawl's sink directories.
+
+    Every reader takes an optional ``as_of`` batch index — the
+    time-travel read of the Iceberg-snapshot model: each micro-batch
+    appends immutable ``batch_N[_tag]`` delta directories and the
+    MANIFEST commit point advances last, so "the crawl as of batch b"
+    is exactly the union of deltas with N ≤ b. ``snapshots()`` lists
+    the readable batch indices (Iceberg's snapshot log analogue)."""
     spark: object
     out_dir: str
     metrics: list = field(default_factory=list)
 
-    def _read(self, name, schema_key):
+    @staticmethod
+    def _batch_of(path: str) -> int:
+        # delta dirs are batch_N (sinks) or batch_N_<tag> (visited/
+        # cache/cookie marks, one per admission/redirect-hop phase)
+        return int(os.path.basename(path).split("_")[1])
+
+    def _paths(self, name, as_of=None):
         import glob as _glob
         paths = sorted(_glob.glob(os.path.join(self.out_dir, name, "batch_*")))
+        if as_of is not None:
+            paths = [p for p in paths if self._batch_of(p) <= as_of]
+        return paths
+
+    def _read(self, name, schema_key, as_of=None):
+        paths = self._paths(name, as_of)
         if not paths:
             return self.spark.createDataFrame([], _schemas()[schema_key])
         return self.spark.read.parquet(*paths)
 
-    def trace(self):
-        return self._read("trace", "trace")
+    def snapshots(self) -> list:
+        return sorted({self._batch_of(p) for p in self._paths("trace")})
 
-    def errors(self):
-        return self._read("errors", "error")
+    def trace(self, as_of=None):
+        return self._read("trace", "trace", as_of)
 
-    def images(self):
-        return self._read("images", "images")
+    def errors(self, as_of=None):
+        return self._read("errors", "error", as_of)
 
-    def visited(self):
-        import glob as _glob
-        paths = sorted(_glob.glob(os.path.join(self.out_dir, "visited", "batch_*")))
-        if not paths:
-            return self.spark.createDataFrame([], _schemas()["visited"])
-        return self.spark.read.parquet(*paths)
+    def images(self, as_of=None):
+        return self._read("images", "images", as_of)
+
+    def visited(self, as_of=None):
+        return self._read("visited", "visited", as_of)
 
 
 class Crawler:
