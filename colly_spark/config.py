@@ -108,6 +108,14 @@ class CrawlConfig:
     # stop at the first response — a 3xx is returned as the final
     # response, its target is never filtered/marked/fetched
     follow_redirects: bool = True
+    # ParseStatusCallback (config.go:20,65; PARSE_HTTP_ERROR_RESPONSE
+    # env setter config.go:164-173): the status gate that decides
+    # whether a response body is parsed. False = the default
+    # success-only gate (v2's status<203, colly.go:1185-1190); True =
+    # v3's parseErrorResponse (config.go:190) — ONLY status ≥ 400
+    # responses parse (the callback replaces the gate, it doesn't
+    # extend it).
+    parse_error_response: bool = False
     # micro-batch politeness window (the "simulated second" each
     # foreachBatch drain represents) + assumed per-request service time
     batch_window_ms: int = 1000
@@ -146,6 +154,71 @@ class CrawlConfig:
             if r.domain_glob and fnmatch.fnmatchcase(host, r.domain_glob):
                 return r
         return None
+
+    # --- environment configuration (env.go + EnvMap) ----------------------
+    @classmethod
+    def from_env(cls, env: dict | None = None, prefix: str = "COLLY_",
+                 dict_map: dict | None = None,
+                 base: "CrawlConfig | None" = None,
+                 warn=None) -> "CrawlConfig":
+        """Build a config from environment variables — env.go
+        NewEnvFromMap/NewEnvFromOS semantics (prefix filter + optional
+        key-translation dictionary) driving the EnvMap setters
+        (config.go:108-186). Unknown keys and unparsable values are
+        warned and skipped, matching the reference's
+        logError-and-continue behavior. ``env=None`` reads os.environ
+        (colly.go:1358 filters on the COLLY_ prefix)."""
+        import os as _os
+        from dataclasses import replace
+
+        if env is None:
+            env = dict(_os.environ)
+        dict_map = dict_map or {}
+        warn = warn or (lambda msg: None)
+        values = {}
+        for k, v in env.items():
+            if not k.startswith(prefix):
+                continue
+            key = k[len(prefix):]
+            values[dict_map.get(key, key)] = v
+
+        def to_bool(s):
+            t = s.strip().lower()
+            if t in ("1", "true", "t", "y", "yes", "on"):
+                return True
+            if t in ("0", "false", "f", "n", "no", "off"):
+                return False
+            raise ValueError(f"not a bool: {s!r}")
+
+        kw = {}
+        setters = {
+            "ALLOWED_DOMAINS": lambda v: kw.update(
+                allowed_domain_globs=tuple(v.split(","))),
+            "DISALLOWED_DOMAINS": lambda v: kw.update(
+                disallowed_domain_globs=tuple(v.split(","))),
+            "USER_AGENT": lambda v: kw.update(user_agent=v),
+            "IGNORE_ROBOTSTXT": lambda v: kw.update(ignore_robots=to_bool(v)),
+            "FOLLOW_REDIRECTS": lambda v: kw.update(follow_redirects=to_bool(v)),
+            "MAX_BODY_SIZE": lambda v: kw.update(max_body_size=int(v)),
+            "MAX_DEPTH": lambda v: kw.update(max_depth=int(v)),
+            "MAX_REVISIT": lambda v: kw.update(max_revisits=int(v)),
+            "PARSE_HTTP_ERROR_RESPONSE": lambda v: kw.update(
+                parse_error_response=to_bool(v)),
+            # CACHE_DIR (config.go:134-137): the reference attaches a
+            # filesystem cache at that dir; our cache lives in the
+            # crawl state dir, so any value just enables it
+            "CACHE_DIR": lambda v: kw.update(cache_enabled=True),
+        }
+        for key, val in values.items():
+            fn = setters.get(key)
+            if fn is None:
+                warn(f"unknown config key {key!r}")
+                continue
+            try:
+                fn(val)
+            except (ValueError, TypeError) as e:
+                warn(f"{key} error: {e}")
+        return replace(base, **kw) if base is not None else cls(**kw)
 
     # --- v3 labeled SubConfig surface (P3) --------------------------------
     # The reference's filter/config objects are labeled, removable, and

@@ -19,7 +19,9 @@ Semantics pinned to the reference:
   an AlreadyVisited hop aborts the request (colly.go:1306-1354,
   colly_test.go:682-712); max 10 hops (colly.go:1341-1343).
 - parse gate: extract links only when status < 203 (colly.go:1185-1190)
-  and Content-Type contains "html" (colly.go:1087).
+  and Content-Type contains "html" (colly.go:1087). With
+  ParseStatusCallback = parseErrorResponse (config.go:20,189-190) the
+  gate is REPLACED: only status ≥ 400 responses parse.
 - politeness: per-domain admission quota per micro-batch derived from
   the first-matching LimitRule (http_backend.go:134-149, 199-211) —
   quota = parallelism × window / (service + delay + E[rand]); deferred
@@ -273,9 +275,15 @@ class Simulator:
                                   hostname(final_url), status, method,
                                   referer, ua, proxy))
                 m["fetched"] += 1
-                if status >= 203 or method == "HEAD":
-                    if status >= 400:
-                        res.errors.append((canon, f"http_{status}"))
+                if status >= 400:
+                    res.errors.append((canon, f"http_{status}"))
+                # ParseStatusCallback gate (config.go:20,189-190): the
+                # callback REPLACES the gate — parse_error_response
+                # parses only status ≥ 400 (v3 parseErrorResponse);
+                # default is v2's success-only status < 203
+                gate = ((status >= 400) if self.cfg.parse_error_response
+                        else (status < 203))
+                if not gate or method == "HEAD":
                     # X4 store: every fresh sub-500 GET response is
                     # cached — including cookie-gate 403s and no-parse
                     # statuses (empty link/image replay)

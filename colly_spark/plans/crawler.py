@@ -805,6 +805,10 @@ class Crawler:
         out_schema = self.sch["done"]
 
         max_body = self.cfg.max_body_size
+        # ParseStatusCallback (config.go:20,189-190): the gate is
+        # REPLACED, not extended — parse_error_response=True parses
+        # only status ≥ 400
+        parse_err = self.cfg.parse_error_response
 
         def _parse(iterator):
             from colly_spark.operators.extract import decode_body, extract_page
@@ -818,7 +822,8 @@ class Crawler:
                     # (io.LimitReader over the gzip reader,
                     # http_backend.go:229-244)
                     body, ctype = decode_body(url, body, ctype, max_body)
-                    if status < 203 and method != "HEAD":
+                    gate = (status >= 400) if parse_err else (status < 203)
+                    if gate and method != "HEAD":
                         links, images = extract_page(url, body, ctype)
                     else:
                         links, images = [], []

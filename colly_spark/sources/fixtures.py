@@ -219,6 +219,17 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                  "<html><body>shared target</body></html>")
         # error page + disallowed + wildcard-query page + lone-%
         add_page(f"http://{host}/500", 500, "text/html", b"server error")
+        # custom 404 page WITH links (ParseStatusCallback scenario,
+        # config.go:189-190: parse_error_response extracts links from
+        # error responses only). Unreachable from page links —
+        # exercised by direct seeds only, so existing scenarios are
+        # untouched.
+        add_page(f"http://{host}/404", 404, "text/html; charset=utf-8",
+                 '<html><body>not found — try '
+                 '<a href="/page/1">page 1</a> or '
+                 '<a href="/allowed?q=1">search</a></body></html>',
+                 links=[urlnorm.resolve(f"http://{host}/404", "/page/1"),
+                        urlnorm.resolve(f"http://{host}/404", "/allowed?q=1")])
         add_page(f"http://{host}/disallowed", 200, "text/html; charset=utf-8", "<html><body>blocked by robots</body></html>")
         add_page(f"http://{host}/allowed?q=1", 200, "text/html; charset=utf-8", "<html><body>q</body></html>")
         add_page(f"http://{host}/100%25", 200, "text/html; charset=utf-8", "<html><body>percent</body></html>")

@@ -198,6 +198,16 @@ SCENARIOS = {
                         cache_ttl_batches=1),
         seeds=["http://d00.test/"],
     ),
+    # ParseStatusCallback = parseErrorResponse (config.go:189-190):
+    # ONLY status ≥ 400 responses parse — the /404 page's links are
+    # extracted and crawled (landing on 200 pages that do NOT parse),
+    # while the seed 200 page yields nothing
+    "parse_error_pages": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True,
+                        parse_error_response=True),
+        seeds=["http://d00.test/404", "http://d00.test/",
+               "http://d01.test/500"],
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(
