@@ -6,18 +6,17 @@ decode, pixel validation, PSNR — come from ``BASELINE.json``
 input_hint: "decoded-pixel allclose (PSNR≥40dB for lossy) + caption
 equality".
 
-This container has no PIL/libjpeg, so:
+This container has no PIL/libjpeg, so both codecs are from scratch:
 
 - ``png``: a REAL minimal PNG codec (RGB8, filter 0) over stdlib zlib.
   Lossless → decoded pixels must match exactly.
-- ``jpeg``: the container cannot encode/decode real JPEG. We use a
-  clearly-marked deterministic stand-in lossy codec ("QNT1": per-channel
-  quantization to 6 bits + zlib) so the PSNR≥40dB validation path is
-  exercised with genuinely lossy bytes. 6-bit quantization ⇒ max error
-  4/2 per sample ⇒ PSNR ≈ 46dB — above the 40dB gate, below lossless.
-  In a real deployment swap ``encode_lossy``/``decode_lossy`` for
-  PIL/turbojpeg; the Spark-side plumbing (binary column, batch decode in
-  ``mapInPandas``, schema) is identical and is what we test.
+- ``jpeg``: a REAL from-scratch baseline JPEG (ITU-T T.81/JFIF) codec —
+  ``functions/jpeg.py`` — pure numpy, standard-decoder-compatible
+  output, decoder verified against libjpeg-produced files
+  (tests/test_jpeg.py). Default quality 98 keeps PSNR ≈ 45dB even on
+  the worst-case pure-noise fixture images (above the 40dB gate, below
+  lossless). The round-1 stand-in codec ("QNT1": 6-bit quantization +
+  zlib) remains readable for legacy payloads via magic sniffing.
 
 All decode paths are vectorized at the Arrow-batch level (one Python
 call per batch, numpy per image). ~100TB scale: images stay as opaque
@@ -89,18 +88,24 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
-def encode_lossy(pixels: np.ndarray) -> bytes:
-    """STAND-IN lossy codec (deterministic): quantize each channel to
-    the top ``_QNT_BITS`` bits (mid-rise reconstruction), zlib the
-    planes. Real deployments replace this with JPEG via PIL/turbojpeg —
-    the Spark plumbing is format-agnostic (opaque binary column)."""
+def encode_lossy(pixels: np.ndarray, quality: int = 98) -> bytes:
+    """Lossy encode = real baseline JPEG (functions/jpeg.py). Quality 98
+    keeps even pure-noise fixture images above the 40dB PSNR gate."""
+    from colly_spark.functions.jpeg import encode_jpeg
+
+    return encode_jpeg(pixels, quality=quality)
+
+
+def encode_qnt(pixels: np.ndarray) -> bytes:
+    """Round-1 legacy stand-in codec (deterministic 6-bit quantization +
+    zlib), kept so old parquet payloads remain decodable."""
     h, w, c = pixels.shape
     q = (pixels >> (8 - _QNT_BITS)).astype(np.uint8)
     header = _QNT_MAGIC + struct.pack(">HHB", w, h, _QNT_BITS)
     return header + zlib.compress(q.tobytes(), 6)
 
 
-def decode_lossy(data: bytes) -> np.ndarray:
+def decode_qnt(data: bytes) -> np.ndarray:
     if data[:4] != _QNT_MAGIC:
         raise ValueError("not a QNT1 payload")
     w, h, bits = struct.unpack(">HHB", data[4:9])
@@ -110,14 +115,24 @@ def decode_lossy(data: bytes) -> np.ndarray:
     return ((q.astype(np.uint16) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
 
 
+# back-compat alias (round-1 name)
+decode_lossy = decode_qnt
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    data = bytes(data)
     if fmt == "png":
         return decode_png(data)
     if fmt in ("jpeg", "jpg", "qnt"):
-        return decode_lossy(data)
+        # sniff: real JPEG (SOI marker) vs legacy QNT1 payloads
+        if data[:2] == b"\xFF\xD8":
+            from colly_spark.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(data)
+        return decode_qnt(data)
     raise NotImplementedError(
-        f"format {fmt!r}: real decoders (libjpeg/webp/avif) are not in this "
-        "container; plug PIL/turbojpeg here in deployment"
+        f"format {fmt!r}: webp/avif decoders are not in this container; "
+        "plug PIL/turbojpeg here in deployment (jpeg/png are native)"
     )
 
 
