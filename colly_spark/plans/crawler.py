@@ -928,14 +928,20 @@ class Crawler:
     # ---- the drive loop --------------------------------------------------
     def bootstrap(self, seeds) -> None:
         """Initialize crawl state from a seed list (submission order;
-        url strings or (url, method, body_bytes) tuples)."""
+        url strings, (url, method, body_bytes) tuples, or
+        (url, method, body_bytes, depth) tuples — the 4-ary form is
+        what a deserialized queue request carries, UnmarshalRequest
+        colly.go:560-587 preserving Depth)."""
         rows, next_seq = [], 0
         for s in seeds or []:
+            depth = 1
             if isinstance(s, str):
                 url, method, body = s, "GET", None
+            elif len(s) == 4:
+                url, method, body, depth = s
             else:
                 url, method, body = s
-            rows.append((next_seq, url, 1, method, body, None))
+            rows.append((next_seq, url, int(depth), method, body, None))
             next_seq += 1
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])

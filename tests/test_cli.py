@@ -54,3 +54,35 @@ def test_crawl_subcommand_end_to_end(tmp_path):
     assert files
     cols = set(pq.read_table(files[0]).column_names)
     assert {"batch", "seq", "url", "status", "method"} <= cols
+
+
+def test_crawl_requests_jsonl(tmp_path):
+    """--requests: serialized-request JSONL (queue wire format) seeds
+    the frontier with method/body/depth preserved."""
+    from colly_spark.functions.requests import marshal_request
+
+    reqfile = tmp_path / "reqs.jsonl"
+    reqfile.write_bytes(
+        marshal_request("http://d00.test/", depth=2) + b"\n"
+        + marshal_request("http://d01.test/submit", "POST", b"q=1") + b"\n")
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "colly_spark", "crawl",
+         "--requests", str(reqfile),
+         "--fixture-corpus", "--state-dir", str(tmp_path / "state"),
+         "--out", str(tmp_path / "out"), "--max-depth", "2",
+         "--cpus", "4", "--shuffle-partitions", "8"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import pyarrow.parquet as pq
+    import glob as _glob
+    files = _glob.glob(str(tmp_path / "out" / "trace" / "*.parquet"))
+    assert files
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    # the depth-2 GET seed crawls exactly itself (its links exceed
+    # max_depth); the POST seed appears with its method
+    d00 = tbl[tbl.url.str.startswith("http://d00.test")]
+    assert (d00.depth == 2).all() and len(d00) == 1
+    assert (tbl[tbl.url.str.contains("d01.test")].method == "POST").all()
