@@ -462,6 +462,126 @@ FROM d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_simhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: simhash fingerprints → exact
+    Hamming ≤ 3 pair graph via the Manku 4×16-bit banded join (pure
+    Catalyst, provably complete for k < bands) → connected components
+    by iterative min-label propagation (text_dedup.connected_components
+    — per-round equi-join + min-groupBy, localCheckpoint'ed labels, one
+    scalar convergence action). Returns every doc in a non-singleton
+    cluster with its canonical (min-id) cluster and the cluster size.
+    The oracle replays simhash in SQL bit arithmetic, brute-forces the
+    O(n²) Hamming join, and resolves components with a RECURSIVE CTE —
+    an independent fixpoint computation of the same partition."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import phash_near_dup_pairs
+    from colly_spark.operators.text_dedup import (connected_components,
+                                                  simhash_udf)
+
+    sim = _docs(spark, sf_dir).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash")).persist()
+    pairs = phash_near_dup_pairs(sim, k=3, id_col="doc_id",
+                                 phash_col="simhash")
+    cc = connected_components(sim.select("doc_id"), pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .filter(F.col("cluster_size") > 1)
+            .select("doc_id", "cluster_id", "cluster_size")
+            .orderBy("doc_id"))
+
+
+_Q_SIMHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE sim AS ({_Q_SIMHASH_SQL}),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM p),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM sim
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, sz.cluster_size
+FROM comp c JOIN sz USING (cluster_id)
+WHERE sz.cluster_size > 1
+ORDER BY c.doc_id
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document quota — the anti-domination pass of a
+    training pipeline (cap each source's contribution so no host
+    dominates the corpus): rank docs within source by doc_id, keep the
+    first 8. One shuffle on source; rank is a within-partition sort.
+    At crawl scale a skewed source is exactly one oversized partition —
+    the cap itself is the mitigation (rank ≤ N prunes in the sort), and
+    AQE splits skewed partitions for the ranking shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "source",
+                    F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= 8)
+            .orderBy("doc_id"))
+
+
+_Q_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rk
+  FROM documents) t
+WHERE rk <= 8
+ORDER BY doc_id
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-stable hash:
+    pmod(FNV-64a(doc_id), 1000) → <980 train, <990 val, else test —
+    the split survives recomputation, repartitioning and incremental
+    corpus growth (a doc never migrates). Map-side hash + one
+    aggregation; returns per-split doc and token totals."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.operators.text_quality import token_count_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(fnv64a_udf(F.col("doc_id").cast("string")), F.lit(1000))
+        .alias("bucket"),
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+    split = (F.when(F.col("bucket") < 980, "train")
+             .when(F.col("bucket") < 990, "val")
+             .otherwise("test"))
+    return (d.select(split.alias("split"), "n_tokens")
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("split"))
+
+
+_Q_DATASET_SPLIT_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  (({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 1000) + 1000) % 1000 AS bucket,
+                  len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+           FROM documents),
+s AS (SELECT CASE WHEN bucket < 980 THEN 'train'
+                  WHEN bucket < 990 THEN 'val'
+                  ELSE 'test' END AS split, n_tokens FROM h)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Document fingerprints by winnowing (Schleimer et al. SIGMOD'03,
     the MOSS algorithm): rolling FNV-64a over char 8-grams, 4-wide
@@ -1210,6 +1330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "simhash": q_simhash,
+        "simhash_clusters": q_simhash_clusters,
+        "domain_cap": q_domain_cap,
+        "dataset_split": q_dataset_split,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
@@ -1248,6 +1371,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash": _Q_SIMHASH_SQL,
+        "simhash_clusters": _Q_SIMHASH_CLUSTERS_SQL,
+        "domain_cap": _Q_DOMAIN_CAP_SQL,
+        "dataset_split": _Q_DATASET_SPLIT_SQL,
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),

@@ -38,7 +38,7 @@ QUERY_NAMES = [
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
     "region_revenue", "image_decode", "unmarshal_fields", "xpath_links",
     "embedding_dedup", "corpus_filter", "phash_near_dup", "image_corpus_filter",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "simhash_clusters", "domain_cap", "dataset_split",
 ]
 
 

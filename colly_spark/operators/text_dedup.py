@@ -318,3 +318,49 @@ def near_dup_pairs_minhash(df, id_col: str = "doc_id", text_col: str = "text",
     pairs = candidate_pairs(buckets)
     verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_k)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(vertices_df, pairs_df, id_col: str = "doc_id",
+                         a_col: str = "id_a", b_col: str = "id_b",
+                         max_iter: int = 25):
+    """Near-dup cluster assignment: connected components over a pair
+    graph by iterative min-label propagation. Returns (id_col,
+    cluster_id) for EVERY vertex, cluster_id = min member id.
+
+    Scale shape: edges are symmetrized once and persisted hash-
+    partitioned on src; each round is one equi-join + one min-groupBy
+    on the same key (AQE coalesces the tiny tail), and the label frame
+    is localCheckpoint'ed so the plan does not compound across rounds.
+    Rounds needed = graph diameter — near-dup graphs are
+    overwhelmingly tiny cliques/chains (diameter ≤ ~3); for adversarial
+    long-chain graphs swap the body for the large-star/small-star
+    rounds of Kiveris et al. (same join primitives, O(log n) rounds).
+    Convergence is detected by the strictly-decreasing sum of labels
+    (one scalar action per round, riding the same job)."""
+    from pyspark.sql import functions as F
+
+    sym = pairs_df.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")) \
+        .unionByName(pairs_df.select(F.col(b_col).alias("src"),
+                                     F.col(a_col).alias("dst")))
+    edges = sym.repartition("src").persist()
+    labels = vertices_df.select(F.col(id_col).alias("id"),
+                                F.col(id_col).cast("long").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["dst"] == labels["id"])
+               .groupBy("src").agg(F.min("label").alias("nmin")))
+        new = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+               .select(labels["id"],
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nmin"), F.col("label")))
+                       .alias("label")))
+        new = new.localCheckpoint(eager=True)
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))

@@ -265,3 +265,30 @@ def test_image_corpus_filter_clauses(spark):
     assert set(out) == {"img0", "img7"}
     assert out["img0"]["n_caption_tokens"] == 3
     assert out["img0"]["megapixels"] == 0.0655
+
+
+def test_connected_components_toy_graph(spark):
+    """Min-label propagation vs hand-computed components: a 4-chain,
+    a 2-clique, and two singletons — including label flow AGAINST edge
+    direction (symmetrization)."""
+    from colly_spark.operators.text_dedup import connected_components
+
+    v = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    p = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 5)], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in connected_components(v, p).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 30-vertex path needs many propagation rounds — the fixpoint
+    (and the convergence detector) must still land on one component."""
+    from colly_spark.operators.text_dedup import connected_components
+
+    n = 30
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    p = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                              "id_a long, id_b long")
+    out = connected_components(v, p, max_iter=40).collect()
+    assert {r.cluster_id for r in out} == {0} and len(out) == n
