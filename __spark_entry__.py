@@ -484,6 +484,9 @@ def q_simhash_clusters(spark, sf_dir):
     pairs = phash_near_dup_pairs(sim, k=3, id_col="doc_id",
                                  phash_col="simhash")
     cc = connected_components(sim.select("doc_id"), pairs)
+    # labels are localCheckpoint'ed inside connected_components, so the
+    # returned plan no longer references the signature frame
+    sim.unpersist()
     sizes = cc.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size"))
     return (cc.join(sizes, "cluster_id")

@@ -179,3 +179,26 @@ def test_truncated_stream_rejected():
     data = encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         decode_jpeg(data[: len(data) // 2])
+
+
+def test_roundtrip_property_random_dims():
+    """Property sweep: any (h, w) in [1, 40], any content class, the
+    codec round-trips with correct dims and bounded error (q=98 step
+    sizes bound per-coefficient error; 25dB is a loose floor that only
+    a codec bug would cross)."""
+    rng = np.random.default_rng(101)
+    for _ in range(25):
+        h = int(rng.integers(1, 41))
+        w = int(rng.integers(1, 41))
+        kind = rng.choice(["noise", "flat", "gradient"])
+        if kind == "noise":
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == "flat":
+            px = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(yy * 5) % 256, (xx * 5) % 256,
+                           ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=98))
+        assert out.shape == (h, w, 3), (h, w, kind)
+        assert psnr(px, out) >= 25.0, (h, w, kind, psnr(px, out))
