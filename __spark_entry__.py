@@ -1172,6 +1172,31 @@ GROUP BY r_name, c_mktsegment
 # ---------------------------------------------------------------------------
 
 
+_ENTRY_CRAWL_CACHE: dict = {}
+
+
+def _entry_crawl(spark):
+    """The flagship fixture drain (seed 42, 2 domains), memoized per
+    SparkSession so crawl_trace / crawl_events don't each re-run it.
+    Deterministic: repeated runs produce identical sinks."""
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.plans.crawler import Crawler
+    from colly_spark.plans.util import to_spark_corpus
+    from colly_spark.sources.fixtures import CorpusSpec, make_corpus
+
+    key = spark.sparkContext.applicationId
+    if key not in _ENTRY_CRAWL_CACHE:
+        corpus = to_spark_corpus(spark, make_corpus(
+            CorpusSpec(seed=42, n_domains=2, base_pages_per_domain=5, n_images=4)))
+        cfg = CrawlConfig(
+            max_depth=3, ignore_robots=False,
+            limit_rules=(LimitRule(domain_glob="*", delay_ms=50, parallelism=2),))
+        state = tempfile.mkdtemp(prefix="colly_entry_")
+        _ENTRY_CRAWL_CACHE[key] = Crawler(spark, corpus, cfg, state).run(
+            ["http://d00.test/", "http://d01.test/"])
+    return _ENTRY_CRAWL_CACHE[key]
+
+
 def q_crawl_trace(spark, sf_dir):
     """Flagship: full frontier drain over the deterministic synthetic
     corpus (seed 42) — canonicalize → filters → robots → Bloom+exact
@@ -1179,20 +1204,33 @@ def q_crawl_trace(spark, sf_dir):
     Returns the fetch trace (BFS per-domain FIFO order). Oracled
     against golden/crawl_trace.parquet, generated by the independent
     pure-Python simulator (scripts/make_golden.py)."""
-    from colly_spark.config import CrawlConfig, LimitRule
-    from colly_spark.plans.crawler import Crawler
-    from colly_spark.plans.util import to_spark_corpus
-    from colly_spark.sources.fixtures import CorpusSpec, make_corpus
+    return _entry_crawl(spark).trace().orderBy("batch", "host", "seq")
 
-    corpus = to_spark_corpus(spark, make_corpus(
-        CorpusSpec(seed=42, n_domains=2, base_pages_per_domain=5, n_images=4)))
-    cfg = CrawlConfig(
-        max_depth=3, ignore_robots=False,
-        limit_rules=(LimitRule(domain_glob="*", delay_ms=50, parallelism=2),))
-    state = tempfile.mkdtemp(prefix="colly_entry_")
-    handles = Crawler(spark, corpus, cfg, state).run(
-        ["http://d00.test/", "http://d01.test/"])
-    return handles.trace().orderBy("batch", "host", "seq")
+
+def q_crawl_events(spark, sf_dir):
+    """The v3 LoggerEvent stream (logger.go:27-32; logEvent sites
+    collector.go:102/143/177/225/286/408) as a declarative view over
+    the flagship drain's committed sinks — CrawlHandles.events().
+    Flattened to comparable typed columns; batch/seq are nulled on
+    html/error events because the independent simulator records those
+    without request ids. Oracled against golden/crawl_events.parquet
+    (scripts/make_golden.py derives the expected stream straight from
+    the simulator's trace/errors/images lists)."""
+    from pyspark.sql import functions as F
+
+    ev = _entry_crawl(spark).events()
+    is_tr = F.col("event_type").isin(
+        "request", "response_hdr", "response", "scraped")
+    out = ev.select(
+        F.when(is_tr, F.col("batch")).alias("batch"),
+        F.when(is_tr, F.col("seq")).alias("seq"),
+        F.col("level").cast("int").alias("level"),
+        F.col("event_type"),
+        F.col("url"),
+        F.element_at("values", F.lit("status_code")).cast("int").alias("status"),
+        F.when(F.col("event_type") == "error",
+               F.element_at("values", F.lit("kind"))).alias("kind"))
+    return out.orderBy("batch", "seq", "event_type", "url", "status", "kind")
 
 
 def q_image_decode(spark, sf_dir):
@@ -1278,6 +1316,12 @@ SELECT image_id, w, h, fmt, phash, decode_ok
 FROM '{_REPO}/golden/image_decode.parquet'
 """
 
+_Q_CRAWL_EVENTS_SQL = f"""
+SELECT batch, seq, level, event_type, url, status, kind
+FROM '{_REPO}/golden/crawl_events.parquet'
+ORDER BY batch, seq, event_type, url, status, kind
+"""
+
 
 # ---------------------------------------------------------------------------
 # contract surface
@@ -1351,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "region_revenue": q_region_revenue,
         "crawl_trace": q_crawl_trace,
+        "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
         "phash_near_dup": q_phash_near_dup,
         "image_corpus_filter": q_image_corpus_filter,
@@ -1397,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         # binary codecs aren't ANSI-SQL-expressible, so the golden file
         # IS the oracle and DuckDB just reads it
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
+        "crawl_events": _Q_CRAWL_EVENTS_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,

@@ -216,6 +216,76 @@ class CrawlHandles:
     def visited(self, as_of=None):
         return self._read("visited", "visited", as_of)
 
+    # logging levels — logger.go:60-66 (LOG_DEBUG..LOG_FATAL)
+    LOG_DEBUG, LOG_INFO, LOG_WARN, LOG_ERR, LOG_FATAL = 0, 1, 2, 3, 4
+
+    def events(self, as_of=None, min_level: int = 0):
+        """The v3 logger-event stream (collector.go:102-412 logEvent
+        sites; LoggerEvent logger.go:27-32), derived DECLARATIVELY from
+        the committed sinks — the crawl hot path pays nothing; the
+        event log is a view, recomputable for any ``as_of`` snapshot.
+
+        One row per event: (batch, seq, level, event_type, url, values)
+        with the reference's per-request emission order —
+
+          request(INFO, {url})                         collector.go:102
+          response_hdr(INFO; WARN if status ≥ 300,
+                       {url, status_code})             collector.go:143
+          response(INFO, error-gate-passing only)      collector.go:177
+          html(INFO per extracted element,
+               {selector, url})                        collector.go:286
+          error(WARN, {url, kind})                     collector.go:225
+          scraped(INFO, error-gate-passing only)       collector.go:408
+
+        ``response``/``scraped`` fire for every request that clears the
+        error gate (colly.go:685-710 returns before handleOnResponse on
+        error; status < 203 default, method NOT checked — HEAD included),
+        matching handleOnError's success condition (collector.go:218).
+        ``event_ord`` inside values is not needed — order within a seq
+        is total by (seq, level-site ordinal) via the ``ord`` column."""
+        from pyspark.sql import functions as F
+
+        t = self.trace(as_of)
+        parse_gate = F.col("status") < 203
+        m_url = F.create_map(F.lit("url"), F.col("url"))
+        m_status = F.create_map(
+            F.lit("url"), F.col("url"),
+            F.lit("status_code"), F.col("status").cast("string"))
+
+        def _ev(df, ord_, level, typ, values):
+            return df.select(
+                F.col("batch"), F.col("seq"), F.lit(ord_).alias("ord"),
+                level.alias("level") if hasattr(level, "alias")
+                else F.lit(level).alias("level"),
+                F.lit(typ).alias("event_type"),
+                F.col("url"), values.alias("values"))
+
+        hdr_level = (F.when(F.col("status") >= 300, F.lit(self.LOG_WARN))
+                     .otherwise(F.lit(self.LOG_INFO)))
+        events = _ev(t, 0, self.LOG_INFO, "request", m_url) \
+            .unionByName(_ev(t, 1, hdr_level, "response_hdr", m_status)) \
+            .unionByName(_ev(t.filter(parse_gate), 2, self.LOG_INFO,
+                             "response", m_status))
+        imgs = self.images(as_of).select(
+            F.col("batch"), F.lit(None).cast("long").alias("seq"),
+            F.lit(3).alias("ord"), F.lit(self.LOG_INFO).alias("level"),
+            F.lit("html").alias("event_type"),
+            F.col("page_url").alias("url"),
+            F.create_map(F.lit("selector"), F.lit("img[src]"),
+                         F.lit("url"), F.col("page_url")).alias("values"))
+        errs = self.errors(as_of).select(
+            F.col("batch"), F.col("seq"), F.lit(4).alias("ord"),
+            F.lit(self.LOG_WARN).alias("level"),
+            F.lit("error").alias("event_type"), F.col("url"),
+            F.create_map(F.lit("url"), F.col("url"),
+                         F.lit("kind"), F.col("kind")).alias("values"))
+        events = (events.unionByName(imgs).unionByName(errs)
+                  .unionByName(_ev(t.filter(parse_gate), 5, self.LOG_INFO,
+                                   "scraped", m_url)))
+        return (events.filter(F.col("level") >= min_level)
+                .orderBy("batch", "seq", "ord")
+                .drop("ord"))
+
 
 class Crawler:
     def __init__(self, spark, corpus: dict | None, cfg: CrawlConfig,

@@ -73,6 +73,56 @@ def make_crawl_trace() -> None:
     print(f"crawl_trace: {len(rows)} rows")
 
 
+def make_crawl_events() -> None:
+    """Expected LoggerEvent stream for `crawl_events`, derived straight
+    from the independent simulator's trace/errors/images lists by the
+    reference's logEvent site list (collector.go:102 request, :143
+    response_hdr WARN-on-≥300, :177 response, :225 error, :286 html,
+    :408 scraped; error gate colly.go:685-710 = status < 203) — NOT by
+    the engine's events() view. batch/seq are null on html/error rows
+    (the simulator records those without request ids)."""
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.oracle.simulator import Simulator
+    from colly_spark.sources.fixtures import CorpusSpec, make_corpus
+
+    INFO, WARN = 1, 2
+    corpus = make_corpus(CorpusSpec(seed=42, n_domains=2,
+                                    base_pages_per_domain=5, n_images=4))
+    cfg = CrawlConfig(
+        max_depth=3, ignore_robots=False,
+        limit_rules=(LimitRule(domain_glob="*", delay_ms=50, parallelism=2),))
+    res = Simulator(corpus, cfg).run(["http://d00.test/", "http://d01.test/"])
+
+    rows = []
+
+    def ev(batch, seq, level, typ, url, status=None, kind=None):
+        rows.append(dict(batch=batch, seq=seq, level=level, event_type=typ,
+                         url=url, status=status, kind=kind))
+
+    for (batch, seq, url, _final, _depth, _host, status, _method,
+         _referer, _ua, _proxy) in res.trace:
+        ev(batch, seq, INFO, "request", url)
+        ev(batch, seq, WARN if status >= 300 else INFO, "response_hdr",
+           url, status=status)
+        if status < 203:
+            ev(batch, seq, INFO, "response", url, status=status)
+            ev(batch, seq, INFO, "scraped", url)
+    for (page_url, _img_url, _img_id, _caption) in res.images:
+        ev(None, None, INFO, "html", page_url)
+    for (url, kind) in res.errors:
+        ev(None, None, WARN, "error", url, kind=kind)
+
+    schema = pa.schema([
+        ("batch", pa.int32()), ("seq", pa.int64()), ("level", pa.int32()),
+        ("event_type", pa.string()), ("url", pa.string()),
+        ("status", pa.int32()), ("kind", pa.string()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "crawl_events.parquet"))
+    print(f"crawl_events: {len(rows)} rows")
+
+
 def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
     # plain-Python replica of multimodal.synthesize_images → decode_meta
     from colly_spark.functions.images import (decode_image, encode_lossy,
@@ -173,6 +223,7 @@ def make_images_meta(n: int = 512, seed: int = 99) -> None:
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
+    make_crawl_events()
     make_image_decode()
     make_image_phash()
     make_images_meta()
