@@ -1039,6 +1039,44 @@ SELECT doc_id, '//li/text()', 1, source FROM documents
 """
 
 
+def q_callback_fires(spark, sf_dir):
+    """E4-v3 positioned-callback firing order (event.go:234-358,
+    collector.go:279-301): an EventCallbacks registry with an
+    explicitly positioned (-1) callback drives `apply_on_html` over the
+    synthesized HTML; the oracle states every firing — selector
+    registration order, per-selector document order with running index,
+    per-element ascending-position callback order — analytically."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.callbacks import (ON_HTML, EventCallbacks,
+                                                 apply_on_html)
+
+    cbs = EventCallbacks()
+    cbs.add(ON_HTML, "li", {"name": "item_text", "kind": "text"})
+    cbs.add(ON_HTML, "li", {"name": "item_tag", "kind": "html"}, index=-1)
+    cbs.add(ON_HTML, "a[rel=canonical]",
+            {"name": "href", "kind": "attr", "attr": "href"})
+    d = _docs(spark, sf_dir).select("doc_id", _doc_html_col().alias("html"))
+    return (apply_on_html(d, cbs, text_col="html", key_cols=("doc_id",))
+            .select("doc_id", "fire_seq", "selector",
+                    F.col("index").alias("idx"), "callback", "value"))
+
+
+_Q_CALLBACK_FIRES_SQL = """
+SELECT doc_id, 0 AS fire_seq, 'li' AS selector, 0 AS idx,
+       'item_tag' AS callback, 'li' AS value FROM documents
+UNION ALL
+SELECT doc_id, 1, 'li', 0, 'item_text', doc_id::VARCHAR FROM documents
+UNION ALL
+SELECT doc_id, 2, 'li', 1, 'item_tag', 'li' FROM documents
+UNION ALL
+SELECT doc_id, 3, 'li', 1, 'item_text', source FROM documents
+UNION ALL
+SELECT doc_id, 4, 'a[rel=canonical]', 0, 'href', '/doc/' || doc_id
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # events / relational (scheduler metrics shapes)
 # ---------------------------------------------------------------------------
@@ -1401,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": q_image_corpus_filter,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
+        "callback_fires": q_callback_fires,
     }.items()}
 
 
@@ -1448,4 +1487,5 @@ def oracle_sql() -> dict[str, str]:
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
+        "callback_fires": _Q_CALLBACK_FIRES_SQL,
     }
