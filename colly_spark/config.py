@@ -96,6 +96,13 @@ class CrawlConfig:
     # chosen UA drives robots UA-group selection per request. Empty →
     # the fixed user_agent above.
     user_agents: tuple = ()
+    # SetCustomHeaders / HeaderCallback (config.go:20-23, 282-292;
+    # applied to every page request in scrape(), colly.go:598-606):
+    # common headers attached to each live fetch. A User-Agent entry
+    # here suppresses the per-request UA pick — the reference sets UA
+    # only when the header is absent (colly.go:608-610). robots.txt
+    # fetches are a bare client Get (colly.go:799) and skip these.
+    custom_headers: tuple = ()  # tuple[(name, value), ...]
     # ProxyFunc seam (proxy/proxy.go:27-58 round-robin switcher,
     # per-request proxy recorded in ctx colly.go:682-684): non-empty →
     # proxy = proxies[seq % len], recorded in the trace. No network in

@@ -224,23 +224,31 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
 
 
 def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
-               proxy, connect_addr, max_read, retries, backoff_s):
+               proxy, connect_addr, max_read, retries, backoff_s,
+               base_headers=None):
     """One request → dict of _RESPONSE_FIELDS values, applying the
-    retry policy (network errors only; Cookie dropped on re-attempts,
-    request.go:191-193)."""
+    retry policy (network errors only; the jar Cookie is dropped on
+    re-attempts, request.go:191-193 — custom headers persist).
+
+    ``base_headers`` are the config's common headers (SetCustomHeaders
+    config.go:282-292); User-Agent is added only when they don't carry
+    one (colly.go:608-610), and the jar cookie overrides any custom
+    Cookie for the first attempt (http.Client jar semantics)."""
     import time
 
-    headers = {"User-Agent": ua or ""}
-    if cookie:
-        headers["Cookie"] = cookie
+    base = dict(base_headers or {})
     for attempt in range(retries + 1):
+        headers = dict(base)
+        if not any(k.lower() == "user-agent" for k in headers):
+            headers["User-Agent"] = ua or ""
+        if cookie and attempt == 0:
+            headers["Cookie"] = cookie
         try:
             return _request_once(conns, url, method, body_req, headers,
                                  proxy, connect_addr, max_read)
         except Exception:
             if attempt >= retries:
                 break
-            headers.pop("Cookie", None)  # Retry() drops the jar header
             time.sleep(backoff_s * (2 ** attempt))
     # refused / timeout / DNS / protocol garbage → the "missing"
     # channel (ERR_MISSING), exactly like a corpus-join miss
@@ -338,6 +346,7 @@ class HttpFetchSource:
         threads, max_read = self.threads_per_task, self.max_read_bytes
         retries, backoff_s = self.retries, self.retry_backoff_s
         ssl_cafile, ssl_insecure = self.ssl_cafile, self.ssl_insecure
+        custom_headers = dict(getattr(self.cfg, "custom_headers", ()) or ())
 
         def _fetch_batch(iterator):
             import concurrent.futures
@@ -353,7 +362,8 @@ class HttpFetchSource:
                             bytes(body_req) if body_req is not None else None,
                             ua, cookie if isinstance(cookie, str) else None,
                             proxy if isinstance(proxy, str) else None,
-                            connect_addr, max_read, retries, backoff_s)
+                            connect_addr, max_read, retries, backoff_s,
+                            custom_headers)
                         for cur, method, body_req, ua, cookie, proxy in zip(
                             pdf["cur"], pdf["method"], pdf["body_req"],
                             pdf["_ua"], pdf["_cookie"], pdf["_proxy"])]

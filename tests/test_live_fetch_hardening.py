@@ -335,3 +335,65 @@ def test_live_post_bodies_reach_the_wire(spark, tmp_state):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+class _HeaderRecordingHandler(BaseHTTPRequestHandler):
+    """Records every request's header list per path on the server."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args):
+        pass
+
+    def do_GET(self):
+        with self.server.lock:
+            self.server.seen.setdefault(self.path, []).append(
+                [(k, v) for k, v in self.headers.items()])
+        body = b"<html>ok</html>"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def header_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _HeaderRecordingHandler)
+    srv.daemon_threads = True
+    srv.lock = threading.Lock()
+    srv.seen = {}
+    _serve(srv)
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_custom_headers_on_the_wire(spark, header_server):
+    """SetCustomHeaders (config.go:282-292): common headers reach the
+    socket on every request, and the default UA is still added."""
+    addr = f"127.0.0.1:{header_server.server_address[1]}"
+    cfg = CrawlConfig(user_agent="cfg-ua",
+                      custom_headers=(("X-Api-Key", "k1"),
+                                      ("Accept-Language", "en")))
+    src = HttpFetchSource(cfg, connect_addr=addr, timeout_s=10.0)
+    out = src.lookup(_frontier(spark, ["http://hh.test/p"])).collect()
+    assert out[0]["status"] == 200
+    hdrs = dict(header_server.seen["/p"][0])
+    assert hdrs["X-Api-Key"] == "k1"
+    assert hdrs["Accept-Language"] == "en"
+    assert hdrs["User-Agent"] == "cfg-ua"
+
+
+def test_custom_user_agent_header_wins(spark, header_server):
+    """A User-Agent entry in custom headers suppresses the per-request
+    UA pick — colly.go:608-610 sets UA only when absent."""
+    addr = f"127.0.0.1:{header_server.server_address[1]}"
+    cfg = CrawlConfig(user_agent="cfg-ua", user_agents=("pool-a", "pool-b"),
+                      custom_headers=(("User-Agent", "pinned-ua"),))
+    src = HttpFetchSource(cfg, connect_addr=addr, timeout_s=10.0)
+    out = src.lookup(_frontier(spark, ["http://hh.test/q"])).collect()
+    assert out[0]["status"] == 200
+    sent = header_server.seen["/q"][0]
+    uas = [v for k, v in sent if k.lower() == "user-agent"]
+    assert uas == ["pinned-ua"]
