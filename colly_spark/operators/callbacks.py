@@ -161,10 +161,15 @@ def _fire_rows(text: str, plan: list[tuple[str, list]]) -> list[dict]:
     """One parse, then the handleOnHTML loop (collector.go:279-301):
     per selector → matched elements in document order with running
     index → each registered spec in position order. A spec is a dict
-    {name, kind, attr?}: kind 'text' captures element text, 'attr'
-    captures attrs[attr], 'html' the tag name (smoke/value-free
-    callbacks)."""
+    {name, kind, attr?, query?}: kind 'text' captures element text,
+    'attr' captures attrs[attr], 'html' the tag name, and the
+    element-accessor kinds 'child_text'/'child_texts'/'child_attr'/
+    'child_attrs' (element.go:86-121) run the spec's ``query``
+    (CSS) against the matched element — what a reference callback
+    does by calling e.ChildText(...); multi-valued accessors join
+    with ','."""
     from colly_spark.operators.dom import parse_dom, select
+    from colly_spark.operators.element import HTMLElement
 
     root = parse_dom(text or "")
     rows: list[dict] = []
@@ -177,6 +182,17 @@ def _fire_rows(text: str, plan: list[tuple[str, list]]) -> list[dict]:
                     value = n.attrs.get(spec.get("attr", ""), None)
                 elif kind == "html":
                     value = n.tag
+                elif kind == "child_text":
+                    value = HTMLElement(n, idx).child_text(spec.get("query", ""))
+                elif kind == "child_texts":
+                    value = ",".join(
+                        HTMLElement(n, idx).child_texts(spec.get("query", "")))
+                elif kind == "child_attr":
+                    value = HTMLElement(n, idx).child_attr(
+                        spec.get("query", ""), spec.get("attr", ""))
+                elif kind == "child_attrs":
+                    value = ",".join(HTMLElement(n, idx).child_attrs(
+                        spec.get("query", ""), spec.get("attr", "")))
                 else:
                     value = n.text().strip()
                 rows.append(dict(fire_seq=fire_seq, selector=sel, index=idx,
