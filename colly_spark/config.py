@@ -77,6 +77,16 @@ class CrawlConfig:
     # batch index is the engine's deterministic logical clock)
     cache_enabled: bool = False
     cache_ttl_batches: int = 0
+    # v3 expiry policies (cache.go:153-211): "duration" = TTL above
+    # (0 falls back to never — the reference's NewCacheExpiryByDuration
+    # requires a positive duration); "never" = cacheExpNever; "date" =
+    # cacheExpByDate, every entry invalid once the logical clock
+    # reaches cache_expire_at_batch. The by-header policy's seam is the
+    # c_created/c_expiry pair — at live deployment the stored expiry
+    # comes from Cache-Control/Expires (response.go:108-149) instead of
+    # config.
+    cache_expiry_policy: str = "duration"  # "duration" | "never" | "date"
+    cache_expire_at_batch: int = 0
     # F9 per-request abort (Request.Abort() in OnRequest,
     # colly.go:655-657 / request.go:123-125): admitted requests whose
     # URL matches any of these regexes are dropped AFTER the seen-mark

@@ -547,10 +547,16 @@ class Crawler:
 
         if not self.cfg.cache_enabled or not self._cache_paths:
             return None
+        policy = getattr(self.cfg, "cache_expiry_policy", "duration")
+        if policy == "date" and self.cfg.cache_expire_at_batch > 0 \
+                and batch >= self.cfg.cache_expire_at_batch:
+            # cacheExpByDate (cache.go:185-199): every entry is invalid
+            # once the logical clock passes the fixed cutoff
+            return None
         self._cache_rows = sum(_parquet_rows(p) for p in self._cache_paths)
         df = self.spark.read.parquet(*self._cache_paths)
         ttl = self.cfg.cache_ttl_batches
-        if ttl > 0:
+        if policy == "duration" and ttl > 0:
             df = df.filter(F.col("c_created") + ttl > batch)
         w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -41,3 +41,32 @@ def test_cache_ttl_expiry(spark):
     # ttl=1: an entry created in batch b is invalid from batch b+1 on →
     # every revisit refetches
     assert sum(m.get("cache_hits", 0) for m in h.metrics) == 0
+
+
+def test_cache_expiry_never_ignores_ttl(spark):
+    """cacheExpNever (cache.go:204-211): the TTL is not consulted."""
+    corpus = bench_corpus(spark, 300, n_domains=4, hub_every=10)
+    cfg = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                      cache_enabled=True, cache_ttl_batches=1,
+                      cache_expiry_policy="never")
+    h = Crawler(spark, corpus, cfg, tempfile.mkdtemp()).run(
+        bench_seeds(8, n_domains=4))
+    assert sum(m.get("cache_hits", 0) for m in h.metrics) > 0
+
+
+def test_cache_expiry_by_date_cutoff(spark):
+    """cacheExpByDate (cache.go:185-199): every entry is invalid once
+    the logical clock reaches the fixed cutoff — hits before it, none
+    after, results unchanged either way."""
+    corpus = bench_corpus(spark, 300, n_domains=4, hub_every=10)
+    seeds = bench_seeds(8, n_domains=4)
+    base = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                       cache_enabled=True)
+    h_ref = Crawler(spark, corpus, base, tempfile.mkdtemp()).run(seeds)
+    from dataclasses import replace
+    cut = replace(base, cache_expiry_policy="date", cache_expire_at_batch=1)
+    h_cut = Crawler(spark, corpus, cut, tempfile.mkdtemp()).run(seeds)
+    assert _rows(h_ref) == _rows(h_cut)
+    # cutoff at batch 1: no batch ≥ 1 may replay from cache
+    assert sum(m.get("cache_hits", 0) for m in h_cut.metrics) == 0
+    assert sum(m.get("cache_hits", 0) for m in h_ref.metrics) > 0
