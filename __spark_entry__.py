@@ -1224,6 +1224,7 @@ def _entry_crawl(spark):
 
     key = spark.sparkContext.applicationId
     if key not in _ENTRY_CRAWL_CACHE:
+        _ensure_pkg(spark)
         corpus = to_spark_corpus(spark, make_corpus(
             CorpusSpec(seed=42, n_domains=2, base_pages_per_domain=5, n_images=4)))
         cfg = CrawlConfig(

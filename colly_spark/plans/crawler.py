@@ -216,6 +216,42 @@ class CrawlHandles:
     def visited(self, as_of=None):
         return self._read("visited", "visited", as_of)
 
+    def has_visited(self, url: str, body: bytes | None = None,
+                    as_of=None) -> bool:
+        """HasVisited / HasPosted (colly.go:501-509, checkHasVisited
+        colly.go:1370-1373): membership of canonicalize(url)‖body's
+        FNV-64a hash in the visited store. A driver-side parquet-footer
+        column scan — no Spark job (the visited delta files are the
+        store)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        from colly_spark.functions.urlnorm import canonicalize, request_hash
+
+        h = request_hash(canonicalize(url), body)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        for p in self._paths("visited", as_of):
+            for f in _glob.glob(os.path.join(p, "*.parquet")):
+                if h in pq.read_table(
+                        f, columns=["url_hash"]).column("url_hash").to_pylist():
+                    return True
+        return False
+
+    def has_posted(self, url: str, body: bytes, as_of=None) -> bool:
+        """HasPosted (colly.go:505-509) — the body participates in the
+        dedup key, so a POST with a different body is unvisited."""
+        return self.has_visited(url, body, as_of)
+
+    def summary(self) -> str:
+        """Collector.String() (colly.go:831-841) from the committed
+        per-batch metrics."""
+        reqs = sum(m.get("fetched", 0) for m in self.metrics)
+        errs = sum(m.get("errors", 0) for m in self.metrics)
+        return (f"Requests made: {reqs} ({reqs} responses) | "
+                f"Batches: {len(self.metrics)} | Errors: {errs}")
+
     # logging levels — logger.go:60-66 (LOG_DEBUG..LOG_FATAL)
     LOG_DEBUG, LOG_INFO, LOG_WARN, LOG_ERR, LOG_FATAL = 0, 1, 2, 3, 4
 

@@ -61,3 +61,21 @@ def test_as_of_matches_interrupted_run(spark, corpus_spark, tmp_path):
         seeds, max_batches=2)
     assert _rows(full.trace(as_of=1)) == _rows(part.trace())
     assert _rows(full.visited(as_of=1)) == _rows(part.visited())
+
+
+def test_has_visited_api(crawl):
+    """HasVisited (colly.go:501-509): seeds are marked, unknown URLs
+    are not, and the check respects as-of snapshots."""
+    assert crawl.has_visited("http://d00.test/")
+    assert crawl.has_visited("http://d00.test")  # canonicalized first
+    assert not crawl.has_visited("http://never.test/nope")
+    # a POST with a body is a different dedup key (HasPosted)
+    assert not crawl.has_posted("http://d00.test/", b"form-data")
+    # snapshot isolation: nothing was visited before any batch ran
+    first = crawl.snapshots()[0]
+    assert crawl.has_visited("http://d00.test/", as_of=first)
+
+
+def test_summary_string(crawl):
+    s = crawl.summary()
+    assert "Requests made:" in s and "Batches:" in s
