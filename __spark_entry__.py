@@ -585,6 +585,67 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-corpus
+    composition: per-source admission thresholds over the content-
+    stable FNV bucket (src0 at 90%, src1 at 50%, everything else at
+    25%) — a document's fate is a pure function of its id, so the
+    sample never flips under recomputation or corpus growth. Map-side
+    filter; scan-speed at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (stratified_sample(d, {"src0": 900, "src1": 500}, 250)
+            .orderBy("doc_id"))
+
+
+_Q_STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (SELECT doc_id, source,
+                  (({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 1000) + 1000) % 1000 AS bucket
+           FROM documents)
+SELECT doc_id, source FROM h
+WHERE bucket < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500
+                           ELSE 250 END
+ORDER BY doc_id
+"""
+
+
+def q_token_shards(spark, sf_dir):
+    """Greedy token-budget shard packing (the training-data layout
+    step): within each source, documents in doc_id order accumulate
+    into 256-token shards — shard = exclusive-prefix-sum ÷ budget. One
+    window per stratum = one shuffle; strata pack independently, so
+    1000 executors pack 1000 sources at once."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.sampling import token_shards
+    from colly_spark.operators.text_quality import token_count_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+    return (token_shards(d, budget=256)
+            .select("doc_id", "source", "n_tokens", "shard")
+            .orderBy("doc_id"))
+
+
+_Q_TOKEN_SHARDS_SQL = r"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS prefix_excl
+      FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(prefix_excl / 256.0) AS INTEGER) AS shard
+FROM p ORDER BY doc_id
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Document fingerprints by winnowing (Schleimer et al. SIGMOD'03,
     the MOSS algorithm): rolling FNV-64a over char 8-grams, 4-wide
@@ -1419,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q_simhash_clusters,
         "domain_cap": q_domain_cap,
         "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "token_shards": q_token_shards,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
@@ -1462,6 +1525,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_clusters": _Q_SIMHASH_CLUSTERS_SQL,
         "domain_cap": _Q_DOMAIN_CAP_SQL,
         "dataset_split": _Q_DATASET_SPLIT_SQL,
+        "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
+        "token_shards": _Q_TOKEN_SHARDS_SQL,
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),

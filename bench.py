@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "callback_fires",
     "embedding_dedup", "corpus_filter", "phash_near_dup", "image_corpus_filter",
     "winnow_fingerprints", "simhash_clusters", "domain_cap", "dataset_split",
+    "stratified_sample", "token_shards",
 ]
 
 

@@ -27,7 +27,7 @@ AUDIT = [
     "cosine_topk", "ann_lsh", "token_stats", "events_rollup", "sessionize",
     "lineitem_pricing", "region_revenue", "unmarshal_fields", "xpath_links",
     "domain_cap", "dataset_split", "phash_near_dup", "image_corpus_filter",
-    "callback_fires",
+    "callback_fires", "stratified_sample", "token_shards",
 ]
 
 

@@ -292,3 +292,49 @@ def test_connected_components_converges_on_long_chain(spark):
                               "id_a long, id_b long")
     out = connected_components(v, p, max_iter=40).collect()
     assert {r.cluster_id for r in out} == {0} and len(out) == n
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """A document's admission is a pure function of its id: sampling a
+    grown corpus preserves every earlier decision, and per-stratum
+    rates land near their thresholds."""
+    from colly_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    small = spark.createDataFrame(rows[:1000], "doc_id long, source string")
+    grown = spark.createDataFrame(rows, "doc_id long, source string")
+    th = {"s0": 800, "s1": 200}
+    keep_small = {r.doc_id for r in stratified_sample(small, th, 500).collect()}
+    keep_grown = {r.doc_id for r in stratified_sample(grown, th, 500).collect()}
+    assert keep_small == {d for d in keep_grown if d < 1000}
+    n0 = sum(1 for d in keep_grown if d % 2 == 0)
+    n1 = len(keep_grown) - n0
+    assert abs(n0 / 1000 - 0.8) < 0.05 and abs(n1 / 1000 - 0.2) < 0.05
+
+
+def test_token_shards_budget_property(spark):
+    """Shard ids replay the packing rule exactly (floor of the
+    exclusive prefix token sum ÷ budget per stratum in key order), a
+    shard's non-final documents span < one budget, and numbering is
+    contiguous from 0 per stratum."""
+    from colly_spark.operators.sampling import token_shards
+
+    rows = [(i, "s", 60 + (i * 37) % 90) for i in range(200)] + \
+           [(i, "t", 30 + (i * 17) % 50) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_shards(df, budget=256).collect()
+    # independent replay of the rule
+    expected, acc = {}, {}
+    for doc_id, src, tok in sorted(rows, key=lambda r: (r[1], r[0])):
+        pe = acc.get(src, 0)
+        expected[(src, doc_id)] = pe // 256
+        acc[src] = pe + tok
+    assert {(r.source, r.doc_id): r.shard for r in out} == expected
+    per = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        per.setdefault((r.source, r.shard), []).append(r.n_tokens)
+    for src in ("s", "t"):
+        shards = sorted(k[1] for k in per if k[0] == src)
+        assert shards == list(range(len(shards)))  # contiguous from 0
+    for toks in per.values():
+        assert sum(toks[:-1]) < 256  # only the last doc may cross
