@@ -119,6 +119,13 @@ class CrawlConfig:
     # the sandbox, so this is the ctx/bookkeeping seam the fetch UDF
     # inherits at deployment.
     proxies: tuple = ()
+    # DisableCookies (colly.go:981-985): jar off even when responses
+    # set cookies — no Cookie header sent, no Set-Cookie committed
+    disable_cookies: bool = False
+    # SetCookies (colly.go:1243-1253): jar entries seeded before the
+    # first request; tuple of (host, name, value). Later Set-Cookie
+    # responses for the same (host, name) override them.
+    initial_cookies: tuple = ()
     max_body_size: int = 10 * 1024 * 1024
     max_redirects: int = 10
     # D3 FollowRedirects=false (config.go:47, env colly.go:252-258):

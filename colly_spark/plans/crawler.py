@@ -244,6 +244,28 @@ class CrawlHandles:
         dedup key, so a POST with a different body is unvisited."""
         return self.has_visited(url, body, as_of)
 
+    def cookies(self, url_or_host: str) -> dict:
+        """Cookies(URL) (colly.go:1256-1268): the jar's current
+        name→value map for the URL's host — latest committed delta per
+        (host, name) wins. Driver-side pyarrow scan over the small
+        cookie deltas; no Spark job."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        host = url_or_host.split("://", 1)[-1].split("/", 1)[0]
+        latest: dict[str, tuple[int, str]] = {}
+        for p in self._paths("cookies"):
+            for f in _glob.glob(os.path.join(p, "*.parquet")):
+                t = pq.read_table(f).to_pylist()
+                for r in t:
+                    if r["c_host"] != host:
+                        continue
+                    cur = latest.get(r["c_name"])
+                    if cur is None or r["c_batch"] >= cur[0]:
+                        latest[r["c_name"]] = (r["c_batch"], r["c_value"])
+        return {k: v for k, (_, v) in latest.items()}
+
     def summary(self) -> str:
         """Collector.String() (colly.go:831-841) from the committed
         per-batch metrics."""
@@ -398,8 +420,16 @@ class Crawler:
         # visible to fetches from batch N+1 on (concurrent requests in
         # one politeness window don't see each other's Set-Cookie)
         self._cookie_paths: list = []
-        self._has_cookies = (True if self.live is not None
-                             else "set_cookie" in corpus["pages"].columns)
+        # server side: the corpus carries cookie routes (set_cookie /
+        # require_cookie columns) — enforced regardless of the client
+        # jar, exactly like a real server
+        self._corpus_cookie_routes = (
+            self.live is None and "set_cookie" in corpus["pages"].columns)
+        # client side: the jar. DisableCookies (colly.go:981-985) wins
+        # over everything; seeded entries (SetCookies) force it on
+        self._has_cookies = (not cfg.disable_cookies) and (
+            bool(cfg.initial_cookies)
+            or self.live is not None or self._corpus_cookie_routes)
         self._visited_rows = 0
         self._cache_rows = 0
         # live POST bodies: bodies enter the frontier only at bootstrap
@@ -768,7 +798,7 @@ class Crawler:
             page_cols = [
                 F.col("url").alias("_purl"), F.col("status"), F.col("content_type"),
                 F.col("body"), F.col("redirect_to"), F.col("image_id")]
-            if self._has_cookies:
+            if self._corpus_cookie_routes:
                 page_cols += [F.col("set_cookie"), F.col("require_cookie")]
             else:
                 page_cols += [F.lit(None).cast("string").alias("set_cookie"),
@@ -816,9 +846,11 @@ class Crawler:
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))
             hit = joined.filter(F.col("_purl").isNotNull()).drop("_purl")
-            if self._has_cookies and self.live is None:
-                # live servers enforce their own cookie requirements;
-                # the jar was already SENT with the request above
+            if self._corpus_cookie_routes:
+                # the corpus server enforces its cookie requirements
+                # whether or not the client jar is on (DisableCookies
+                # turns off the jar, not the server); live servers
+                # enforce their own — the jar was SENT above
                 hit = self._apply_cookie_gate(hit, jar)
             # D3 FollowRedirects=false: the 3xx IS the final response —
             # its target is never filtered, marked, or fetched
@@ -1064,6 +1096,17 @@ class Crawler:
         self._batch, self._next_seq = 0, next_seq
         self._n_frontier, self._n_pending = len(rows), 0
         self._metrics: list = []
+        if self.cfg.initial_cookies and self._has_cookies:
+            # SetCookies (colly.go:1243-1253): commit the seeded jar
+            # as a pre-crawl delta at logical batch -1 so any in-crawl
+            # Set-Cookie for the same (host, name) overrides it
+            ck_dir = os.path.join(self.state, "out", "cookies",
+                                  "batch_000000_seedjar")
+            self.spark.createDataFrame(
+                [(h, n, v, -1) for (h, n, v) in self.cfg.initial_cookies],
+                "c_host string, c_name string, c_value string, c_batch int"
+            ).coalesce(1).write.mode("overwrite").parquet(ck_dir)
+            self._cookie_paths.append(ck_dir)
 
     def load_state(self) -> None:
         """Load crawl state from the last committed manifest (resume)."""
