@@ -81,11 +81,12 @@ class CrawlConfig:
     # (0 falls back to never — the reference's NewCacheExpiryByDuration
     # requires a positive duration); "never" = cacheExpNever; "date" =
     # cacheExpByDate, every entry invalid once the logical clock
-    # reaches cache_expire_at_batch. The by-header policy's seam is the
-    # c_created/c_expiry pair — at live deployment the stored expiry
-    # comes from Cache-Control/Expires (response.go:108-149) instead of
-    # config.
-    cache_expiry_policy: str = "duration"  # "duration" | "never" | "date"
+    # reaches cache_expire_at_batch; "header" = cacheExpByHeader, the
+    # entry is valid until the expiry its own response provided
+    # (Cache-Control s-maxage/max-age minus Age, response.go:108-149 —
+    # parsed from live responses, or the corpus's cache_max_age
+    # column), and responses without one are not replayable.
+    cache_expiry_policy: str = "duration"  # duration | never | date | header
     cache_expire_at_batch: int = 0
     # F9 per-request abort (Request.Abort() in OnRequest,
     # colly.go:655-657 / request.go:123-125): admitted requests whose

@@ -148,6 +148,7 @@ def _schemas():
         StructField("from_cache", BooleanType()),
         StructField("referer", StringType()),
         StructField("set_cookie", StringType()),
+        StructField("cache_max_age", IntegerType()),
     ])
     return dict(done=done, frontier=frontier, pending=pending, visited=visited,
                 error=error, trace=trace, images=images)
@@ -624,6 +625,12 @@ class Crawler:
         ttl = self.cfg.cache_ttl_batches
         if policy == "duration" and ttl > 0:
             df = df.filter(F.col("c_created") + ttl > batch)
+        elif policy == "header":
+            # cacheExpByHeader (cache.go:155-162): valid only while the
+            # response-provided expiry lies ahead; entries without a
+            # max-age header carry NULL c_expiry = already expired
+            df = df.filter(F.col("c_expiry").isNotNull()
+                           & (F.col("c_expiry") > batch))
         w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
@@ -803,6 +810,14 @@ class Crawler:
             else:
                 page_cols += [F.lit(None).cast("string").alias("set_cookie"),
                               F.lit(None).cast("string").alias("require_cookie")]
+            # by-header cache expiry source (response.go:108-149): the
+            # max-age the page's response carries, when the corpus
+            # models one
+            if "cache_max_age" in self.pages.columns:
+                page_cols.append(F.col("cache_max_age"))
+            else:
+                page_cols.append(
+                    F.lit(None).cast("int").alias("cache_max_age"))
             pages = self.pages.select(*page_cols)
         else:
             pages = None
@@ -864,7 +879,7 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie")))
+                "set_cookie", "cache_max_age")))
             if not self.cfg.follow_redirects:
                 break
             # NOTE: a probe-less variant (Observation on the redirect
@@ -983,6 +998,7 @@ class Crawler:
                     "links": links_col, "imgs": imgs_col, "img_body": img_body,
                     "req_hash": pdf["req_hash"], "from_cache": False,
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
+                    "cache_max_age": pdf["cache_max_age"],
                 })
 
         return done_raw.mapInPandas(_parse, schema=out_schema)
@@ -1214,7 +1230,8 @@ class Crawler:
                 F.lit(True).alias("from_cache"), "referer",
                 # replayed cache hits never re-set cookies (the jar
                 # lives at the HTTP layer; cache hits bypass Do())
-                F.lit(None).cast("string").alias("set_cookie"))
+                F.lit(None).cast("string").alias("set_cookie"),
+                F.lit(None).cast("int").alias("cache_max_age"))
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
@@ -1263,6 +1280,16 @@ class Crawler:
                 F.col("links").alias("c_links"), F.col("imgs").alias("c_imgs"),
                 F.col("img_body").alias("c_img_body"),
                 F.lit(batch).alias("c_created"),
+                # by-header expiry (response.go:108-149): the response's
+                # max-age in logical batches; NULL when no header —
+                # under the header policy such entries never replay
+                # (cacheExpByHeader's zero expiry = already expired)
+                F.when(
+                    F.col("cache_max_age").isNotNull(),
+                    F.lit(batch) + F.ceil(
+                        F.col("cache_max_age") * 1000
+                        / F.lit(self.cfg.batch_window_ms))
+                ).cast("long").alias("c_expiry"),
             ).write.mode("overwrite").parquet(cache_dir)
             self._cache_paths.append(cache_dir)
         if self._has_cookies:

@@ -94,6 +94,7 @@ def to_spark_corpus(spark, tables: dict) -> dict:
             StructField("depth_from_seed", IntegerType()),
             StructField("set_cookie", StringType()),
             StructField("require_cookie", StringType()),
+            StructField("cache_max_age", IntegerType()),
         ]),
         "robots": StructType([
             StructField("host", StringType()),

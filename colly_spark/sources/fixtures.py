@@ -118,7 +118,8 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
     img_idx = 0
 
     def add_page(url, status, ctype, body, redirect_to=None, image_id=None,
-                 links=None, depth=0, set_cookie=None, require_cookie=None):
+                 links=None, depth=0, set_cookie=None, require_cookie=None,
+                 cache_max_age=None):
         pages_rows.append(
             dict(
                 url=url,
@@ -131,6 +132,9 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 depth_from_seed=np.int32(depth),
                 set_cookie=set_cookie,
                 require_cookie=require_cookie,
+                # Cache-Control max-age seconds the page's response
+                # would carry (response.go:108-149); None = no header
+                cache_max_age=cache_max_age,
             )
         )
 

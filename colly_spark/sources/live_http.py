@@ -77,6 +77,7 @@ _RESPONSE_FIELDS = (
     ("image_id", "string"),
     ("set_cookie", "string"),
     ("require_cookie", "string"),
+    ("cache_max_age", "int"),
 )
 
 
@@ -220,7 +221,28 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
         image_id=None,
         set_cookie=resp.headers.get("Set-Cookie"),
         require_cookie=None,
+        cache_max_age=_max_age_of(resp.headers),
     )
+
+
+def _max_age_of(headers):
+    """Effective freshness seconds from response headers — the v3 TTL
+    extraction (response.go:108-149): s-maxage beats max-age, the Age
+    already consumed is subtracted; no header → None (under the
+    by-header expiry policy such responses are not cacheable)."""
+    import re as _re
+
+    cc = headers.get("Cache-Control") or ""
+    m = (_re.search(r"s-maxage\s*=\s*(\d+)", cc)
+         or _re.search(r"max-age\s*=\s*(\d+)", cc))
+    if not m:
+        return None
+    age = 0
+    try:
+        age = int(headers.get("Age") or 0)
+    except ValueError:
+        pass
+    return max(0, int(m.group(1)) - age)
 
 
 def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
@@ -254,7 +276,7 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
     # channel (ERR_MISSING), exactly like a corpus-join miss
     return dict(_purl=None, status=None, content_type=None, body=None,
                 redirect_to=None, image_id=None, set_cookie=None,
-                require_cookie=None)
+                require_cookie=None, cache_max_age=None)
 
 
 class HttpFetchSource:

@@ -70,3 +70,26 @@ def test_cache_expiry_by_date_cutoff(spark):
     # cutoff at batch 1: no batch ≥ 1 may replay from cache
     assert sum(m.get("cache_hits", 0) for m in h_cut.metrics) == 0
     assert sum(m.get("cache_hits", 0) for m in h_ref.metrics) > 0
+
+
+def test_cache_expiry_by_header(spark):
+    """cacheExpByHeader (cache.go:155-162): entries live exactly as
+    long as their own response's max-age — ample max-age replays like
+    default, absent max-age never replays; results identical."""
+    from pyspark.sql import functions as F
+
+    base_corpus = bench_corpus(spark, 300, n_domains=4, hub_every=10)
+    cfg = CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                      cache_enabled=True, cache_expiry_policy="header")
+    seeds = bench_seeds(8, n_domains=4)
+
+    fresh = dict(base_corpus)
+    fresh["pages"] = base_corpus["pages"].withColumn(
+        "cache_max_age", F.lit(9999).cast("int"))
+    h_fresh = Crawler(spark, fresh, cfg, tempfile.mkdtemp()).run(seeds)
+    assert sum(m.get("cache_hits", 0) for m in h_fresh.metrics) > 0
+
+    # no max-age header anywhere → nothing is replayable
+    h_bare = Crawler(spark, base_corpus, cfg, tempfile.mkdtemp()).run(seeds)
+    assert sum(m.get("cache_hits", 0) for m in h_bare.metrics) == 0
+    assert _rows(h_fresh) == _rows(h_bare)
