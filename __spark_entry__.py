@@ -1304,7 +1304,13 @@ def q_crawl_trace(spark, sf_dir):
     Returns the fetch trace (BFS per-domain FIFO order). Oracled
     against golden/crawl_trace.parquet, generated by the independent
     pure-Python simulator (scripts/make_golden.py)."""
-    return _entry_crawl(spark).trace().orderBy("batch", "host", "seq")
+    # explicit projection: the trace sink also carries the generic
+    # request-Context column (ctx, NULL here — no seed ctx), which the
+    # golden predates
+    return _entry_crawl(spark).trace().select(
+        "batch", "seq", "url", "final_url", "depth", "host", "status",
+        "method", "referer", "connect_ms", "ttfb_ms", "ua", "proxy",
+    ).orderBy("batch", "host", "seq")
 
 
 def q_crawl_events(spark, sf_dir):

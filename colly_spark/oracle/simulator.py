@@ -159,19 +159,30 @@ class Simulator:
 
     # --- drive -----------------------------------------------------------
     def run(self, seeds, max_batches: int = 10_000) -> SimResult:
-        """seeds: iterable of url strings (submission order) or
-        (url, method, body) tuples."""
+        """seeds: iterable of url strings (submission order),
+        (url, method, body) tuples, (url, method, body, depth) tuples,
+        or (url, method, body, depth, ctx) — ctx a dict seeding the
+        generic request Context (context.go:22-88), inherited verbatim
+        by every descendant request (request.go:151-153)."""
+        from colly_spark.functions.context import ctx_json
+
         res = SimResult()
-        frontier: list[tuple] = []  # (seq, url_raw, depth, method, body)
+        frontier: list[tuple] = []  # (seq, url_raw, depth, method, body, referer, ctx)
         next_seq = 0
         for s in seeds:
+            depth, ctx = 1, None
             if isinstance(s, str):
                 url, method, body = s, "GET", None
+            elif len(s) == 5:
+                url, method, body, depth, ctx = s
+            elif len(s) == 4:
+                url, method, body, depth = s
             else:
                 url, method, body = s
-            frontier.append((next_seq, url, 1, method, body, None))
+            frontier.append((next_seq, url, depth, method, body, None,
+                             ctx_json(ctx)))
             next_seq += 1
-        # admitted, awaiting fetch: (seq, canon, depth, host, method, referer)
+        # admitted, awaiting fetch: (seq, canon, depth, host, method, referer, ctx)
         pending: list[tuple] = []
         # cookie jar: host → {name: value}; Set-Cookie rows staged
         # during a batch become visible the NEXT batch (concurrent
@@ -189,7 +200,7 @@ class Simulator:
             if self.cfg.cache_enabled:
                 m["cache_hits"] = 0
             # 1. admission on new frontier rows, in seq order
-            for seq, raw, depth, method, body, referer in sorted(frontier, key=lambda t: t[0]):
+            for seq, raw, depth, method, body, referer, ctx in sorted(frontier, key=lambda t: t[0]):
                 canon = canonicalize(raw)
                 if not canon:
                     res.errors.append((raw, cfgmod.ERR_MISSING))
@@ -202,7 +213,7 @@ class Simulator:
                     m["errors"] += 1
                     continue
                 pending.append((seq, canon, depth, host, method, referer,
-                                request_hash(canon, body)))
+                                request_hash(canon, body), ctx))
                 m["admitted"] += 1
             frontier = []
             # 2. politeness: per-domain quota by seq order
@@ -223,7 +234,7 @@ class Simulator:
             new_frontier: list[tuple] = []
             staged_cookies: list[tuple] = []
             staged_cache: list[tuple] = []
-            for seq, canon, depth, host, method, referer, rhash in fetch_now:
+            for seq, canon, depth, host, method, referer, rhash, ctx in fetch_now:
                 ua = self.cfg.pick_user_agent(self._signed(rhash))
                 proxy = self.cfg.pick_proxy(seq)
                 # F9: abort after mark, before fetch — silent
@@ -241,14 +252,14 @@ class Simulator:
                         final_url, status = ent["final_url"], ent["status"]
                         res.trace.append((batch, seq, canon, final_url, depth,
                                           hostname(final_url), status, "GET",
-                                          referer, ua, proxy))
+                                          referer, ua, proxy, ctx))
                         m["fetched"] += 1
                         m["cache_hits"] += 1
                         if status >= 400:
                             res.errors.append((canon, f"http_{status}"))
                         res.images.extend(ent["images"])
                         for li, link in enumerate(ent["links"]):
-                            new_frontier.append((link, depth + 1, li, final_url))
+                            new_frontier.append((link, depth + 1, li, final_url, ctx))
                         continue
                 # X5 CheckHead: HEAD precedes the GET; a HEAD error
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
@@ -262,7 +273,7 @@ class Simulator:
                         continue
                     res.trace.append((batch, seq, canon, h_final, depth,
                                       hostname(h_final), h_status, "HEAD",
-                                      referer, ua, proxy))
+                                      referer, ua, proxy, ctx))
                     m["fetched"] += 1
                 final_url, status, row, err = self._fetch_with_redirects(
                     canon, depth, method, res.seen, jar, staged_cookies
@@ -273,7 +284,7 @@ class Simulator:
                     continue
                 res.trace.append((batch, seq, canon, final_url, depth,
                                   hostname(final_url), status, method,
-                                  referer, ua, proxy))
+                                  referer, ua, proxy, ctx))
                 m["fetched"] += 1
                 if status >= 400:
                     res.errors.append((canon, f"http_{status}"))
@@ -304,7 +315,9 @@ class Simulator:
                 for li, link in enumerate(links):
                     # ctx propagation: discovered links carry their
                     # parent page as referer (extensions/referer.go)
-                    new_frontier.append((link, depth + 1, li, final_url))
+                    # and inherit the parent's generic Context
+                    # verbatim (request.go:151-153)
+                    new_frontier.append((link, depth + 1, li, final_url, ctx))
                 # direct image fetch: validate payload row
                 if row.content_type and row.content_type.startswith("image/") and row.image_id:
                     # a direct image fetch: (page_url=None, image_url, image_id, caption=None)
@@ -321,12 +334,13 @@ class Simulator:
             cap = self.cfg.max_queue_size
             allowed_new = (cap - len(pending)) if cap > 0 else None
             kept = 0
-            for link, d, _li, parent_url in new_frontier:
+            for link, d, _li, parent_url, pctx in new_frontier:
                 if allowed_new is not None and kept >= allowed_new:
                     res.errors.append((link, cfgmod.ERR_QUEUE_FULL))
                     m["errors"] += 1
                     continue
-                frontier.append((next_seq, link, d, "GET", None, parent_url))
+                frontier.append((next_seq, link, d, "GET", None, parent_url,
+                                 pctx))
                 next_seq += 1
                 kept += 1
             m["new_links"] = kept

@@ -88,6 +88,9 @@ def _schemas():
         StructField("method", StringType()),
         StructField("body_req", BinaryType()),
         StructField("referer", StringType()),
+        # generic per-request Context (context.go:22-88) as
+        # deterministic JSON; children inherit it verbatim
+        StructField("ctx", StringType()),
     ])
     pending = StructType([
         StructField("seq", LongType()),
@@ -97,6 +100,7 @@ def _schemas():
         StructField("method", StringType()),
         StructField("url_hash", LongType()),
         StructField("referer", StringType()),
+        StructField("ctx", StringType()),
     ])
     visited = StructType([StructField("url_hash", LongType())])
     error = StructType([
@@ -119,6 +123,7 @@ def _schemas():
         StructField("ttfb_ms", DoubleType()),
         StructField("ua", StringType()),
         StructField("proxy", StringType()),
+        StructField("ctx", StringType()),
     ])
     images = StructType([
         StructField("batch", IntegerType()),
@@ -149,6 +154,7 @@ def _schemas():
         StructField("referer", StringType()),
         StructField("set_cookie", StringType()),
         StructField("cache_max_age", IntegerType()),
+        StructField("ctx", StringType()),
     ])
     return dict(done=done, frontier=frontier, pending=pending, visited=visited,
                 error=error, trace=trace, images=images)
@@ -696,7 +702,7 @@ class Crawler:
         base = frontier_df.withColumn(
             "_k", self._fused(F.col("url"), F.col("body_req")))
         base = base.select(
-            "seq", "url", "depth", "method", "body_req", "referer",
+            "seq", "url", "depth", "method", "body_req", "referer", "ctx",
             F.col("_k.canon_url").alias("canon_url"),
             F.col("_k.host").alias("host"),
             F.col("_k.url_hash").alias("url_hash"))
@@ -733,10 +739,10 @@ class Crawler:
         # semaphore entirely for nil rules, http_backend.go:134)
         pool = accepted.select(
             "seq", "canon_url", "host", "depth", "method", "url_hash",
-            "needs_mark", "referer", F.lit(True).alias("_new"),
+            "needs_mark", "referer", "ctx", F.lit(True).alias("_new"),
         ).unionByName(pending_df.select(
             "seq", "canon_url", "host", "depth", "method", "url_hash",
-            F.lit(False).alias("needs_mark"), "referer",
+            F.lit(False).alias("needs_mark"), "referer", "ctx",
             F.lit(False).alias("_new")))
         if self.cfg.limit_rules:
             pool = politeness.with_fetch_now_flag(pool, self.cfg)
@@ -747,7 +753,7 @@ class Crawler:
         # and the admission counts are all cheap scans of it
         combined = pool.select(
             "seq", "canon_url", "host", "depth", "method", "url_hash",
-            "needs_mark", "referer", "_new", "_fetch_now",
+            "needs_mark", "referer", "ctx", "_new", "_fetch_now",
             F.lit(None).cast("string").alias("kind"),
             F.lit(None).cast("string").alias("err_url"),
         ).unionByName(err_df.select(
@@ -758,6 +764,7 @@ class Crawler:
             F.lit(None).cast("long").alias("url_hash"),
             F.lit(False).alias("needs_mark"),
             F.lit(None).cast("string").alias("referer"),
+            F.lit(None).cast("string").alias("ctx"),
             F.lit(False).alias("_new"), F.lit(False).alias("_fetch_now"),
             "kind", F.col("url").alias("err_url"),
         ))
@@ -779,7 +786,7 @@ class Crawler:
         if int(counts["marks"] or 0) > 0:
             self._commit_marks(ok_rows, batch, "admit")
         pend_cols = ["seq", "canon_url", "host", "depth", "method",
-                     "url_hash", "referer"]
+                     "url_hash", "referer", "ctx"]
         fetch_now = ok_rows.filter(F.col("_fetch_now")).select(pend_cols)
         deferred = ok_rows.filter(~F.col("_fetch_now")).select(pend_cols)
         err_out = combined.filter(F.col("kind").isNotNull()).select(
@@ -824,7 +831,8 @@ class Crawler:
         jar = self._cookie_jar() if self._has_cookies else None
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
-            "depth", "method", F.col("url_hash").alias("req_hash"), "referer")
+            "depth", "method", F.col("url_hash").alias("req_hash"), "referer",
+            "ctx")
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -879,7 +887,7 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie", "cache_max_age")))
+                "set_cookie", "cache_max_age", "ctx")))
             if not self.cfg.follow_redirects:
                 break
             # NOTE: a probe-less variant (Observation on the redirect
@@ -898,10 +906,10 @@ class Crawler:
             # resolve target; re-run filters + robots + check-and-mark on
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
-                "seq", "url", "depth", "method", "req_hash", "referer",
+                "seq", "url", "depth", "method", "req_hash", "referer", "ctx",
                 self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
             t = t.select(
-                "seq", "url", "depth", "method", "req_hash", "referer",
+                "seq", "url", "depth", "method", "req_hash", "referer", "ctx",
                 F.col("_k.canon_url").alias("canon_url"),
                 F.col("_k.host").alias("host"),
                 F.col("_k.url_hash").alias("url_hash"))
@@ -934,7 +942,7 @@ class Crawler:
                 self._commit_marks(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
-                "req_hash", "referer")
+                "req_hash", "referer", "ctx")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
@@ -998,7 +1006,7 @@ class Crawler:
                     "links": links_col, "imgs": imgs_col, "img_body": img_body,
                     "req_hash": pdf["req_hash"], "from_cache": False,
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
-                    "cache_max_age": pdf["cache_max_age"],
+                    "cache_max_age": pdf["cache_max_age"], "ctx": pdf["ctx"],
                 })
 
         return done_raw.mapInPandas(_parse, schema=out_schema)
@@ -1091,17 +1099,25 @@ class Crawler:
         url strings, (url, method, body_bytes) tuples, or
         (url, method, body_bytes, depth) tuples — the 4-ary form is
         what a deserialized queue request carries, UnmarshalRequest
-        colly.go:560-587 preserving Depth)."""
+        colly.go:560-587 preserving Depth. A 5-ary
+        (url, method, body, depth, ctx) form seeds a generic request
+        Context — dict or functions.context.Context — inherited by
+        every descendant request, context.go:22-88)."""
+        from colly_spark.functions.context import ctx_json
+
         rows, next_seq = [], 0
         for s in seeds or []:
-            depth = 1
+            depth, ctx = 1, None
             if isinstance(s, str):
                 url, method, body = s, "GET", None
+            elif len(s) == 5:
+                url, method, body, depth, ctx = s
             elif len(s) == 4:
                 url, method, body, depth = s
             else:
                 url, method, body = s
-            rows.append((next_seq, url, int(depth), method, body, None))
+            rows.append((next_seq, url, int(depth), method, body, None,
+                         ctx_json(ctx)))
             next_seq += 1
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])
@@ -1231,7 +1247,10 @@ class Crawler:
                 # replayed cache hits never re-set cookies (the jar
                 # lives at the HTTP layer; cache hits bypass Do())
                 F.lit(None).cast("string").alias("set_cookie"),
-                F.lit(None).cast("int").alias("cache_max_age"))
+                F.lit(None).cast("int").alias("cache_max_age"),
+                # ctx is per-REQUEST state: a replay keeps the
+                # requesting row's context, not the original fetcher's
+                "ctx")
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
@@ -1325,7 +1344,7 @@ class Crawler:
             "referer",
             (F.pmod(F.col("req_hash"), F.lit(97)).cast("double") / 10.0 + 1.0).alias("connect_ms"),
             (F.pmod(F.col("req_hash"), F.lit(331)).cast("double") / 10.0 + 5.0).alias("ttfb_ms"),
-            ua_trace.alias("ua"), proxy_expr.alias("proxy"))
+            ua_trace.alias("ua"), proxy_expr.alias("proxy"), "ctx")
         m["fetched"] = int(done_counts["fetched"] or 0)
         _lap("t_fetch")
         # http status errors (recorded, not counted in m["errors"] —
@@ -1337,6 +1356,9 @@ class Crawler:
         links = done.select(
             F.col("seq").alias("parent_seq"), (F.col("depth") + 1).alias("depth"),
             F.col("final_url").alias("referer"),
+            # Request.Visit passes the parent's Ctx to the child
+            # (request.go:151-153) — links inherit it verbatim
+            "ctx",
             F.posexplode("links").alias("link_idx", "url"))
         page_images = done.select(
             F.col("final_url").alias("page_url"), F.explode("imgs").alias("im")
@@ -1389,7 +1411,7 @@ class Crawler:
                     n_new = allowed_new
             new_frontier = seq_links.select(
                 "seq", "url", "depth", F.lit("GET").alias("method"),
-                F.lit(None).cast("binary").alias("body_req"), "referer")
+                F.lit(None).cast("binary").alias("body_req"), "referer", "ctx")
             next_seq = next_seq + n_new
         m["new_links"] = n_new
         _lap("t_extract")

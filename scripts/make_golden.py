@@ -52,7 +52,7 @@ def make_crawl_trace() -> None:
 
     rows = []
     for (batch, seq, url, final_url, depth, host, status, method, referer,
-         ua, proxy) in res.trace:
+         ua, proxy, _ctx) in res.trace:
         h = _signed(request_hash(url, None))
         rows.append(dict(
             batch=batch, seq=seq, url=url, final_url=final_url, depth=depth,
@@ -100,7 +100,7 @@ def make_crawl_events() -> None:
                          url=url, status=status, kind=kind))
 
     for (batch, seq, url, _final, _depth, _host, status, _method,
-         _referer, _ua, _proxy) in res.trace:
+         _referer, _ua, _proxy, _ctx) in res.trace:
         ev(batch, seq, INFO, "request", url)
         ev(batch, seq, WARN if status >= 300 else INFO, "response_hdr",
            url, status=status)

@@ -208,6 +208,17 @@ SCENARIOS = {
         seeds=["http://d00.test/404", "http://d00.test/",
                "http://d01.test/500"],
     ),
+    # generic request Context (context.go:22-88): KV seeded on d00's
+    # seed is inherited verbatim by every descendant request
+    # (Request.Visit shares the Ctx, request.go:151-153) — through
+    # links AND redirect chains — while d01's tree carries NULL;
+    # asserted per-request by check #6
+    "seed_ctx": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True),
+        seeds=[("http://d00.test/", "GET", None, 1,
+                {"session": "s-42", "label": "a"}),
+               "http://d01.test/"],
+    ),
     # full crawl, unlimited depth, everything on
     "full": dict(
         cfg=CrawlConfig(
@@ -250,11 +261,13 @@ def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
     assert eng_m == sim_m, "per-batch metrics mismatch"
 
     # 6. ctx propagation: referer (extensions/referer.go), per-request
-    #    UA (RandomUserAgent pool), round-robin proxy (proxy.go:27-58)
-    sim_ref = {(t[1], t[8], t[9], t[10]) for t in sim.trace}
-    eng_ref = {(r["seq"], r["referer"], r["ua"], r["proxy"])
+    #    UA (RandomUserAgent pool), round-robin proxy (proxy.go:27-58),
+    #    and the generic request Context (context.go:22-88, inherited
+    #    by descendants per request.go:151-153)
+    sim_ref = {(t[1], t[8], t[9], t[10], t[11]) for t in sim.trace}
+    eng_ref = {(r["seq"], r["referer"], r["ua"], r["proxy"], r["ctx"])
                for r in eng.trace().collect()}
-    assert eng_ref == sim_ref, "referer/ua/proxy ctx mismatch"
+    assert eng_ref == sim_ref, "referer/ua/proxy/ctx mismatch"
 
 
 def test_images_validated(spark, corpus_pd, corpus_spark, tmp_state):
