@@ -94,6 +94,15 @@ class CrawlConfig:
     # and BEFORE the fetch, silently (the reference returns nil — no
     # error callback fires)
     abort_url_filters: tuple = ()
+    # F9 abort AFTER headers (Request.Abort() inside OnResponseHeaders,
+    # colly.go:673-680 checkHeadersFunc / http_backend.go:223-227,
+    # colly_test.go:520-540): final responses whose Content-Type
+    # matches any of these regexes abort the body download — the
+    # request errors with ErrAbortedAfterHeaders, OnResponse/parse
+    # never fire, and nothing is cached. Evaluated on the FINAL
+    # response (the reference's transport follows redirects before the
+    # headers callback fires once).
+    abort_header_content_types: tuple = ()
     # X5 CheckHead (colly.go:491-497): every GET is preceded by a HEAD
     # of the same URL; a HEAD failure aborts the GET. HEAD requests are
     # never seen-marked and skip robots.
@@ -293,3 +302,4 @@ ERR_MISSING = "fetch_missing"   # URL not in corpus (analogue of network error)
 ERR_TOO_MANY_REDIRECTS = "too_many_redirects"
 ERR_URL_LENGTH = "url_length"   # F6 (v3 engine has no distinct name; ours does)
 ERR_QUEUE_FULL = "queue_full"   # S6 (ErrQueueFull / ErrStorageFull)
+ERR_ABORTED_AFTER_HEADERS = "aborted_after_headers"  # base.go:35 / colly.go:228

@@ -101,6 +101,19 @@ class Simulator:
         self._url_res = [re.compile(p) for p in cfg.url_filters]
         self._durl_res = [re.compile(p) for p in cfg.disallowed_url_filters]
         self._abort_res = [re.compile(p) for p in cfg.abort_url_filters]
+        self._hdr_abort_res = [re.compile(p)
+                               for p in cfg.abort_header_content_types]
+
+    def _hdr_abort(self, row) -> bool:
+        """F9 headers-abort (checkHeadersFunc colly.go:673-680 /
+        http_backend.go:223-227): the final response's Content-Type
+        matches an abort pattern. Cookie-blocked synthetic 403s carry
+        no Content-Type (row is None) — never aborted."""
+        if not self._hdr_abort_res or row is None:
+            return False
+        ct = getattr(row, "content_type", None)
+        return isinstance(ct, str) and any(
+            r.search(ct) for r in self._hdr_abort_res)
 
     # --- admission -----------------------------------------------------
     def _check_filters(self, canon: str, host: str, depth: int) -> str | None:
@@ -265,10 +278,18 @@ class Simulator:
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
                 # and skips robots.
                 if self.cfg.check_head and method == "GET":
-                    h_final, h_status, _h_row, h_err = self._fetch_with_redirects(
+                    h_final, h_status, h_row, h_err = self._fetch_with_redirects(
                         canon, depth, "HEAD", res.seen, jar, staged_cookies)
                     if h_err:
                         res.errors.append((canon, h_err))
+                        m["errors"] += 1
+                        continue
+                    # headers-abort applies to the HEAD too (same Do
+                    # path); an aborted HEAD kills its GET like any
+                    # other HEAD failure (colly.go:492-497)
+                    if self._hdr_abort(h_row):
+                        res.errors.append(
+                            (canon, cfgmod.ERR_ABORTED_AFTER_HEADERS))
                         m["errors"] += 1
                         continue
                     res.trace.append((batch, seq, canon, h_final, depth,
@@ -280,6 +301,14 @@ class Simulator:
                 )
                 if err:
                     res.errors.append((canon, err))
+                    m["errors"] += 1
+                    continue
+                # F9 headers-abort on the final response: body download
+                # aborted, OnResponse/parse never fire, nothing cached
+                # (Do returned ErrAbortedAfterHeaders)
+                if self._hdr_abort(row):
+                    res.errors.append(
+                        (canon, cfgmod.ERR_ABORTED_AFTER_HEADERS))
                     m["errors"] += 1
                     continue
                 res.trace.append((batch, seq, canon, final_url, depth,

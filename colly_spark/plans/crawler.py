@@ -673,6 +673,10 @@ class Crawler:
         return (hit
                 .withColumn("status", F.when(ok, F.col("status")).otherwise(F.lit(403)))
                 .withColumn("body", F.when(ok, F.col("body")))
+                # the blocked 403 is a terminal synthetic response —
+                # it carries no Content-Type header (keeps the
+                # headers-abort gate off it, like the simulator)
+                .withColumn("content_type", F.when(ok, F.col("content_type")))
                 .withColumn("redirect_to", F.when(ok, F.col("redirect_to")))
                 .withColumn("set_cookie", F.when(ok, F.col("set_cookie")))
                 .drop("_cookie_ok"))
@@ -884,6 +888,21 @@ class Crawler:
             else:
                 is_redirect = F.lit(False)
             finals = hit.filter(~is_redirect)
+            # F9 headers-abort (checkHeadersFunc colly.go:673-680,
+            # http_backend.go:223-227): a final response whose
+            # Content-Type matches aborts the body download —
+            # ErrAbortedAfterHeaders on the error channel, no parse,
+            # and (since Do errored) nothing reaches the cache store
+            if self.cfg.abort_header_content_types:
+                hdr_abort = reduce(
+                    lambda a, b: a | b,
+                    (F.col("content_type").rlike(p)
+                     for p in self.cfg.abort_header_content_types))
+                hdr_abort = F.coalesce(hdr_abort, F.lit(False))
+                err_parts.append(err_rows(
+                    finals.filter(hdr_abort),
+                    F.lit(cfgmod.ERR_ABORTED_AFTER_HEADERS)))
+                finals = finals.filter(~hdr_abort)
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",

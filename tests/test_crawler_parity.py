@@ -208,6 +208,35 @@ SCENARIOS = {
         seeds=["http://d00.test/404", "http://d00.test/",
                "http://d01.test/500"],
     ),
+    # F9 headers-abort (OnResponseHeaders + Request.Abort,
+    # colly_test.go:520-540): final responses with a matching
+    # Content-Type abort the body download — ErrAbortedAfterHeaders,
+    # no parse, no trace row, nothing cached. Direct image fetches and
+    # the gzip sitemap get aborted here.
+    "abort_headers": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        abort_header_content_types=(r"^image/",
+                                                    r"^application/gzip")),
+        seeds=["http://d00.test/"],
+    ),
+    # headers-abort × cache: Do() errored, so nothing was stored —
+    # the max_revisits=1 re-admission refetches and re-aborts (two
+    # aborted_after_headers errors per image URL, zero cache hits
+    # for them)
+    "abort_headers_cache": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True,
+                        abort_header_content_types=(r"^image/",)),
+        seeds=["http://d00.test/"],
+    ),
+    # headers-abort × CheckHead: the HEAD copy hits the abort first
+    # and kills its GET (colly.go:492-497 — a HEAD error aborts the
+    # GET), one error per request
+    "abort_headers_check_head": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True, check_head=True,
+                        abort_header_content_types=(r"^image/",)),
+        seeds=["http://d00.test/"],
+    ),
     # generic request Context (context.go:22-88): KV seeded on d00's
     # seed is inherited verbatim by every descendant request
     # (Request.Visit shares the Ctx, request.go:151-153) — through

@@ -153,6 +153,13 @@ LIVE_SCENARIOS = {
                                      r"/page/",)),
         seeds=["http://d00.test/"],
     ),
+    # F9 headers-abort over real wire headers: the Content-Type the
+    # loopback server sends (not a corpus column) drives the abort
+    "abort_headers": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        abort_header_content_types=(r"^image/",)),
+        seeds=["http://d00.test/"],
+    ),
 }
 
 
