@@ -103,6 +103,17 @@ class CrawlConfig:
     # response (the reference's transport follows redirects before the
     # headers callback fires once).
     abort_header_content_types: tuple = ()
+    # Request.Retry (request.go:190-198): re-submit the request with
+    # the same parameters at the same depth, BYPASSING check-and-mark
+    # (scrape's checkRevisit=false — no revisit error, no new mark).
+    # The reference leaves the retry decision to an OnError callback;
+    # the engine's declarative surface retries final GET/POST
+    # responses whose status is in this set, up to max_retries
+    # attempts per request. Each attempt re-runs the full pipeline in
+    # the NEXT batch (trace row + http_NNN error per attempt); retries
+    # re-enter via scrape, so the queue-capacity guard doesn't apply.
+    retry_http_statuses: tuple = ()
+    max_retries: int = 1
     # X5 CheckHead (colly.go:491-497): every GET is preceded by a HEAD
     # of the same URL; a HEAD failure aborts the GET. HEAD requests are
     # never seen-marked and skip robots.

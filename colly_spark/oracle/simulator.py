@@ -147,11 +147,15 @@ class Simulator:
             return cfgmod.ERR_ROBOTS
         return None
 
-    def _admit(self, canon, host, depth, method, body, seen) -> str | None:
+    def _admit(self, canon, host, depth, method, body, seen,
+               no_revisit=False) -> str | None:
         """Full requestCheck. Returns error kind or None (admitted).
         Mutates ``seen`` (check-and-mark). The per-request UA (random-
         UA pool) is derived from this request's own hash — redirect
-        targets re-derive from the target hash, like the engine."""
+        targets re-derive from the target hash, like the engine.
+        ``no_revisit`` = scrape's checkRevisit=false (Request.Retry,
+        request.go:190-198): filters and robots still run, the seen
+        block is skipped entirely (no check, no mark)."""
         err = self._check_filters(canon, host, depth)
         if err:
             return err
@@ -159,7 +163,7 @@ class Simulator:
         err = self._check_robots(canon, host, method, ua)
         if err:
             return err
-        if not self.cfg.allow_url_revisit:
+        if not self.cfg.allow_url_revisit and not no_revisit:
             if method != "GET" and body is None:
                 return None  # HEAD & bodyless POST: no check, no mark
             h = request_hash(canon, body)
@@ -193,9 +197,10 @@ class Simulator:
             else:
                 url, method, body = s
             frontier.append((next_seq, url, depth, method, body, None,
-                             ctx_json(ctx)))
+                             ctx_json(ctx), False, 0))
             next_seq += 1
-        # admitted, awaiting fetch: (seq, canon, depth, host, method, referer, ctx)
+        # admitted, awaiting fetch:
+        # (seq, canon, depth, host, method, body, referer, rhash, ctx, tries)
         pending: list[tuple] = []
         # cookie jar: host → {name: value}; Set-Cookie rows staged
         # during a batch become visible the NEXT batch (concurrent
@@ -213,20 +218,22 @@ class Simulator:
             if self.cfg.cache_enabled:
                 m["cache_hits"] = 0
             # 1. admission on new frontier rows, in seq order
-            for seq, raw, depth, method, body, referer, ctx in sorted(frontier, key=lambda t: t[0]):
+            for (seq, raw, depth, method, body, referer, ctx, no_rv,
+                 tries) in sorted(frontier, key=lambda t: t[0]):
                 canon = canonicalize(raw)
                 if not canon:
                     res.errors.append((raw, cfgmod.ERR_MISSING))
                     m["errors"] += 1
                     continue
                 host = hostname(canon)
-                err = self._admit(canon, host, depth, method, body, res.seen)
+                err = self._admit(canon, host, depth, method, body, res.seen,
+                                  no_revisit=no_rv)
                 if err:
                     res.errors.append((canon, err))
                     m["errors"] += 1
                     continue
-                pending.append((seq, canon, depth, host, method, referer,
-                                request_hash(canon, body), ctx))
+                pending.append((seq, canon, depth, host, method, body, referer,
+                                request_hash(canon, body), ctx, tries))
                 m["admitted"] += 1
             frontier = []
             # 2. politeness: per-domain quota by seq order
@@ -245,9 +252,23 @@ class Simulator:
             m["deferred"] = len(defer)
             # 3. fetch + redirects + extraction
             new_frontier: list[tuple] = []
+            # Request.Retry re-submissions (request.go:190-198): same
+            # parameters, same depth, checkRevisit=false; enter the
+            # next batch's frontier AFTER this batch's links, exempt
+            # from the queue-capacity guard
+            retries: list[tuple] = []
             staged_cookies: list[tuple] = []
             staged_cache: list[tuple] = []
-            for seq, canon, depth, host, method, referer, rhash, ctx in fetch_now:
+
+            def _maybe_retry(final_url, status, method, depth, body, referer,
+                             ctx, tries):
+                if (self.cfg.retry_http_statuses and method != "HEAD"
+                        and status in self.cfg.retry_http_statuses
+                        and tries < self.cfg.max_retries):
+                    retries.append((final_url, depth, method, body, referer,
+                                    ctx, tries + 1))
+            for (seq, canon, depth, host, method, body, referer, rhash, ctx,
+                 tries) in fetch_now:
                 ua = self.cfg.pick_user_agent(self._signed(rhash))
                 proxy = self.cfg.pick_proxy(seq)
                 # F9: abort after mark, before fetch — silent
@@ -273,6 +294,10 @@ class Simulator:
                         res.images.extend(ent["images"])
                         for li, link in enumerate(ent["links"]):
                             new_frontier.append((link, depth + 1, li, final_url, ctx))
+                        # replays fire OnError too — a cached 4xx with a
+                        # matching status retries like a fresh one
+                        _maybe_retry(final_url, status, "GET", depth, body,
+                                     referer, ctx, tries)
                         continue
                 # X5 CheckHead: HEAD precedes the GET; a HEAD error
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
@@ -317,6 +342,8 @@ class Simulator:
                 m["fetched"] += 1
                 if status >= 400:
                     res.errors.append((canon, f"http_{status}"))
+                _maybe_retry(final_url, status, method, depth, body, referer,
+                             ctx, tries)
                 # ParseStatusCallback gate (config.go:20,189-190): the
                 # callback REPLACES the gate — parse_error_response
                 # parses only status ≥ 400 (v3 parseErrorResponse);
@@ -369,10 +396,17 @@ class Simulator:
                     m["errors"] += 1
                     continue
                 frontier.append((next_seq, link, d, "GET", None, parent_url,
-                                 pctx))
+                                 pctx, False, 0))
                 next_seq += 1
                 kept += 1
             m["new_links"] = kept
+            # retries get seqs AFTER the batch's links, in fetch (seq)
+            # order — mirrors the engine's dense_seq over orig_seq
+            for (r_url, r_depth, r_method, r_body, r_ref, r_ctx,
+                 r_tries) in retries:
+                frontier.append((next_seq, r_url, r_depth, r_method, r_body,
+                                 r_ref, r_ctx, True, r_tries))
+                next_seq += 1
             # commit staged Set-Cookie rows — visible from next batch
             for chost, cname, cval in staged_cookies:
                 jar.setdefault(chost, {})[cname] = cval

@@ -91,6 +91,10 @@ def _schemas():
         # generic per-request Context (context.go:22-88) as
         # deterministic JSON; children inherit it verbatim
         StructField("ctx", StringType()),
+        # Request.Retry rows (request.go:190-198): bypass
+        # check-and-mark (checkRevisit=false) + attempt counter
+        StructField("no_revisit", BooleanType()),
+        StructField("tries", IntegerType()),
     ])
     pending = StructType([
         StructField("seq", LongType()),
@@ -98,9 +102,11 @@ def _schemas():
         StructField("host", StringType()),
         StructField("depth", IntegerType()),
         StructField("method", StringType()),
+        StructField("body_req", BinaryType()),
         StructField("url_hash", LongType()),
         StructField("referer", StringType()),
         StructField("ctx", StringType()),
+        StructField("tries", IntegerType()),
     ])
     visited = StructType([StructField("url_hash", LongType())])
     error = StructType([
@@ -155,6 +161,10 @@ def _schemas():
         StructField("set_cookie", StringType()),
         StructField("cache_max_age", IntegerType()),
         StructField("ctx", StringType()),
+        # request body + attempt counter ride through to done so a
+        # retry can be re-submitted with the same parameters
+        StructField("body_req", BinaryType()),
+        StructField("tries", IntegerType()),
     ])
     return dict(done=done, frontier=frontier, pending=pending, visited=visited,
                 error=error, trace=trace, images=images)
@@ -707,6 +717,7 @@ class Crawler:
             "_k", self._fused(F.col("url"), F.col("body_req")))
         base = base.select(
             "seq", "url", "depth", "method", "body_req", "referer", "ctx",
+            "no_revisit", "tries",
             F.col("_k.canon_url").alias("canon_url"),
             F.col("_k.host").alias("host"),
             F.col("_k.url_hash").alias("url_hash"))
@@ -729,10 +740,13 @@ class Crawler:
         # HEAD / bodyless non-GET skip check-and-mark entirely
         # (colly.go:728-734); AllowURLRevisit skips the check AND the
         # mark (colly.go:736-753 guards both behind !AllowURLRevisit)
+        # retry rows (no_revisit, request.go:190-198 scrape with
+        # checkRevisit=false) skip check AND mark like HEAD does
         ok = ok.withColumn(
             "needs_mark",
             F.lit(False) if self.cfg.allow_url_revisit
-            else (F.col("method") == "GET") | F.col("body_req").isNotNull())
+            else (((F.col("method") == "GET") | F.col("body_req").isNotNull())
+                  & ~F.coalesce(F.col("no_revisit"), F.lit(False))))
         accepted, already = self._check_and_mark(ok, batch, "admit")
         errors.append(already.select(
             F.lit(batch).alias("batch"), "seq", F.col("canon_url").alias("url"),
@@ -742,12 +756,13 @@ class Crawler:
         # BEFORE the checkpoint (P1-P2 window — the reference skips the
         # semaphore entirely for nil rules, http_backend.go:134)
         pool = accepted.select(
-            "seq", "canon_url", "host", "depth", "method", "url_hash",
-            "needs_mark", "referer", "ctx", F.lit(True).alias("_new"),
+            "seq", "canon_url", "host", "depth", "method", "body_req",
+            "url_hash", "needs_mark", "referer", "ctx", "tries",
+            F.lit(True).alias("_new"),
         ).unionByName(pending_df.select(
-            "seq", "canon_url", "host", "depth", "method", "url_hash",
-            F.lit(False).alias("needs_mark"), "referer", "ctx",
-            F.lit(False).alias("_new")))
+            "seq", "canon_url", "host", "depth", "method", "body_req",
+            "url_hash", F.lit(False).alias("needs_mark"), "referer", "ctx",
+            "tries", F.lit(False).alias("_new")))
         if self.cfg.limit_rules:
             pool = politeness.with_fetch_now_flag(pool, self.cfg)
         else:
@@ -756,8 +771,9 @@ class Crawler:
         # split after materialization; mark delta, fetch/deferred split
         # and the admission counts are all cheap scans of it
         combined = pool.select(
-            "seq", "canon_url", "host", "depth", "method", "url_hash",
-            "needs_mark", "referer", "ctx", "_new", "_fetch_now",
+            "seq", "canon_url", "host", "depth", "method", "body_req",
+            "url_hash", "needs_mark", "referer", "ctx", "tries",
+            "_new", "_fetch_now",
             F.lit(None).cast("string").alias("kind"),
             F.lit(None).cast("string").alias("err_url"),
         ).unionByName(err_df.select(
@@ -765,10 +781,12 @@ class Crawler:
             F.lit(None).cast("string").alias("host"),
             F.lit(None).cast("int").alias("depth"),
             F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("binary").alias("body_req"),
             F.lit(None).cast("long").alias("url_hash"),
             F.lit(False).alias("needs_mark"),
             F.lit(None).cast("string").alias("referer"),
             F.lit(None).cast("string").alias("ctx"),
+            F.lit(None).cast("int").alias("tries"),
             F.lit(False).alias("_new"), F.lit(False).alias("_fetch_now"),
             "kind", F.col("url").alias("err_url"),
         ))
@@ -790,7 +808,7 @@ class Crawler:
         if int(counts["marks"] or 0) > 0:
             self._commit_marks(ok_rows, batch, "admit")
         pend_cols = ["seq", "canon_url", "host", "depth", "method",
-                     "url_hash", "referer", "ctx"]
+                     "body_req", "url_hash", "referer", "ctx", "tries"]
         fetch_now = ok_rows.filter(F.col("_fetch_now")).select(pend_cols)
         deferred = ok_rows.filter(~F.col("_fetch_now")).select(pend_cols)
         err_out = combined.filter(F.col("kind").isNotNull()).select(
@@ -835,8 +853,8 @@ class Crawler:
         jar = self._cookie_jar() if self._has_cookies else None
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
-            "depth", "method", F.col("url_hash").alias("req_hash"), "referer",
-            "ctx")
+            "depth", "method", "body_req",
+            F.col("url_hash").alias("req_hash"), "referer", "ctx", "tries")
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -853,10 +871,12 @@ class Crawler:
                 # the wire exactly once per hop
                 from pyspark import StorageLevel
                 to_fetch = remaining
-                if self._live_bodies is not None:
+                if (self._live_bodies is not None
+                        and "body_req" not in remaining.columns):
                     # re-attach S3/S4 POST bodies by seq (stable across
                     # redirect hops); broadcast — the side is bounded
-                    # by the seed list
+                    # by the seed list. Skipped when the pool already
+                    # carries body_req natively (the retry-capable path)
                     to_fetch = remaining.join(
                         F.broadcast(self._live_bodies), "seq", "left")
                 joined = self.live.lookup(to_fetch, jar=jar).persist(
@@ -906,7 +926,7 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie", "cache_max_age", "ctx")))
+                "set_cookie", "cache_max_age", "ctx", "body_req", "tries")))
             if not self.cfg.follow_redirects:
                 break
             # NOTE: a probe-less variant (Observation on the redirect
@@ -925,10 +945,12 @@ class Crawler:
             # resolve target; re-run filters + robots + check-and-mark on
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
-                "seq", "url", "depth", "method", "req_hash", "referer", "ctx",
+                "seq", "url", "depth", "method", "body_req", "req_hash",
+                "referer", "ctx", "tries",
                 self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
             t = t.select(
-                "seq", "url", "depth", "method", "req_hash", "referer", "ctx",
+                "seq", "url", "depth", "method", "body_req", "req_hash",
+                "referer", "ctx", "tries",
                 F.col("_k.canon_url").alias("canon_url"),
                 F.col("_k.host").alias("host"),
                 F.col("_k.url_hash").alias("url_hash"))
@@ -961,7 +983,7 @@ class Crawler:
                 self._commit_marks(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
-                "req_hash", "referer", "ctx")
+                "body_req", "req_hash", "referer", "ctx", "tries")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
@@ -1026,6 +1048,7 @@ class Crawler:
                     "req_hash": pdf["req_hash"], "from_cache": False,
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
                     "cache_max_age": pdf["cache_max_age"], "ctx": pdf["ctx"],
+                    "body_req": pdf["body_req"], "tries": pdf["tries"],
                 })
 
         return done_raw.mapInPandas(_parse, schema=out_schema)
@@ -1136,7 +1159,7 @@ class Crawler:
             else:
                 url, method, body = s
             rows.append((next_seq, url, int(depth), method, body, None,
-                         ctx_json(ctx)))
+                         ctx_json(ctx), False, 0))
             next_seq += 1
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])
@@ -1267,9 +1290,9 @@ class Crawler:
                 # lives at the HTTP layer; cache hits bypass Do())
                 F.lit(None).cast("string").alias("set_cookie"),
                 F.lit(None).cast("int").alias("cache_max_age"),
-                # ctx is per-REQUEST state: a replay keeps the
-                # requesting row's context, not the original fetcher's
-                "ctx")
+                # ctx/body/tries are per-REQUEST state: a replay keeps
+                # the requesting row's, not the original fetcher's
+                "ctx", "body_req", "tries")
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
@@ -1430,9 +1453,34 @@ class Crawler:
                     n_new = allowed_new
             new_frontier = seq_links.select(
                 "seq", "url", "depth", F.lit("GET").alias("method"),
-                F.lit(None).cast("binary").alias("body_req"), "referer", "ctx")
+                F.lit(None).cast("binary").alias("body_req"), "referer", "ctx",
+                F.lit(False).alias("no_revisit"), F.lit(0).alias("tries"))
             next_seq = next_seq + n_new
         m["new_links"] = n_new
+        # Request.Retry (request.go:190-198): final GET/POST responses
+        # with a retry-policy status re-enter the next batch's frontier
+        # at the same depth with the same parameters, bypassing
+        # check-and-mark; seqs are assigned after this batch's links,
+        # in original-seq order; capacity guard does not apply (retries
+        # re-enter via scrape, not queue.Add)
+        n_retries = 0
+        if self.cfg.retry_http_statuses:
+            retry_src = done.filter(
+                F.col("status").isin(*self.cfg.retry_http_statuses)
+                & (F.col("tries") < F.lit(self.cfg.max_retries))
+                & (F.col("method") != "HEAD")
+            ).select(
+                F.col("seq").alias("orig_seq"), F.col("final_url").alias("url"),
+                "depth", "method", "body_req", "referer", "ctx",
+                (F.col("tries") + 1).alias("tries"))
+            seq_retries, next_seq2 = dense_seq(
+                retry_src, ["orig_seq"], out_col="seq", start=next_seq)
+            n_retries = next_seq2 - next_seq
+            if n_retries > 0:
+                new_frontier = new_frontier.unionByName(seq_retries.select(
+                    "seq", "url", "depth", "method", "body_req", "referer",
+                    "ctx", F.lit(True).alias("no_revisit"), "tries"))
+                next_seq = next_seq2
         _lap("t_extract")
         # 6. sinks (idempotent per-batch partitions) — all writes are
         # independent jobs submitted concurrently; the error count is a
@@ -1456,7 +1504,9 @@ class Crawler:
             futs = [
                 ex.submit(lambda: shrink(all_errors).write.mode("overwrite")
                           .parquet(errors_dir)),
-                ex.submit(lambda: (new_frontier.coalesce(4) if small and n_new else new_frontier)
+                ex.submit(lambda: (new_frontier.coalesce(4)
+                                   if small and (n_new + n_retries)
+                                   else new_frontier)
                           .write.mode("overwrite").parquet(
                               os.path.join(self.state, "snap", f"frontier_{batch:06d}"))),
                 ex.submit(lambda: shrink(deferred).write.mode("overwrite").parquet(
@@ -1495,7 +1545,7 @@ class Crawler:
             os.path.join(self.state, "snap", f"frontier_{batch:06d}"))
         self._pending = spark.read.parquet(
             os.path.join(self.state, "snap", f"pending_{batch:06d}"))
-        self._n_frontier, self._n_pending = n_new, m["deferred"]
+        self._n_frontier, self._n_pending = n_new + n_retries, m["deferred"]
         self._next_seq = next_seq
         self._batch = batch + 1
         return True

@@ -237,6 +237,24 @@ SCENARIOS = {
                         abort_header_content_types=(r"^image/",)),
         seeds=["http://d00.test/"],
     ),
+    # Request.Retry (request.go:190-198): /500 responses re-submit at
+    # the same depth bypassing check-and-mark — 1 fresh + 2 retry
+    # attempts, each with its own trace row and http_500 error, no
+    # already_visited errors for them
+    "retry_500": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        retry_http_statuses=(500,), max_retries=2),
+        seeds=["http://d00.test/500", "http://d00.test/"],
+    ),
+    # retry × cache: the fresh 404 is stored (sub-500 GET); every
+    # retry replays it from the cache (per-batch cache_hits asserted)
+    # and retries again until the attempt cap
+    "retry_cache": dict(
+        cfg=CrawlConfig(max_depth=1, ignore_robots=True,
+                        cache_enabled=True,
+                        retry_http_statuses=(404,), max_retries=2),
+        seeds=["http://d00.test/404", "http://d01.test/"],
+    ),
     # generic request Context (context.go:22-88): KV seeded on d00's
     # seed is inherited verbatim by every descendant request
     # (Request.Visit shares the Ctx, request.go:151-153) — through
