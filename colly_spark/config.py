@@ -119,6 +119,12 @@ class CrawlConfig:
     # never seen-marked and skip robots.
     check_head: bool = False
     allow_url_revisit: bool = False
+    # X3 DetectCharset (colly.go:104-106, config.go:41-42): when no
+    # charset is declared (Content-Type param / <meta> / <?xml?>),
+    # statistically detect the body encoding instead of falling back
+    # to utf-8+replacement. Deterministic subset of chardet: BOMs,
+    # strict-UTF8 validation, windows-1252 fallback.
+    detect_charset: bool = False
     ignore_robots: bool = True
     user_agent: str = "colly-spark/1.0"
     # RandomUserAgent extension (extensions/random_user_agent.go:24-29):
@@ -243,6 +249,7 @@ class CrawlConfig:
                 disallowed_domain_globs=tuple(v.split(","))),
             "USER_AGENT": lambda v: kw.update(user_agent=v),
             "IGNORE_ROBOTSTXT": lambda v: kw.update(ignore_robots=to_bool(v)),
+            "DETECT_CHARSET": lambda v: kw.update(detect_charset=to_bool(v)),
             "FOLLOW_REDIRECTS": lambda v: kw.update(follow_redirects=to_bool(v)),
             "MAX_BODY_SIZE": lambda v: kw.update(max_body_size=int(v)),
             "MAX_DEPTH": lambda v: kw.update(max_depth=int(v)),

@@ -64,12 +64,33 @@ def decode_body(url: str, body, content_type: str | None, max_body_size: int):
     return data, ct
 
 
-def decode_text(body, content_type: str | None) -> str:
+def detect_encoding(data: bytes) -> str:
+    """X3 DetectCharset (colly.go:104-106 / config.go:41-42, backed by
+    a statistical chardet there): deterministic detection for bodies
+    with NO declared charset. Honest subset of chardet, covering the
+    cases the corpus/web path actually produces: BOM dispatch, strict
+    UTF-8 validation, windows-1252 fallback for high-byte single-byte
+    text (the superset of iso-8859-1 real pages use)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_text(body, content_type: str | None, detect: bool = False) -> str:
     """X3 charset normalization (fixCharset colly.go:693-696, v3
     response.go:76-104): charset from the Content-Type parameter; else
     sniffed from a leading ``<meta charset>`` / ``<?xml encoding>``
-    declaration (the DetectCharset analogue); else utf-8, with
-    replacement-character fallback as the last resort."""
+    declaration; else — with ``detect`` (the DetectCharset flag) —
+    statistical detection via :func:`detect_encoding`; else utf-8,
+    with replacement-character fallback as the last resort."""
     if isinstance(body, str):
         return body
     data = bytes(body)
@@ -79,6 +100,8 @@ def decode_text(body, content_type: str | None) -> str:
         head = data[:1024].decode("latin-1", errors="replace")
         m2 = _META_CHARSET_RE.search(head) or _XML_ENCODING_RE.search(head)
         enc = m2.group(1) if m2 else None
+    if enc is None and detect:
+        enc = detect_encoding(data)
     candidates = [enc] if enc else []
     candidates.append("utf-8")
     for e in candidates:
@@ -239,7 +262,8 @@ def on_xml_udf(xpaths: list[str]):
     return F.pandas_udf(_udf, _elements_schema("xpath"))
 
 
-def extract_page(page_url: str, body: bytes | str, content_type: str | None):
+def extract_page(page_url: str, body: bytes | str, content_type: str | None,
+                 detect_charset: bool = False):
     """Parse one page → (out_links, images) where
 
     - out_links: canonical resolved a[href]+img[src] URLs, document
@@ -260,7 +284,8 @@ def extract_page(page_url: str, body: bytes | str, content_type: str | None):
         return extract_xml_links(page_url, body, content_type), []
     if "html" not in ct:
         return [], []
-    text = decode_text(body, content_type) if not isinstance(body, str) else body
+    text = (decode_text(body, content_type, detect=detect_charset)
+            if not isinstance(body, str) else body)
     p = _LinkExtractor()
     try:
         p.feed(text)

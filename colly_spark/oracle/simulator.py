@@ -365,7 +365,9 @@ class Simulator:
                 pbody, pct = decode_body(final_url, row.body,
                                          row.content_type,
                                          self.cfg.max_body_size)
-                links, images = extract_page(final_url, pbody, pct)
+                links, images = extract_page(
+                    final_url, pbody, pct,
+                    detect_charset=self.cfg.detect_charset)
                 req_images = [(final_url, img_url, None, caption)
                               for img_url, caption in images]
                 for li, link in enumerate(links):

@@ -1017,6 +1017,7 @@ class Crawler:
         # REPLACED, not extended — parse_error_response=True parses
         # only status ≥ 400
         parse_err = self.cfg.parse_error_response
+        detect_cs = self.cfg.detect_charset
 
         def _parse(iterator):
             from colly_spark.operators.extract import decode_body, extract_page
@@ -1032,7 +1033,8 @@ class Crawler:
                     body, ctype = decode_body(url, body, ctype, max_body)
                     gate = (status >= 400) if parse_err else (status < 203)
                     if gate and method != "HEAD":
-                        links, images = extract_page(url, body, ctype)
+                        links, images = extract_page(
+                            url, body, ctype, detect_charset=detect_cs)
                     else:
                         links, images = [], []
                     links_col.append(links)

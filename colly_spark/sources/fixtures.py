@@ -266,6 +266,17 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         add_page(f"http://{host}/latin1meta", 200, "text/html",
                  meta_html.encode("iso-8859-1"),
                  links=[urlnorm.resolve(f"http://{host}/latin1meta", "/page/2")])
+        # X3 DetectCharset route: latin-1 bytes with NO declaration
+        # anywhere — the href carries a non-ASCII byte, so detection
+        # changes the canonical link (é → %C3%A9 vs U+FFFD's
+        # %EF%BF%BD). Unreachable from page links — exercised by
+        # direct seeds only, so existing scenarios are untouched.
+        bare_html = ('<html><body><a href="/caf\xe9">caf\xe9</a>'
+                     '<a href="/page/1">uno</a></body></html>')
+        add_page(f"http://{host}/latin1bare", 200, "text/html",
+                 bare_html.encode("iso-8859-1"),
+                 links=[urlnorm.resolve(f"http://{host}/latin1bare", "/caf\xe9"),
+                        urlnorm.resolve(f"http://{host}/latin1bare", "/page/1")])
         # cookie jar routes (cookiejar.go:23-60 analogue): /login sets a
         # per-host session cookie and links /account, which requires it.
         # /account is reachable with 200 only after /login's response

@@ -237,6 +237,15 @@ SCENARIOS = {
                         abort_header_content_types=(r"^image/",)),
         seeds=["http://d00.test/"],
     ),
+    # X3 DetectCharset (colly.go:104-106): the undeclared-latin-1 page
+    # decodes via statistical detection — the é-href canonicalizes to
+    # %C3%A9 (an ERR_MISSING error under that exact URL), /page/1
+    # crawls normally
+    "detect_charset": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        detect_charset=True),
+        seeds=["http://d00.test/latin1bare"],
+    ),
     # Request.Retry (request.go:190-198): /500 responses re-submit at
     # the same depth bypassing check-and-mark — 1 fresh + 2 retry
     # attempts, each with its own trace row and http_500 error, no

@@ -186,3 +186,40 @@ class TestGzipCharsetKats:
                                 html.encode("iso-8859-1"),
                                 "text/html; charset=iso-8859-1")
         assert links == ["http://d.test/page/1"]
+
+
+class TestDetectCharset:
+    """X3 DetectCharset (colly.go:104-106, config.go:41-42): statistical
+    detection for bodies with NO declared charset — the engine's
+    deterministic subset: BOM dispatch, strict-UTF8 validation,
+    windows-1252 fallback."""
+
+    def test_bom_dispatch(self):
+        from colly_spark.operators.extract import detect_encoding
+        assert detect_encoding(b"\xef\xbb\xbfhi") == "utf-8-sig"
+        assert detect_encoding(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+        assert detect_encoding(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+
+    def test_utf8_valid_vs_high_byte_fallback(self):
+        from colly_spark.operators.extract import detect_encoding
+        assert detect_encoding("héllo".encode()) == "utf-8"
+        assert detect_encoding("caf\xe9".encode("iso-8859-1")) == "windows-1252"
+
+    def test_decode_text_detect_flag(self):
+        raw = "caf\xe9".encode("iso-8859-1")
+        # off (default): utf-8 replacement mangles the é
+        assert "�" in decode_text(raw, "text/html")
+        # on: windows-1252 detection recovers it
+        assert decode_text(raw, "text/html", detect=True) == "caf\xe9"
+        # a declared charset always wins over detection
+        assert decode_text(raw, "text/html; charset=iso-8859-1",
+                           detect=True) == "caf\xe9"
+
+    def test_detect_changes_extracted_canonical_link(self):
+        html = '<html><body><a href="/caf\xe9">x</a></body></html>'
+        raw = html.encode("iso-8859-1")
+        on, _ = extract_page("http://d.test/bare", raw, "text/html",
+                             detect_charset=True)
+        off, _ = extract_page("http://d.test/bare", raw, "text/html")
+        assert on == ["http://d.test/caf%C3%A9"]    # é → UTF-8 bytes
+        assert off == ["http://d.test/caf%EF%BF%BD"]  # U+FFFD bytes
