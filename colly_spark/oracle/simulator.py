@@ -104,6 +104,32 @@ class Simulator:
         self._hdr_abort_res = [re.compile(p)
                                for p in cfg.abort_header_content_types]
 
+    def _cache_valid(self, ent, batch) -> bool:
+        """X4 expiry policies (cache.go:153-211) in batch logical time,
+        mirroring the engine's _cache_latest exactly."""
+        p = getattr(self.cfg, "cache_expiry_policy", "duration")
+        if p == "never":
+            return True
+        if p == "date":
+            cut = self.cfg.cache_expire_at_batch
+            return not (cut > 0 and batch >= cut)
+        if p == "header":
+            # cacheExpByHeader: valid only while the response's own
+            # expiry lies ahead; no max-age header → never replayable
+            return ent["expiry"] is not None and ent["expiry"] > batch
+        ttl = self.cfg.cache_ttl_batches
+        return ttl == 0 or ent["created"] + ttl > batch
+
+    def _entry_expiry(self, row, batch):
+        """Engine formula: c_expiry = batch + ceil(max_age·1000 /
+        batch_window_ms); None without a max-age header."""
+        import math
+
+        ma = getattr(row, "cache_max_age", None)
+        if ma is None or (isinstance(ma, float) and math.isnan(ma)):
+            return None
+        return batch + math.ceil(int(ma) * 1000 / self.cfg.batch_window_ms)
+
     def _hdr_abort(self, row) -> bool:
         """F9 headers-abort (checkHeadersFunc colly.go:673-680 /
         http_backend.go:223-227): the final response's Content-Type
@@ -210,7 +236,6 @@ class Simulator:
         # entries staged during a batch become probe-able the NEXT
         # batch (the engine reads only earlier batches' cache deltas)
         cache: dict[int, dict] = {}
-        ttl = self.cfg.cache_ttl_batches
         batch = 0
         while (frontier or pending) and batch < max_batches:
             m = dict(batch=batch, submitted=len(frontier), admitted=0, fetched=0,
@@ -281,8 +306,7 @@ class Simulator:
                 # response and bypasses the cookie jar entirely.
                 if self.cfg.cache_enabled and method == "GET":
                     ent = cache.get(rhash)
-                    if ent is not None and (ttl == 0
-                                            or ent["created"] + ttl > batch):
+                    if ent is not None and self._cache_valid(ent, batch):
                         final_url, status = ent["final_url"], ent["status"]
                         res.trace.append((batch, seq, canon, final_url, depth,
                                           hostname(final_url), status, "GET",
@@ -358,7 +382,8 @@ class Simulator:
                             and 0 < status < 500):
                         staged_cache.append((rhash, dict(
                             created=batch, final_url=final_url,
-                            status=status, links=[], images=[])))
+                            status=status, links=[], images=[],
+                            expiry=self._entry_expiry(row, batch))))
                     continue
                 # X2: transparent gzip then MaxBodySize truncation of
                 # the decoded bytes (http_backend.go:229-244)
@@ -384,7 +409,8 @@ class Simulator:
                 if self.cfg.cache_enabled and method == "GET":
                     staged_cache.append((rhash, dict(
                         created=batch, final_url=final_url, status=status,
-                        links=list(links), images=req_images)))
+                        links=list(links), images=req_images,
+                        expiry=self._entry_expiry(row, batch))))
             # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
             #    (new_frontier was appended in fetch order = seq order, link order);
             #    S6 capacity: links beyond max_queue_size − pending are dropped

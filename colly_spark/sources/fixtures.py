@@ -200,7 +200,12 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 "".join(img_tags),
             )
             gt_links = [r for r in (urlnorm.resolve(url, h) for h in hrefs) if r]
-            add_page(url, 200, "text/html; charset=utf-8", body, links=gt_links)
+            # by-header expiry mix (cache_expiry_policy="header" only;
+            # inert otherwise): ample max-age / zero max-age (stored
+            # but instantly stale) / no header (never replayable)
+            cma = 3600 if pi % 2 == 0 else (0 if pi % 3 == 2 else None)
+            add_page(url, 200, "text/html; charset=utf-8", body,
+                     links=gt_links, cache_max_age=cma)
 
         # special routes per domain ------------------------------------
         # redirect chains: /r/0 → /r/0/a → /page/1 ; /r/1 → / (already seen)
@@ -309,6 +314,11 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
     pages = pd.DataFrame(pages_rows)
     # dedupe in case of URL collisions (keep first)
     pages = pages.drop_duplicates(subset=["url"], keep="first").reset_index(drop=True)
+    # mixed int/None upcasts to float64 (and .apply re-infers it) —
+    # force int-or-None objects for the IntegerType Spark column
+    pages["cache_max_age"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in pages["cache_max_age"]],
+        dtype=object, index=pages.index)
 
     # --- robots --------------------------------------------------------
     robots_rows = []

@@ -198,6 +198,15 @@ SCENARIOS = {
                         cache_ttl_batches=1),
         seeds=["http://d00.test/"],
     ),
+    # X4 cacheExpByHeader (cache.go:155-162): entries live by their own
+    # response's max-age — ample-max-age pages replay on revisit, zero
+    # max-age is stored-but-stale, headerless pages refetch; per-batch
+    # cache_hits asserted
+    "cache_by_header": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True, cache_expiry_policy="header"),
+        seeds=["http://d00.test/", "http://d02.test/"],
+    ),
     # ParseStatusCallback = parseErrorResponse (config.go:189-190):
     # ONLY status ≥ 400 responses parse — the /404 page's links are
     # extracted and crawled (landing on 200 pages that do NOT parse),
