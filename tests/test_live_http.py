@@ -85,6 +85,9 @@ class _CorpusHandler(BaseHTTPRequestHandler):
             headers["Location"] = row["redirect_to"]
         if row["set_cookie"] is not None:
             headers["Set-Cookie"] = row["set_cookie"]
+        if row["cache_max_age"] is not None:
+            # the by-header expiry source on the wire (response.go:108-149)
+            headers["Cache-Control"] = f"max-age={int(row['cache_max_age'])}"
         self._respond(row["status"], row["content_type"], row["body"],
                       headers, send_body=send_body)
 
@@ -113,6 +116,7 @@ def live_server(corpus_pd):
             "redirect_to": _n(r["redirect_to"]),
             "set_cookie": _n(r["set_cookie"]),
             "require_cookie": _n(r["require_cookie"]),
+            "cache_max_age": _n(r["cache_max_age"]),
         }
         for r in corpus_pd["pages"].to_dict("records")
     }
@@ -160,6 +164,15 @@ LIVE_SCENARIOS = {
                         abort_header_content_types=(r"^image/",)),
         seeds=["http://d00.test/"],
     ),
+    # X4 cacheExpByHeader over real wire headers: the engine's expiry
+    # comes from the Cache-Control max-age the server sends, parsed by
+    # _max_age_of; the simulator reads the same corpus column —
+    # per-batch cache hits must agree
+    "cache_by_header": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True, cache_expiry_policy="header"),
+        seeds=["http://d00.test/"],
+    ),
 }
 
 
@@ -179,6 +192,8 @@ def test_live_parity(name, spark, corpus_pd, live_server, tmp_state):
     eng_errors = _errors_multiset(
         (r["url"], r["kind"]) for r in eng.errors().collect())
     assert eng_errors == sim_errors, "error multiset mismatch"
-    sim_m = [(m["batch"], m["fetched"], m["new_links"]) for m in sim.metrics]
-    eng_m = [(m["batch"], m["fetched"], m["new_links"]) for m in eng.metrics]
+    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+             for m in sim.metrics]
+    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+             for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
