@@ -1265,6 +1265,41 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, c_mktsegment
 """
 
+
+def q_brand_supplier_revenue(spark, sf_dir):
+    """TPC-H Q14/Q2 flavor over the two otherwise-unused dims:
+    lineitem ⨝ part ⨝ supplier, discounted revenue + distinct-supplier
+    fan-out per part brand. Both dims broadcast (small sides); the
+    only shuffle is the final brand aggregation."""
+    from pyspark.sql import functions as F
+
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+    li, p, s = rd("lineitem"), rd("part"), rd("supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+           .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]))
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum((dec("l_extendedprice")
+                       * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+                       ).cast("decimal(28,12)")), 2)
+         .cast("double").alias("revenue"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_lineitems"))
+
+
+_Q_BRAND_SUPPLIER_SQL = """
+SELECT p_brand,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                AS DECIMAL(28,12))), 2) AS DOUBLE) AS revenue,
+       count(DISTINCT s_suppkey) AS n_suppliers,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+"""
+
 # ---------------------------------------------------------------------------
 # corpus-based crawl + image queries (rows-only; pinned vs the oracle
 # simulator in tests/test_crawler_parity.py)
@@ -1502,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_sources": q_hot_sources,
         "lineitem_pricing": q_lineitem_pricing,
         "region_revenue": q_region_revenue,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
         "crawl_trace": q_crawl_trace,
         "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
@@ -1547,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_sources": _Q_HOT_SQL,
         "lineitem_pricing": _Q_PRICING_SQL,
         "region_revenue": _Q_REVENUE_SQL,
+        "brand_supplier_revenue": _Q_BRAND_SUPPLIER_SQL,
         # flagship drain + image pipeline: oracled via golden parquet
         # produced by the independent simulator / plain-Python codec
         # replica (scripts/make_golden.py) — the iterative drain and

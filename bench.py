@@ -36,7 +36,8 @@ QUERY_NAMES = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
     "cosine_topk", "ann_lsh", "ann_multiprobe", "ann_ivf", "token_stats", "langid", "quality_score",
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
-    "region_revenue", "image_decode", "unmarshal_fields", "xpath_links",
+    "region_revenue", "brand_supplier_revenue",
+    "image_decode", "unmarshal_fields", "xpath_links",
     "callback_fires",
     "embedding_dedup", "corpus_filter", "phash_near_dup", "image_corpus_filter",
     "winnow_fingerprints", "simhash_clusters", "domain_cap", "dataset_split",
