@@ -25,7 +25,8 @@ AUDIT = [
     "admission_filter", "fnv64_hash", "politeness_quota", "seen_antijoin",
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
     "cosine_topk", "ann_lsh", "token_stats", "events_rollup", "sessionize",
-    "lineitem_pricing", "region_revenue", "unmarshal_fields", "xpath_links",
+    "lineitem_pricing", "region_revenue", "brand_supplier_revenue",
+    "unmarshal_fields", "xpath_links",
     "domain_cap", "dataset_split", "phash_near_dup", "image_corpus_filter",
     "callback_fires", "stratified_sample", "token_shards",
 ]
