@@ -398,3 +398,38 @@ def test_resume_byte_identical(spark, corpus_pd, corpus_spark, tmp_state):
         assert _engine_seen(resumed) == full_seen, "resumed seen-set differs"
     finally:
         shutil.rmtree(full_state, ignore_errors=True)
+
+
+def test_resume_mid_retry_loop(spark, corpus_pd, corpus_spark, tmp_state):
+    """Kill/resume inside an active retry loop: the retry columns
+    (no_revisit, tries, body_req) must survive the frontier snapshot —
+    a resumed engine finishes the remaining attempts exactly like an
+    uninterrupted run."""
+    import shutil
+    import tempfile
+
+    cfg = CrawlConfig(max_depth=1, ignore_robots=True,
+                      retry_http_statuses=(500,), max_retries=3)
+    seeds = ["http://d00.test/500", "http://d00.test/"]
+
+    full_state = tempfile.mkdtemp(prefix="colly_full_")
+    try:
+        full = Crawler(spark, corpus_spark, cfg, full_state,
+                       bloom_threshold_rows=0).run(seeds)
+        full_trace = sorted(
+            (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
+            for r in full.trace().collect())
+        # 1 fresh + 3 retries of /500 plus the normal seed
+        assert sum(1 for t in full_trace if t[2].endswith("/500")) == 4
+
+        # stop after batch 1 (one retry still owed), resume fresh
+        Crawler(spark, corpus_spark, cfg, tmp_state,
+                bloom_threshold_rows=0).run(seeds, max_batches=2)
+        resumed = Crawler(spark, corpus_spark, cfg, tmp_state,
+                          bloom_threshold_rows=0).run(resume=True)
+        res_trace = sorted(
+            (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
+            for r in resumed.trace().collect())
+        assert res_trace == full_trace, "resumed retry trace differs"
+    finally:
+        shutil.rmtree(full_state, ignore_errors=True)
