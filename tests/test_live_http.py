@@ -173,6 +173,22 @@ LIVE_SCENARIOS = {
                         cache_enabled=True, cache_expiry_policy="header"),
         seeds=["http://d00.test/"],
     ),
+    # Request.Retry over real sockets: the wire 500 re-submits with
+    # checkRevisit=false — 1 fresh + 2 retried fetches traced, no
+    # already_visited errors for them
+    "retry_500": dict(
+        cfg=CrawlConfig(max_depth=1, ignore_robots=True,
+                        retry_http_statuses=(500,), max_retries=2),
+        seeds=["http://d00.test/500", "http://d00.test/"],
+    ),
+    # X3 DetectCharset over the wire: the undeclared-latin-1 page's
+    # bytes come off a real socket; detection changes the canonical
+    # é-link (an ERR_MISSING under %C3%A9, matching the simulator)
+    "detect_charset": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        detect_charset=True),
+        seeds=["http://d00.test/latin1bare"],
+    ),
 }
 
 
