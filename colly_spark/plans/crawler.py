@@ -1319,17 +1319,30 @@ class Crawler:
             done, fetch_errors = self._fetch(fetch_now_eff, batch)
         if cache_hits_done is not None:
             done = done.unionByName(cache_hits_done)
-        # fetched/cache-hit counts ride the checkpoint job (Observation)
-        from pyspark.sql import Observation
-        done_obs = Observation(f"done_{batch}")
-        done = done.observe(
-            done_obs, F.count(F.lit(1)).alias("fetched"),
-            F.sum(F.when(F.col("from_cache"), 1).otherwise(0)).alias("cache_hits"),
-        ).localCheckpoint(eager=True)
-        done_counts = done_obs.get
+        if skip_fetch:
+            # zero-fetch batch: done is empty by construction — no
+            # checkpoint/observe job needed
+            done_counts = {"fetched": 0, "cache_hits": 0}
+        else:
+            # fetched/cache-hit counts ride the checkpoint job
+            # (Observation)
+            from pyspark.sql import Observation
+            done_obs = Observation(f"done_{batch}")
+            done = done.observe(
+                done_obs, F.count(F.lit(1)).alias("fetched"),
+                F.sum(F.when(F.col("from_cache"), 1).otherwise(0)).alias("cache_hits"),
+            ).localCheckpoint(eager=True)
+            done_counts = done_obs.get
+        fresh_fetches = (int(done_counts["fetched"] or 0)
+                         - int(done_counts["cache_hits"] or 0))
         if self.cfg.cache_enabled:
             m["cache_hits"] = int(done_counts["cache_hits"] or 0)
-            # store: GET, never 5xx, fresh fetches only
+        if self.cfg.cache_enabled and fresh_fetches > 0:
+            # store: GET, never 5xx, fresh fetches only. Skipped
+            # entirely when the batch produced no fresh fetches — an
+            # empty delta dir would otherwise be appended and re-read
+            # by every later batch's probe (deterministic recompute
+            # repeats the same skip, so resume stays exact)
             to_store = done.filter(
                 (F.col("method") == "GET") & (F.col("status") < 500)
                 & (F.col("status") > 0) & ~F.col("from_cache"))
@@ -1355,9 +1368,11 @@ class Crawler:
                 ).cast("long").alias("c_expiry"),
             ).write.mode("overwrite").parquet(cache_dir)
             self._cache_paths.append(cache_dir)
-        if self._has_cookies:
+        if self._has_cookies and fresh_fetches > 0:
             # commit this batch's Set-Cookie rows — visible from the
-            # next batch on (cookiejar.go:23-60; cache replays excluded)
+            # next batch on (cookiejar.go:23-60; cache replays
+            # excluded, so a batch with no fresh fetches has nothing
+            # to commit — skip the write job + empty delta dir)
             ck_dir = os.path.join(self.state, "out", "cookies", f"batch_{batch:06d}")
             done.filter(F.col("set_cookie").isNotNull() & ~F.col("from_cache")).select(
                 F.regexp_extract("final_url", "^[a-z]+://([^/]+)", 1).alias("c_host"),
@@ -1433,10 +1448,15 @@ class Crawler:
         # 5. dense discovery seqs for new links → next frontier.
         # dense_seq's own per-partition count pass doubles as the
         # emptiness check (a separate links.isEmpty() was one more job)
+        # — and a zero-fetch batch has no links by construction, so it
+        # skips even that count job
         queue_full_errors = spark.createDataFrame([], self.sch["error"])
-        seq_links, next_seq_after = dense_seq(
-            links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
-        n_new = next_seq_after - next_seq
+        if skip_fetch:
+            n_new = 0
+        else:
+            seq_links, next_seq_after = dense_seq(
+                links, ["parent_seq", "link_idx"], out_col="seq", start=next_seq)
+            n_new = next_seq_after - next_seq
         if n_new == 0:
             new_frontier = spark.createDataFrame([], self.sch["frontier"])
         else:
@@ -1466,7 +1486,7 @@ class Crawler:
         # in original-seq order; capacity guard does not apply (retries
         # re-enter via scrape, not queue.Add)
         n_retries = 0
-        if self.cfg.retry_http_statuses:
+        if self.cfg.retry_http_statuses and not skip_fetch:
             retry_src = done.filter(
                 F.col("status").isin(*self.cfg.retry_http_statuses)
                 & (F.col("tries") < F.lit(self.cfg.max_retries))
