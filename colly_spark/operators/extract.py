@@ -73,10 +73,10 @@ def detect_encoding(data: bytes) -> str:
     text (the superset of iso-8859-1 real pages use)."""
     if data[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if data[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if data[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # "utf-16" consumes the BOM during decode (the -le/-be variants
+        # would leave a stray U+FEFF at the start of the text)
+        return "utf-16"
     try:
         data.decode("utf-8")
         return "utf-8"

@@ -279,7 +279,10 @@ def winnow_udf(k: int = 8, w: int = 4):
 
     def _winnow_one(t: str):
         norm = " ".join((t or "").lower().split())
-        data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+        # code points, not UTF-8 bytes: positions are character
+        # positions and the hash folds ord(char) per char — matching
+        # the DuckDB oracle's ord(substr(t,i,1)) on non-ASCII text
+        data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
         n = len(data) - k + 1
         if n <= 0:
             return []

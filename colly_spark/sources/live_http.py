@@ -120,6 +120,21 @@ class _ConnCache:
         import http.client
         import ssl
 
+        if scheme == "https+connect":
+            # CONNECT tunnel through a forward proxy: plaintext TCP to
+            # the proxy, CONNECT target, then TLS to the target inside
+            # the tunnel (RFC 7231 §4.3.6). netloc = "proxy|target".
+            proxy_netloc, target_netloc = netloc.split("|", 1)
+            if self._ssl_ctx is None:
+                ctx = ssl.create_default_context(cafile=self.ssl_cafile)
+                if self.ssl_insecure:
+                    ctx.check_hostname = False
+                    ctx.verify_mode = ssl.CERT_NONE
+                self._ssl_ctx = ctx
+            conn = http.client.HTTPSConnection(
+                proxy_netloc, timeout=self.timeout_s, context=self._ssl_ctx)
+            conn.set_tunnel(target_netloc)
+            return conn
         if scheme == "https":
             if self._ssl_ctx is None:
                 ctx = ssl.create_default_context(cafile=self.ssl_cafile)
@@ -159,13 +174,22 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
     scheme = p.scheme or "http"
     hdrs = dict(headers)
     if proxy:
-        # forward proxy: connect to the proxy, absolute-form request
-        # line (RFC 7230 §5.3.2) — the proxy routes on the URL itself
         pp = urllib.parse.urlsplit(
             proxy if "://" in proxy else f"http://{proxy}")
-        conn_scheme, conn_netloc = (pp.scheme or "http"), pp.netloc
-        target = urllib.parse.urlunsplit((scheme, p.netloc, p.path or "/",
-                                          p.query, ""))
+        if scheme == "https":
+            # https through a proxy MUST tunnel (CONNECT + TLS inside):
+            # absolute-form plaintext would leak URL/headers/cookies on
+            # the proxy hop and real proxies reject it anyway
+            conn_scheme = "https+connect"
+            conn_netloc = f"{pp.netloc}|{p.netloc}"
+            target = urllib.parse.urlunsplit(
+                ("", "", p.path or "/", p.query, ""))
+        else:
+            # plain-http forward proxy: absolute-form request line
+            # (RFC 7230 §5.3.2) — the proxy routes on the URL itself
+            conn_scheme, conn_netloc = (pp.scheme or "http"), pp.netloc
+            target = urllib.parse.urlunsplit((scheme, p.netloc,
+                                              p.path or "/", p.query, ""))
     elif connect_addr:
         # loopback/test routing: connect elsewhere, origin-form path,
         # explicit Host header carries the virtual host
@@ -421,13 +445,28 @@ class HttpFetchSource:
             conns = _ConnCache(timeout_s, ssl_cafile, ssl_insecure)
 
             def one(host):
-                r = _fetch_one(conns, f"http://{host}/robots.txt", "GET",
-                               None, ua, None, None, connect_addr, max_read,
-                               retries, backoff_s)
-                if r["_purl"] is None or r["status"] >= 500:
+                # follow redirects (bounded) like the reference's plain
+                # client Get does before parsing (colly.go:792-827) —
+                # parsing a 3xx body as rules would silently allow-all
+                url = f"http://{host}/robots.txt"
+                for _hop in range(5):
+                    r = _fetch_one(conns, url, "GET", None, ua, None, None,
+                                   connect_addr, max_read, retries, backoff_s)
+                    if r["_purl"] is None or r["status"] >= 500:
+                        return dict(host=host, body=None, fetch_error=True)
+                    if 300 <= r["status"] < 400 and r["redirect_to"]:
+                        url = r["redirect_to"]
+                        continue
+                    break
+                else:
+                    # redirect loop / too many hops → treat as a fetch
+                    # error so the host is blocked, never silently open
                     return dict(host=host, body=None, fetch_error=True)
                 if r["status"] >= 400:
                     return dict(host=host, body=None, fetch_error=False)
+                if r["status"] >= 300:
+                    # terminal 3xx without Location: unfetchable
+                    return dict(host=host, body=None, fetch_error=True)
                 return dict(host=host,
                             body=(r["body"] or b"").decode("utf-8", "replace"),
                             fetch_error=False)

@@ -397,3 +397,171 @@ def test_custom_user_agent_header_wins(spark, header_server):
     sent = header_server.seen["/q"][0]
     uas = [v for k, v in sent if k.lower() == "user-agent"]
     assert uas == ["pinned-ua"]
+
+
+class _ConnectProxy:
+    """Minimal CONNECT-capable forward proxy: records tunnel targets,
+    rejects (and records) any plaintext absolute-form request so the
+    no-leak property is directly observable."""
+
+    def __init__(self):
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(16)
+        self.port = self.sock.getsockname()[1]
+        self.lock = threading.Lock()
+        self.targets = []
+        self.plain_requests = []
+        self._stop = False
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        while not self._stop:
+            try:
+                c, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(c,),
+                             daemon=True).start()
+
+    def _handle(self, c):
+        up = None
+        try:
+            data = b""
+            while b"\r\n\r\n" not in data:
+                chunk = c.recv(4096)
+                if not chunk:
+                    return
+                data += chunk
+            head, rest = data.split(b"\r\n\r\n", 1)
+            line = head.split(b"\r\n", 1)[0].decode("latin-1")
+            method, target = line.split(" ", 2)[:2]
+            if method != "CONNECT":
+                with self.lock:
+                    self.plain_requests.append(line)
+                c.sendall(b"HTTP/1.1 400 Bad Request\r\n"
+                          b"Content-Length: 0\r\nConnection: close\r\n\r\n")
+                return
+            with self.lock:
+                self.targets.append(target)
+            host, port = target.rsplit(":", 1)
+            up = socket.create_connection((host, int(port)), timeout=10)
+            c.sendall(b"HTTP/1.1 200 Connection established\r\n\r\n")
+            if rest:
+                up.sendall(rest)
+
+            def pipe(a, b):
+                try:
+                    while True:
+                        d = a.recv(65536)
+                        if not d:
+                            break
+                        b.sendall(d)
+                except OSError:
+                    pass
+                finally:
+                    try:
+                        b.shutdown(socket.SHUT_WR)
+                    except OSError:
+                        pass
+
+            t = threading.Thread(target=pipe, args=(up, c), daemon=True)
+            t.start()
+            pipe(c, up)
+            t.join(timeout=10)
+        except Exception:
+            pass
+        finally:
+            for s in (c, up):
+                if s is not None:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+
+    def close(self):
+        self._stop = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def test_https_proxy_uses_connect_tunnel(spark, tls_server):
+    """HTTPS through a forward proxy must CONNECT-tunnel (TLS inside):
+    the proxy sees only the host:port, never a plaintext request line
+    with URL/headers/cookies."""
+    srv, cert = tls_server
+    port = srv.server_address[1]
+    proxy = _ConnectProxy()
+    try:
+        cfg = CrawlConfig(proxies=(f"127.0.0.1:{proxy.port}",))
+        src = HttpFetchSource(cfg, timeout_s=10.0, threads_per_task=2,
+                              ssl_cafile=cert)
+        urls = [f"https://127.0.0.1:{port}/t{i}" for i in range(3)]
+        out = src.lookup(_frontier(spark, urls)).collect()
+        assert len(out) == 3
+        assert all(r["status"] == 200 and
+                   bytes(r["body"]) == b"<html>ok</html>" for r in out)
+        assert proxy.plain_requests == [], "plaintext leaked on proxy hop"
+        assert set(proxy.targets) == {f"127.0.0.1:{port}"}
+    finally:
+        proxy.close()
+
+
+class _RedirRobotsHandler(BaseHTTPRequestHandler):
+    """robots.txt behaviors per virtual host: rr.test redirects to the
+    real rules; loop.test redirects to itself forever."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args):
+        pass
+
+    def _redir(self, loc):
+        self.send_response(301)
+        self.send_header("Location", loc)
+        self.send_header("Content-Length", "9")
+        self.end_headers()
+        self.wfile.write(b"<a>moved\n")
+
+    def do_GET(self):
+        host = self.headers.get("Host") or ""
+        if self.path == "/robots.txt":
+            if host.startswith("loop."):
+                return self._redir("/robots.txt")
+            return self._redir("/real-robots")
+        if self.path == "/real-robots":
+            body = b"User-agent: *\nDisallow: /private\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        self.send_response(404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+def test_robots_redirect_followed_and_loop_blocks(spark):
+    """A redirecting robots.txt is followed to the rules (the reference
+    client follows before parsing); a redirect loop classifies as a
+    fetch error (host blocked) rather than silently allowing all."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _RedirRobotsHandler)
+    srv.daemon_threads = True
+    _serve(srv)
+    try:
+        addr = f"127.0.0.1:{srv.server_address[1]}"
+        src = HttpFetchSource(CrawlConfig(), connect_addr=addr,
+                              timeout_s=10.0, threads_per_task=2)
+        hosts = spark.createDataFrame([("rr.test",), ("loop.test",)],
+                                      "host string")
+        rows = {r["host"]: r for r in src.fetch_robots(hosts).collect()}
+        assert rows["rr.test"]["fetch_error"] is False
+        assert "Disallow: /private" in rows["rr.test"]["body"]
+        assert rows["loop.test"]["fetch_error"] is True
+        assert rows["loop.test"]["body"] is None
+    finally:
+        srv.shutdown()
+        srv.server_close()

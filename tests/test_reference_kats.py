@@ -197,8 +197,14 @@ class TestDetectCharset:
     def test_bom_dispatch(self):
         from colly_spark.operators.extract import detect_encoding
         assert detect_encoding(b"\xef\xbb\xbfhi") == "utf-8-sig"
-        assert detect_encoding(b"\xff\xfeh\x00i\x00") == "utf-16-le"
-        assert detect_encoding(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+        # "utf-16" (not -le/-be): the decoder must consume the BOM so
+        # the decoded text does not start with a stray U+FEFF
+        assert detect_encoding(b"\xff\xfeh\x00i\x00") == "utf-16"
+        assert detect_encoding(b"\xfe\xff\x00h\x00i") == "utf-16"
+        assert b"\xff\xfeh\x00i\x00".decode(
+            detect_encoding(b"\xff\xfeh\x00i\x00")) == "hi"
+        assert b"\xfe\xff\x00h\x00i".decode(
+            detect_encoding(b"\xfe\xff\x00h\x00i")) == "hi"
 
     def test_utf8_valid_vs_high_byte_fallback(self):
         from colly_spark.operators.extract import detect_encoding
