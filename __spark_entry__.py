@@ -948,6 +948,34 @@ WHERE lang_guess = 'en' AND quality_score >= 0.35 AND n_tokens >= 16
 """
 
 
+def q_ann_ivf_prod(spark, sf_dir):
+    """IVF-Flat ANN at a production shape (nlist=1024, dim=256, trained
+    centroid matrix passed in): the vectorized assignment path — the
+    centroid matrix ships ONCE as a Spark broadcast and cell/probe
+    assignment is a numpy matmul per Arrow batch, so plan size is O(1)
+    in nlist (the literal-Catalyst form used for the oracled ann_ivf
+    cannot plan past toy nlist). No SQL oracle by design: the path's
+    correctness evidence is tests/test_ann_production.py, which pins
+    result equality against the oracled literal path at nlist=16 and
+    assignment equality row-by-row. Fixture embeddings are widened
+    64→256 deterministically (concat of 4 fixed transforms)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import ann_ivf_topk, ivf_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    wide = emb.select(
+        "vec_id",
+        F.concat(v, F.reverse(v),
+                 F.transform(v, lambda x: x * 0.5 + 0.25),
+                 F.transform(v, lambda x: -x)).alias("embedding"))
+    return ann_ivf_topk(wide, wide.filter(F.col("vec_id") < 8), k=5,
+                        nlist=1024, nprobe=64, dim=256,
+                        assign="vectorized",
+                        centroids=ivf_centroids(256, 1024, seed=7))
+
+
 def q_token_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1527,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_prod": q_ann_ivf_prod,
         "embedding_dedup": q_embedding_dedup,
         "corpus_filter": q_corpus_filter,
         "token_stats": q_token_stats,

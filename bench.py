@@ -51,7 +51,8 @@ QUERY_NAMES = [
     "admission_filter", "url_canonicalize", "fnv64_hash", "politeness_quota",
     "quota_multi_rule", "seen_antijoin", "redirect_resolve", "dedup_keep_first",
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
-    "cosine_topk", "ann_lsh", "ann_multiprobe", "ann_ivf", "token_stats", "langid", "quality_score",
+    "cosine_topk", "ann_lsh", "ann_multiprobe", "ann_ivf", "ann_ivf_prod",
+    "token_stats", "langid", "quality_score",
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
     "region_revenue", "brand_supplier_revenue",
     "image_decode", "unmarshal_fields", "xpath_links",

@@ -64,13 +64,91 @@ def decode_body(url: str, body, content_type: str | None, max_body_size: int):
     return data, ct
 
 
+def _walk_sjis(data: bytes):
+    """Structural Shift-JIS walk: returns (double_byte_pairs,
+    halfwidth_katakana, low_trails, invalid). Lead 0x81-0x9F/0xE0-0xEF
+    with trail 0x40-0xFC (≠0x7F) is a JIS X 0208 pair; 0xA1-0xDF is
+    half-width katakana (single). ``low_trails`` counts pairs whose
+    trail byte is ASCII-range (0x40-0x7E) — evidence only a genuine
+    double-byte encoding produces (see detect_encoding)."""
+    i, n, dbl, kata, low, bad = 0, len(data), 0, 0, 0, 0
+    while i < n:
+        c = data[i]
+        if c < 0x80:
+            i += 1
+            continue
+        if 0xA1 <= c <= 0xDF:
+            kata += 1
+            i += 1
+            continue
+        if (0x81 <= c <= 0x9F or 0xE0 <= c <= 0xEF) and i + 1 < n \
+                and 0x40 <= data[i + 1] <= 0xFC and data[i + 1] != 0x7F:
+            dbl += 1
+            if data[i + 1] <= 0x7E:
+                low += 1
+            i += 2
+            continue
+        bad += 1
+        i += 1
+    return dbl, kata, low, bad
+
+
+def _walk_big5(data: bytes):
+    """Structural Big5 walk: lead 0xA1-0xF9, trail 0x40-0x7E or
+    0xA1-0xFE. Returns (double_byte_pairs, low_trails, invalid);
+    ``low_trails`` counts pairs with an ASCII-range trail."""
+    i, n, dbl, low, bad = 0, len(data), 0, 0, 0
+    while i < n:
+        c = data[i]
+        if c < 0x80:
+            i += 1
+            continue
+        if 0xA1 <= c <= 0xF9 and i + 1 < n and (
+                0x40 <= data[i + 1] <= 0x7E or 0xA1 <= data[i + 1] <= 0xFE):
+            dbl += 1
+            if data[i + 1] <= 0x7E:
+                low += 1
+            i += 2
+            continue
+        bad += 1
+        i += 1
+    return dbl, low, bad
+
+
+# koi8-r Cyrillic letters: 0xC0-0xFF plus ё (0xA3) / Ё (0xB3)
+_KOI8_CYR = frozenset(range(0xC0, 0x100)) | {0xA3, 0xB3}
+
+
 def detect_encoding(data: bytes) -> str:
     """X3 DetectCharset (colly.go:104-106 / config.go:41-42, backed by
-    a statistical chardet there): deterministic detection for bodies
-    with NO declared charset. Honest subset of chardet, covering the
-    cases the corpus/web path actually produces: BOM dispatch, strict
-    UTF-8 validation, windows-1252 fallback for high-byte single-byte
-    text (the superset of iso-8859-1 real pages use)."""
+    the saintfish/chardet statistical library there): deterministic
+    detection for bodies with NO declared charset. BOM dispatch, then
+    strict UTF-8 validation, then a byte-bigram/structural model over
+    the multi-byte CJK encodings (shift_jis, big5) and koi8-r, with
+    windows-1252 (the superset of iso-8859-1 real pages use) as the
+    single-byte fallback.
+
+    Discrimination logic (all deterministic, order-stable):
+    - shift_jis / big5 candidates require a CLEAN structural walk (no
+      invalid lead/trail sequence) and are scored by the fraction of
+      high-byte content consumed as valid double-byte pairs. Japanese
+      kana pages break the big5 walk (kana leads 0x82/0x83 < 0xA1);
+      Chinese big5 text scores low under shift_jis because its
+      0xA1-0xDF leads parse as zero-weight half-width katakana.
+    - koi8-r requires every high byte to be a koi8-r Cyrillic letter
+      and is scored by the high-high bigram ratio — Cyrillic words are
+      runs of high bytes, whereas Latin-accent text (windows-1252) has
+      isolated high bytes, scoring ~0.
+    - an even-length Cyrillic run also walks cleanly as big5 (and, if
+      uppercase, as shift_jis) high-high pairs. The discriminator is
+      ASCII-range trail bytes (0x40-0x7E): genuine CJK double-byte text
+      uses them constantly, while koi8-r letters are all ≥ 0xA1, so a
+      pure-Cyrillic body can never produce one. When the koi8-r
+      candidate exists, CJK candidates whose walk consumed ZERO
+      low-trail pairs are dropped — their evidence is exactly the
+      byte pattern Cyrillic runs produce.
+    - highest score ≥ 0.5 wins; ties break shift_jis > big5 > koi8-r
+      (fixed priority, so detection is reproducible byte-for-byte)."""
     if data[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -81,7 +159,29 @@ def detect_encoding(data: bytes) -> str:
         data.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
+        pass
+    high = sum(1 for b in data if b >= 0x80)
+    if high == 0:
+        # invalid-UTF8 without high bytes cannot happen (ASCII is valid
+        # UTF-8), but guard the division anyway
         return "windows-1252"
+    koi8_ok = all(b in _KOI8_CYR for b in data if b >= 0x80)
+    scores: list[tuple[float, int, str]] = []
+    dbl, _kata, low, bad = _walk_sjis(data)
+    if bad == 0 and dbl > 0 and not (koi8_ok and low == 0):
+        scores.append((2.0 * dbl / high, 3, "shift_jis"))
+    dbl5, low5, bad5 = _walk_big5(data)
+    if bad5 == 0 and dbl5 > 0 and not (koi8_ok and low5 == 0):
+        scores.append((2.0 * dbl5 / high, 2, "big5"))
+    if koi8_ok:
+        hh = sum(1 for a, b in zip(data, data[1:])
+                 if a >= 0x80 and b >= 0x80)
+        scores.append((hh / high, 1, "koi8-r"))
+    if scores:
+        score, _prio, enc = max(scores)
+        if score >= 0.5:
+            return enc
+    return "windows-1252"
 
 
 def decode_text(body, content_type: str | None, detect: bool = False) -> str:

@@ -69,7 +69,7 @@ def cosine_topk(corpus_df, query_df, k: int = 10,
 def embedding_near_dup_pairs(emb_df, threshold: float, n_bits: int = 8,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, seed: int = 42,
-                             multiprobe: int = 8):
+                             multiprobe: int = 8, assign: str = "catalyst"):
     """Embedding-cosine near-duplicate candidate pairs: sign-LSH
     bucket join (+ Hamming-1 multiprobe) → exact cosine ≥ threshold.
     Returns (a, b, cos_sim) with a < b. The bucketed join keeps the
@@ -79,8 +79,10 @@ def embedding_near_dup_pairs(emb_df, threshold: float, n_bits: int = 8,
     from pyspark.sql import functions as F
 
     planes = hyperplanes(dim, n_bits, seed)
+    bucket_of = (lsh_bucket_vec if assign == "vectorized"
+                 else lsh_bucket_expr)
     base = emb_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                         lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
+                         bucket_of(planes, F.col(vec_col)).alias("bucket"))
     left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     if multiprobe > 0:
         probes = F.array(
@@ -106,6 +108,89 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
 
 
+# ---------------------------------------------------------------------------
+# production assignment path: broadcast matrix + numpy matmul
+#
+# The literal-Catalyst assignment expressions below (lsh_bucket_expr /
+# ivf_cell_expr) inline every centroid/hyperplane coefficient into the
+# plan — perfect for bit-exact SQL oracling, impossible at production
+# shapes (nlist ≈ √n ≈ 3·10^4 at 10^9 vectors, dim 512+: the expression
+# tree blows past codegen/plan-size limits). The production path ships
+# the matrix ONCE as a Spark broadcast and assigns cells/buckets with
+# one numpy matmul per Arrow batch — O(batch × dim × nlist) BLAS work,
+# no per-row Python, plan size O(1) in nlist. Both paths sit behind the
+# same operator signatures via ``assign="catalyst" | "vectorized"``.
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_matrix(mat: np.ndarray):
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.sparkContext.broadcast(
+        np.ascontiguousarray(mat, dtype=np.float64))
+
+
+def _stack(vs) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+
+
+def lsh_bucket_vec(planes: np.ndarray, vec_col):
+    """Vectorized sign-LSH bucket: (batch × dim) @ (dim × bits) matmul,
+    sign bits packed into int64. Matrix travels as a broadcast, not as
+    plan literals — works at any n_bits/dim."""
+    from pyspark.sql import functions as F
+
+    bc = _broadcast_matrix(planes.T)  # (dim, bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        dots = _stack(vs) @ bc.value
+        return pd.Series(((dots > 0) @ weights).astype(np.int64))
+
+    return _bucket(vec_col)
+
+
+def ivf_cell_vec(centroids: np.ndarray, vec_col):
+    """Vectorized IVF cell assignment: argmax_j dot(v, centroid_j),
+    ties to the smallest j (np.argmax keeps the first maximum — the
+    same tie rule as the Catalyst struct-max)."""
+    from pyspark.sql import functions as F
+
+    bc = _broadcast_matrix(centroids.T)  # (dim, nlist)
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(
+            np.argmax(_stack(vs) @ bc.value, axis=1).astype(np.int32))
+
+    return _cell(vec_col)
+
+
+def ivf_probes_vec(centroids: np.ndarray, nprobe: int, vec_col):
+    """Vectorized query-side probe list: the nprobe cells with highest
+    dot, ties to the smallest j (stable argsort on -dots)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bc = _broadcast_matrix(centroids.T)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        dots = _stack(vs) @ bc.value
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return _probes(vec_col)
+
+
 def lsh_bucket_expr(planes: np.ndarray, vec_col):
     """embedding → int64 sign-LSH bucket as a pure-Catalyst expression:
     bit j = sign(dot(v, plane_j)) with the dot computed by the same
@@ -128,7 +213,8 @@ def lsh_bucket_expr(planes: np.ndarray, vec_col):
 
 def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64, seed: int = 42, multiprobe: int = 0):
+                 dim: int = 64, seed: int = 42, multiprobe: int = 0,
+                 assign: str = "catalyst"):
     """Approximate top-k: bucket by sign-LSH, exact cosine within the
     query's bucket only. Returns (query_id, neighbor_id, rank, cos_sim).
     At 10^9-vector scale the bucket join replaces the full cross
@@ -138,16 +224,23 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
     Hamming-1 neighbor buckets (bucket XOR bit j) per query — the
     standard recall/cost dial: each extra probe adds ~1/2^b of the
     corpus to the candidate set. Corpus vectors keep ONE bucket, so
-    probes never duplicate a candidate pair."""
+    probes never duplicate a candidate pair.
+
+    ``assign="catalyst"`` inlines the hyperplanes as plan literals
+    (bit-exact vs the SQL oracle, toy n_bits only);
+    ``assign="vectorized"`` broadcasts the plane matrix and assigns
+    buckets via numpy matmul in a pandas UDF — the production shape."""
     from pyspark.sql import Window, functions as F
 
     planes = hyperplanes(dim, n_bits, seed)
+    bucket_of = (lsh_bucket_vec if assign == "vectorized"
+                 else lsh_bucket_expr)
     c = corpus_df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
+        bucket_of(planes, F.col(vec_col)).alias("bucket"))
     q = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        lsh_bucket_expr(planes, F.col(vec_col)).alias("bucket"))
+        bucket_of(planes, F.col(vec_col)).alias("bucket"))
     if multiprobe > 0:
         probes = F.array(
             F.col("bucket"),
@@ -206,7 +299,8 @@ def ivf_cell_expr(centroids: np.ndarray, vec_col):
 
 def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
                  nprobe: int = 4, id_col: str = "vec_id",
-                 vec_col: str = "embedding", dim: int = 64, seed: int = 7):
+                 vec_col: str = "embedding", dim: int = 64, seed: int = 7,
+                 assign: str = "catalyst", centroids: np.ndarray = None):
     """IVF-Flat approximate top-k (the inverted-file counterpart to
     ``ann_lsh_topk``): corpus vectors are assigned to their nearest of
     ``nlist`` coarse centroids map-side; each query probes its
@@ -219,23 +313,42 @@ def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
     hash-partitioned on ``cell`` so each probe touches ~n/nlist of the
     corpus; the query side is tiny and broadcast. nprobe is the
     recall/cost dial — recall vs ``cosine_topk`` is asserted in
-    tests/test_training_ops."""
+    tests/test_training_ops.
+
+    ``assign="catalyst"`` inlines every centroid as a plan literal —
+    bit-exact vs the DuckDB oracle but bounded to toy nlist (the
+    expression tree is nlist×dim terms). ``assign="vectorized"`` is the
+    production path: the centroid matrix ships once as a Spark
+    broadcast and assignment is one numpy matmul per Arrow batch —
+    works at nlist ≈ √n / dim 512+ where the literal form cannot plan.
+    ``centroids`` overrides the seeded harness centroids with an
+    offline-trained matrix (the production source)."""
     from pyspark.sql import Window, functions as F
 
-    cents = ivf_centroids(dim, nlist, seed)
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        ivf_cell_expr(cents, F.col(vec_col)).alias("cell"))
-    # query side: rank ALL cells by dot desc (ties → smallest j) and
-    # keep the first nprobe. reverse(array_sort) on struct(d, nj)
-    # gives exactly that order; queries ≪ corpus so this stays tiny.
-    q = query_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.slice(F.reverse(F.array_sort(_cell_entries(cents, F.col(vec_col)))),
-                1, nprobe).alias("_probes"))
-    q = q.select("query_id", "qv",
-                 F.explode(F.transform("_probes", lambda s: (-s["nj"]).cast("int")))
-                  .alias("cell"))
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, nlist, seed)
+    if assign == "vectorized":
+        c = corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            ivf_cell_vec(cents, F.col(vec_col)).alias("cell"))
+        q = query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode(
+                ivf_probes_vec(cents, nprobe, F.col(vec_col))).alias("cell"))
+    else:
+        c = corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            ivf_cell_expr(cents, F.col(vec_col)).alias("cell"))
+        # query side: rank ALL cells by dot desc (ties → smallest j) and
+        # keep the first nprobe. reverse(array_sort) on struct(d, nj)
+        # gives exactly that order; queries ≪ corpus so this stays tiny.
+        q = query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.slice(F.reverse(F.array_sort(_cell_entries(cents, F.col(vec_col)))),
+                    1, nprobe).alias("_probes"))
+        q = q.select("query_id", "qv",
+                     F.explode(F.transform("_probes", lambda s: (-s["nj"]).cast("int")))
+                      .alias("cell"))
     sims = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

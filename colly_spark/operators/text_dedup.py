@@ -325,22 +325,36 @@ def near_dup_pairs_minhash(df, id_col: str = "doc_id", text_col: str = "text",
 
 def connected_components(vertices_df, pairs_df, id_col: str = "doc_id",
                          a_col: str = "id_a", b_col: str = "id_b",
-                         max_iter: int = 25):
+                         max_iter: int = 25, algorithm: str = "label"):
     """Near-dup cluster assignment: connected components over a pair
-    graph by iterative min-label propagation. Returns (id_col,
-    cluster_id) for EVERY vertex, cluster_id = min member id.
+    graph. Returns (id_col, cluster_id) for EVERY vertex, cluster_id =
+    min member id.
 
+    ``algorithm="label"`` (default): iterative min-label propagation.
     Scale shape: edges are symmetrized once and persisted hash-
     partitioned on src; each round is one equi-join + one min-groupBy
     on the same key (AQE coalesces the tiny tail), and the label frame
     is localCheckpoint'ed so the plan does not compound across rounds.
     Rounds needed = graph diameter — near-dup graphs are
-    overwhelmingly tiny cliques/chains (diameter ≤ ~3); for adversarial
-    long-chain graphs swap the body for the large-star/small-star
-    rounds of Kiveris et al. (same join primitives, O(log n) rounds).
-    Convergence is detected by the strictly-decreasing sum of labels
-    (one scalar action per round, riding the same job)."""
+    overwhelmingly tiny cliques/chains (diameter ≤ ~3), where this is
+    the cheapest shape (2-3 rounds, no edge rewriting).
+
+    ``algorithm="star"``: the alternating large-star/small-star rounds
+    of Kiveris et al. (Connected Components in MapReduce and Beyond,
+    SoCC'14) — the adversarial-diameter path. Each round REWIRES the
+    edge set toward the component minimum instead of propagating
+    labels along fixed edges, so a diameter-d chain converges in
+    O(log d) rounds instead of d. Same join/groupBy primitives, same
+    localCheckpoint lineage discipline; both paths return identical
+    labels (pinned by tests/test_training_ops long-chain equality).
+    Convergence is detected by a stable (count, hash-sum) signature of
+    the oriented edge set (one scalar action per round)."""
     from pyspark.sql import functions as F
+
+    if algorithm == "star":
+        labels, _rounds = _cc_star(vertices_df, pairs_df, id_col,
+                                   a_col, b_col, max_iter)
+        return labels
 
     sym = pairs_df.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")) \
         .unionByName(pairs_df.select(F.col(b_col).alias("src"),
@@ -367,3 +381,74 @@ def connected_components(vertices_df, pairs_df, id_col: str = "doc_id",
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def _cc_star(vertices_df, pairs_df, id_col: str, a_col: str, b_col: str,
+             max_iter: int = 25):
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 §3). Returns (labels_df, rounds_run).
+
+    Invariants per round (ids compared as longs):
+    - large-star: for every node u, every STRICTLY LARGER neighbor v is
+      re-pointed at m(u) = min(Γ(u) ∪ {u}); output edges are oriented
+      (child > parent) and self-loop-free by construction (m ≤ u < v).
+    - small-star: over the oriented edges, every node u with parents
+      P(u) re-points P(u) ∪ {u} at m = min(P(u)) — one equi-groupBy +
+      one join, output stays oriented.
+    Each is one shuffle on the node key; edge count never grows beyond
+    2|E| and monotonically collapses toward the star. At convergence
+    every non-minimum node carries exactly one oriented edge to its
+    component minimum. O(log d) rounds on a diameter-d graph vs the
+    label-propagation body's d."""
+    from pyspark.sql import functions as F
+
+    oriented = (pairs_df.select(
+        F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("hi"),
+        F.least(F.col(a_col), F.col(b_col)).cast("long").alias("lo"))
+        .filter(F.col("hi") != F.col("lo")).distinct())
+    oriented = oriented.localCheckpoint(eager=True)
+
+    def _sig(df):
+        # (count, xor-of-hashes): order-independent, overflow-free
+        # (ANSI sum(long) can overflow), collision-safe enough for a
+        # convergence check over a DISTINCT edge set
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _sig(oriented)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetrized view
+        sym = oriented.select("hi", "lo").unionByName(
+            oriented.select(F.col("lo").alias("hi"), F.col("hi").alias("lo")))
+        m = sym.groupBy(F.col("hi").alias("u")).agg(
+            F.min("lo").alias("nmin"))
+        m = m.select("u", F.least("nmin", "u").alias("m"))
+        large = (sym.join(m, sym["hi"] == m["u"])
+                 .filter(F.col("lo") > F.col("hi"))
+                 .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+                 .distinct())
+        # small-star over the oriented output
+        sm = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (large.join(sm, "hi")
+                 .select(F.col("lo").alias("child"), F.col("m"))
+                 .filter(F.col("child") != F.col("m"))
+                 .select(F.col("child").alias("hi"), F.col("m").alias("lo"))
+                 .unionByName(sm.select(F.col("hi"), F.col("m").alias("lo")))
+                 .distinct())
+        oriented = small.localCheckpoint(eager=True)
+        cur = _sig(oriented)
+        if cur == prev:
+            break
+        prev = cur
+
+    parents = oriented.groupBy(F.col("hi").alias("id")).agg(
+        F.min("lo").alias("root"))
+    return (vertices_df.select(F.col(id_col).cast("long").alias("id"))
+            .join(parents, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("root", "id").alias("cluster_id")),
+            rounds)

@@ -202,12 +202,16 @@ class CrawlHandles:
     @staticmethod
     def _batch_of(path: str) -> int:
         # delta dirs are batch_N (sinks) or batch_N_<tag> (visited/
-        # cache/cookie marks, one per admission/redirect-hop phase)
+        # cache/cookie marks, one per admission/redirect-hop phase);
+        # compacted state bases are compact_N_L<level> where N is the
+        # highest batch folded in (so as_of ≥ N covers them exactly)
         return int(os.path.basename(path).split("_")[1])
 
     def _paths(self, name, as_of=None):
         import glob as _glob
-        paths = sorted(_glob.glob(os.path.join(self.out_dir, name, "batch_*")))
+        paths = sorted(
+            _glob.glob(os.path.join(self.out_dir, name, "batch_*"))
+            + _glob.glob(os.path.join(self.out_dir, name, "compact_*")))
         if as_of is not None:
             paths = [p for p in paths if self._batch_of(p) <= as_of]
         return paths
@@ -368,7 +372,9 @@ class Crawler:
                  bloom_partitions: int = seen.DEFAULT_PARTITIONS,
                  bloom_bits: int = seen.DEFAULT_BITS,
                  bloom_threshold_rows: int = 20_000_000,
-                 fetch_source=None):
+                 fetch_source=None,
+                 compact_every: int = 16,
+                 compact_major_bases: int = 8):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
         see plans/util.to_spark_corpus.
 
@@ -390,13 +396,40 @@ class Crawler:
         co-partitioned stages per batch. At the crossing the segments
         are built once from the exact table and used from then on (the
         10^10-scale path). 0 ⇒ always-on (parity tests force this so
-        both paths stay covered)."""
+        both paths stay covered).
+
+        ``compact_every`` / ``compact_major_bases``: leveled file
+        compaction of the append-only state stores (visited / cache /
+        cookies / robots — the Iceberg rewrite_data_files analogue).
+        Without it a long crawl appends 1+ delta dirs per batch and
+        every batch's anti-join/probe re-opens all of them — at a
+        10^4-batch crawl that is 10^4+ small files per read. When a
+        store accumulates ``compact_every`` delta dirs they are merged
+        into one key-bucketed base dir (minor); when
+        ``compact_major_bases`` bases accumulate, the bases merge into
+        one (major) — amortized O(n log n) rewrite volume, so per-batch
+        wall time stays flat over arbitrarily long crawls. Compaction
+        is resume-safe: the new base is written BEFORE the manifest
+        commit (the manifest's store path list is the commit point) and
+        the replaced delta dirs are deleted only AFTER it; a crash in
+        between leaves unreferenced dirs that resume garbage-collects.
+        Compaction rewrites rows verbatim (no reduction): revisit
+        counts, cache-expiry generations, and cookie history all live
+        in the rows themselves. ≤0 disables. Note: like Iceberg's
+        expire_snapshots, compaction expires pre-compaction time-travel
+        reads of the STATE stores (as_of older than a base's fold
+        point); the sink stores (trace/errors/images) are never
+        compacted and keep full history."""
         self.spark = spark
         self.cfg = cfg
         self.state = state_dir
+        self.compact_every = compact_every
+        self.compact_major_bases = max(2, compact_major_bases)
+        self._gc_dirs: list = []
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
         self.live = fetch_source
+        self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from pyspark.sql import functions as F
         if self.live is None:
             # pre-hash-partition the corpus on the join key ONCE: the
@@ -405,7 +438,7 @@ class Crawler:
             # smaller) frontier side instead of re-shuffling the whole
             # corpus (Iceberg bucketing / storage-partitioned join at
             # deployment)
-            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            n_shuffle = self._n_shuffle
             self.pages = corpus["pages"].repartition(n_shuffle, F.col("url")).persist()
             self.pages.count()  # materialize at construction, not mid-drain
         else:
@@ -1091,15 +1124,85 @@ class Crawler:
                 .mapInPandas(_validate, schema=val_schema)
 
     # ---- state / resume -------------------------------------------------
+    # ---- state-store compaction (Iceberg rewrite_data_files analogue) ---
+    _STORES = (("visited", "_visited_paths", "url_hash"),
+               ("cache", "_cache_paths", "c_hash"),
+               ("cookies", "_cookie_paths", "c_host"),
+               ("robots", "_robots_paths", "host"))
+
+    def _compact_merge(self, store: str, dirs: list, batch: int,
+                       key: str, level: int) -> str:
+        """Merge ``dirs`` into one key-bucketed base dir. Bucketing by
+        the probe key keeps the compacted base scan-prunable and the
+        file count proportional to data volume, not batch count."""
+        from pyspark.sql import functions as F
+
+        rows = sum(_parquet_rows(p) for p in dirs)
+        n_buckets = max(1, min(self._n_shuffle, rows // 2_000_000 + 1))
+        out_dir = os.path.join(self.state, "out", store,
+                               f"compact_{batch:06d}_L{level}")
+        (self.spark.read.parquet(*dirs)
+             .repartition(n_buckets, F.col(key))
+             .write.mode("overwrite").parquet(out_dir))
+        return out_dir
+
+    def _maybe_compact(self, batch: int) -> None:
+        """Leveled compaction of the append-only state stores. Runs
+        BEFORE the manifest commit; replaced dirs go to ``_gc_dirs``
+        and are deleted only AFTER the commit, so every on-disk state
+        the manifest can reference is complete. Rows are rewritten
+        verbatim — probe semantics (revisit counts, expiry generations,
+        latest-cookie-wins) are row-level and unaffected."""
+        if self.compact_every <= 0:
+            return
+        for store, attr, key in self._STORES:
+            paths = getattr(self, attr)
+            deltas = [p for p in paths
+                      if os.path.basename(p).startswith("batch_")]
+            bases = [p for p in paths
+                     if os.path.basename(p).startswith("compact_")]
+            changed = False
+            if len(deltas) >= self.compact_every:
+                bases.append(
+                    self._compact_merge(store, deltas, batch, key, level=0))
+                self._gc_dirs.extend(deltas)
+                deltas, changed = [], True
+            if len(bases) >= self.compact_major_bases:
+                merged = self._compact_merge(store, bases, batch, key, level=1)
+                self._gc_dirs.extend(bases)
+                bases, changed = [merged], True
+            if changed:
+                setattr(self, attr, bases + deltas)
+                if store == "robots" and self._lazy_robots:
+                    self.robots = self.spark.read.parquet(*(bases + deltas))
+
+    def _gc_replaced(self) -> None:
+        """Delete delta dirs replaced by a committed compaction. Safe
+        only after _commit: the manifest no longer references them."""
+        for d in self._gc_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._gc_dirs.clear()
+
     def _manifest_path(self):
         return os.path.join(self.state, "MANIFEST.json")
 
     def _commit(self, batch: int, next_seq: int):
         """Write the manifest — the commit point. Must run only after
-        all of the batch's sink/snapshot writes have completed."""
+        all of the batch's sink/snapshot writes have completed. Carries
+        the live path list of every state store (relative), so a resume
+        reads exactly the committed file set — the Iceberg snapshot's
+        data-file list analogue — and compaction leftovers are
+        identifiable garbage."""
+        def rel(ps):
+            return [os.path.relpath(p, self.state) for p in ps]
+
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch": batch, "next_seq": next_seq}, f)
+            json.dump({"batch": batch, "next_seq": next_seq,
+                       "stores": {"visited": rel(self._visited_paths),
+                                  "cache": rel(self._cache_paths),
+                                  "cookies": rel(self._cookie_paths),
+                                  "robots": rel(self._robots_paths)}}, f)
         os.replace(tmp, self._manifest_path())
 
     def _load_resume(self):
@@ -1118,12 +1221,29 @@ class Crawler:
             tag = os.path.basename(d).split("_")[1]
             if int(tag) > b:
                 shutil.rmtree(d, ignore_errors=True)
-        self._visited_paths = sorted(
-            _glob.glob(os.path.join(self.state, "out", "visited", "batch_*")))
-        self._cache_paths = sorted(
-            _glob.glob(os.path.join(self.state, "out", "cache", "batch_*")))
-        self._cookie_paths = sorted(
-            _glob.glob(os.path.join(self.state, "out", "cookies", "batch_*")))
+        stores = man.get("stores")
+        if stores is not None:
+            # the manifest's path list IS the committed file set; any
+            # other dir under a state store is garbage (a replaced
+            # pre-compaction delta or a post-crash partial compact)
+            for store, attr, _key in self._STORES:
+                live = [os.path.join(self.state, p) for p in stores[store]]
+                setattr(self, attr, live)
+                keep = {os.path.abspath(p) for p in live}
+                for d in _glob.glob(os.path.join(self.state, "out", store, "*")):
+                    if os.path.isdir(d) and os.path.abspath(d) not in keep:
+                        shutil.rmtree(d, ignore_errors=True)
+            if self._lazy_robots and self._robots_paths:
+                self.robots = self.spark.read.parquet(*self._robots_paths)
+        else:
+            # pre-stores manifest (older state dir): glob order = commit
+            # order, no compaction to reconcile
+            self._visited_paths = sorted(
+                _glob.glob(os.path.join(self.state, "out", "visited", "batch_*")))
+            self._cache_paths = sorted(
+                _glob.glob(os.path.join(self.state, "out", "cache", "batch_*")))
+            self._cookie_paths = sorted(
+                _glob.glob(os.path.join(self.state, "out", "cookies", "batch_*")))
         self._visited_rows = sum(_parquet_rows(p) for p in self._visited_paths)
         # Bloom = pure function of the visited set → rebuild (deployment:
         # Iceberg-snapshot the segments instead)
@@ -1549,11 +1669,14 @@ class Crawler:
                 f.result()
         m["errors"] = _count_nonhttp_errors(errors_dir)
         _lap("t_sinks")
-        # 7. commit point — then reload the snapshots, which both
-        # truncates the lineage at the batch boundary (otherwise the
-        # logical plan compounds across batches) and makes every
-        # batch start from exactly the state a resume would load
+        # 7. state-store compaction (pre-commit), then the commit point
+        # — then reload the snapshots, which both truncates the lineage
+        # at the batch boundary (otherwise the logical plan compounds
+        # across batches) and makes every batch start from exactly the
+        # state a resume would load
+        self._maybe_compact(batch)
         self._commit(batch, next_seq)
+        self._gc_replaced()
         _lap("t_commit")
         self._metrics.append(m)
         pd.DataFrame([m]).to_json(os.path.join(out, f"metrics_{batch:06d}.json"), orient="records")

@@ -282,6 +282,36 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                  bare_html.encode("iso-8859-1"),
                  links=[urlnorm.resolve(f"http://{host}/latin1bare", "/caf\xe9"),
                         urlnorm.resolve(f"http://{host}/latin1bare", "/page/1")])
+        # X3 statistical chardet routes (reference: saintfish/chardet
+        # behind colly.go:104-106): undeclared shift_jis / big5 /
+        # koi8-r bodies whose hrefs carry non-ASCII — detection decides
+        # the canonical link bytes (UTF-8 percent-encoding of the
+        # correctly decoded char vs mojibake). Like /latin1bare these
+        # are unreachable from page links (direct seeds only).
+        sjis_html = ('<html><body><p>日本語のテキストです。'
+                     '検出の対象となる文書です。</p>'
+                     '<a href="/日本">日本</a>'
+                     '<a href="/page/1">ichi</a></body></html>')
+        add_page(f"http://{host}/sjisbare", 200, "text/html",
+                 sjis_html.encode("shift_jis"),
+                 links=[urlnorm.resolve(f"http://{host}/sjisbare", "/日本"),
+                        urlnorm.resolve(f"http://{host}/sjisbare", "/page/1")])
+        big5_html = ('<html><body><p>這是一段繁體中文的測試文字，'
+                     '用於偵測編碼。</p>'
+                     '<a href="/中文">中文</a>'
+                     '<a href="/page/1">yi</a></body></html>')
+        add_page(f"http://{host}/big5bare", 200, "text/html",
+                 big5_html.encode("big5"),
+                 links=[urlnorm.resolve(f"http://{host}/big5bare", "/中文"),
+                        urlnorm.resolve(f"http://{host}/big5bare", "/page/1")])
+        koi8_html = ('<html><body><p>это русский текст для проверки '
+                     'кодировки кои восемь</p>'
+                     '<a href="/гора">гора</a>'
+                     '<a href="/page/1">odin</a></body></html>')
+        add_page(f"http://{host}/koi8bare", 200, "text/html",
+                 koi8_html.encode("koi8_r"),
+                 links=[urlnorm.resolve(f"http://{host}/koi8bare", "/гора"),
+                        urlnorm.resolve(f"http://{host}/koi8bare", "/page/1")])
         # cookie jar routes (cookiejar.go:23-60 analogue): /login sets a
         # per-host session cookie and links /account, which requires it.
         # /account is reachable with 200 only after /login's response

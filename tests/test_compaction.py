@@ -1,0 +1,144 @@
+"""State-store compaction (the Iceberg rewrite_data_files analogue):
+long crawls must not accumulate one delta dir per batch in the visited/
+cache/cookie/robots stores. Pins that compaction (a) preserves crawl
+semantics exactly (same trace, seen-set, errors, metrics as a run with
+compaction disabled), (b) actually bounds the file count, (c) survives
+kill/resume across a compaction boundary, including a crash in the
+window between the compact write and the manifest commit, and (d)
+garbage-collects replaced/unreferenced dirs on resume."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from colly_spark.config import CrawlConfig, LimitRule
+from colly_spark.plans.crawler import Crawler
+
+from tests.test_crawler_parity import _engine_seen
+
+
+def _cfg():
+    # delay_ms + parallelism 1 → politeness-bounded many-batch drain:
+    # the regime where delta accumulation actually happens
+    return CrawlConfig(
+        max_depth=3, ignore_robots=True, cache_enabled=True,
+        limit_rules=(LimitRule(domain_glob="*", delay_ms=200,
+                               parallelism=2),))
+
+
+SEEDS = ["http://d00.test/", "http://d01.test/", "http://d02.test/"]
+
+
+def _signature(handles):
+    trace = sorted(
+        (r["batch"], r["seq"], r["url"], r["final_url"], r["status"])
+        for r in handles.trace().collect())
+    errors = sorted((r["batch"], r["seq"], r["url"], r["kind"])
+                    for r in handles.errors().collect())
+    metrics = [(m["batch"], m["submitted"], m["fetched"], m["errors"],
+                m["new_links"], m.get("cache_hits"))
+               for m in handles.metrics]
+    return trace, errors, metrics, _engine_seen(handles)
+
+
+def _store_dirs(state, store):
+    return sorted(os.path.basename(p) for p in
+                  glob.glob(os.path.join(state, "out", store, "*"))
+                  if os.path.isdir(p))
+
+
+def test_compaction_preserves_semantics_and_bounds_files(
+        spark, corpus_spark, tmp_state):
+    """Aggressive compaction (every 2 deltas, major at 2 bases) vs
+    compaction off: identical trace/errors/metrics/seen-set, and the
+    compacted run's visited store holds O(1) dirs instead of O(batches)."""
+    base_state = tempfile.mkdtemp(prefix="colly_nocompact_")
+    try:
+        plain = Crawler(spark, corpus_spark, _cfg(), base_state,
+                        bloom_threshold_rows=0, compact_every=0).run(SEEDS)
+        compacted = Crawler(spark, corpus_spark, _cfg(), tmp_state,
+                            bloom_threshold_rows=0, compact_every=2,
+                            compact_major_bases=2).run(SEEDS)
+        assert _signature(compacted) == _signature(plain)
+        n_batches = len(plain.metrics)
+        assert n_batches >= 6  # politeness actually spread the crawl out
+        plain_dirs = _store_dirs(base_state, "visited")
+        comp_dirs = _store_dirs(tmp_state, "visited")
+        assert len(plain_dirs) >= n_batches // 2
+        assert len(comp_dirs) <= 3, comp_dirs  # bases + ≤1 fresh delta
+        assert any(d.startswith("compact_") for d in comp_dirs)
+        # handles read through compaction: visited() unions bases+deltas
+        assert (compacted.visited().count()
+                == plain.visited().count())
+    finally:
+        shutil.rmtree(base_state, ignore_errors=True)
+
+
+def test_resume_across_compaction_boundary(spark, corpus_spark, tmp_state):
+    """Kill after a batch that compacted, resume with a NEW engine →
+    byte-identical to the uninterrupted compacted run (north_rule:
+    resumable from checkpoint)."""
+    full_state = tempfile.mkdtemp(prefix="colly_full_")
+    try:
+        full = Crawler(spark, corpus_spark, _cfg(), full_state,
+                       bloom_threshold_rows=0, compact_every=2,
+                       compact_major_bases=2).run(SEEDS)
+        # drop per-batch metrics from the comparison: a resumed engine
+        # tracks metrics from the resume point only (by design — the
+        # sinks carry full history, the in-memory metrics list doesn't)
+        full_sig = _signature(full)[:2] + (_signature(full)[3],)
+
+        # stop after 4 batches — enough for ≥1 compaction at every-2
+        Crawler(spark, corpus_spark, _cfg(), tmp_state,
+                bloom_threshold_rows=0, compact_every=2,
+                compact_major_bases=2).run(SEEDS, max_batches=4)
+        man = json.load(open(os.path.join(tmp_state, "MANIFEST.json")))
+        assert any(p.startswith("out/visited/compact_")
+                   for p in man["stores"]["visited"]), \
+            "test premise: a compaction must have committed before the kill"
+        resumed = Crawler(spark, corpus_spark, _cfg(), tmp_state,
+                          bloom_threshold_rows=0, compact_every=2,
+                          compact_major_bases=2).run(resume=True)
+        res_sig = _signature(resumed)
+        assert (res_sig[0], res_sig[1], res_sig[3]) == full_sig
+    finally:
+        shutil.rmtree(full_state, ignore_errors=True)
+
+
+def test_resume_gcs_unreferenced_dirs(spark, corpus_spark, tmp_state):
+    """A crash between the compact write and the manifest commit leaves
+    an unreferenced compact dir; a crash between commit and GC leaves
+    replaced delta dirs. Resume must ignore AND delete both (otherwise
+    the visited union double-counts every compacted row)."""
+    Crawler(spark, corpus_spark, _cfg(), tmp_state,
+            bloom_threshold_rows=0, compact_every=2,
+            compact_major_bases=2).run(SEEDS, max_batches=4)
+    man = json.load(open(os.path.join(tmp_state, "MANIFEST.json")))
+    referenced = {os.path.join(tmp_state, p)
+                  for ps in man["stores"].values() for p in ps}
+    # simulate both crash windows: a partial (uncommitted) compact dir
+    # and a stale replaced delta that GC never reached
+    orphan = os.path.join(tmp_state, "out", "visited", "compact_000099_L0")
+    os.makedirs(orphan)
+    vis_ref = [p for p in referenced if "/visited/" in p][0]
+    stale = os.path.join(tmp_state, "out", "visited", "batch_000099_stale")
+    shutil.copytree(vis_ref, stale)
+    # (batch 99 > committed batch, so the generic pruner would also kill
+    # it — use a tag under the commit point to test the stores-GC path)
+    stale2 = os.path.join(tmp_state, "out", "visited", "batch_000000_zz")
+    shutil.copytree(vis_ref, stale2)
+
+    eng = Crawler(spark, corpus_spark, _cfg(), tmp_state,
+                  bloom_threshold_rows=0, compact_every=2,
+                  compact_major_bases=2)
+    eng.load_state()
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(stale2)
+    # and the loaded path set is exactly the committed one
+    assert {os.path.abspath(p) for p in eng._visited_paths} == {
+        os.path.abspath(p) for p in referenced if "/visited/" in p}

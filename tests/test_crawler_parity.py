@@ -255,6 +255,26 @@ SCENARIOS = {
                         detect_charset=True),
         seeds=["http://d00.test/latin1bare"],
     ),
+    # X3 statistical chardet (saintfish/chardet behind DetectCharset):
+    # undeclared shift_jis / big5 / koi8-r pages — byte-bigram/
+    # structural detection decodes the href so the canonical link is
+    # the correct UTF-8 percent-encoding (each an ERR_MISSING under
+    # that exact URL), /page/1 crawls normally
+    "detect_sjis": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        detect_charset=True),
+        seeds=["http://d00.test/sjisbare"],
+    ),
+    "detect_big5": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        detect_charset=True),
+        seeds=["http://d00.test/big5bare"],
+    ),
+    "detect_koi8": dict(
+        cfg=CrawlConfig(max_depth=2, ignore_robots=True,
+                        detect_charset=True),
+        seeds=["http://d00.test/koi8bare"],
+    ),
     # Request.Retry (request.go:190-198): /500 responses re-submit at
     # the same depth bypassing check-and-mark — 1 fresh + 2 retry
     # attempts, each with its own trace row and http_500 error, no

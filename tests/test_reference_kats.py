@@ -211,6 +211,48 @@ class TestDetectCharset:
         assert detect_encoding("héllo".encode()) == "utf-8"
         assert detect_encoding("caf\xe9".encode("iso-8859-1")) == "windows-1252"
 
+    def test_statistical_cjk_cyrillic(self):
+        """Byte-bigram/structural detection of the encodings the
+        reference's chardet library covers beyond latin fallback
+        (saintfish/chardet behind colly.go:104-106): shift_jis, big5,
+        koi8-r — each must round-trip its own text exactly."""
+        from colly_spark.operators.extract import detect_encoding
+        sj = "日本語のテキストです。検出の対象。".encode("shift_jis")
+        b5 = "這是一段繁體中文的測試文字，用於偵測。".encode("big5")
+        ko = "это русский текст для проверки кодировки".encode("koi8_r")
+        assert detect_encoding(sj) == "shift_jis"
+        assert detect_encoding(b5) == "big5"
+        assert detect_encoding(ko) == "koi8-r"
+        for raw in (sj, b5, ko):
+            enc = detect_encoding(raw)
+            assert raw.decode(enc).encode(enc) == raw
+        # latin-accent text must NOT be mistaken for koi8-r (isolated
+        # high bytes: the high-high bigram ratio is ~0)
+        assert detect_encoding(
+            "caf\xe9 au lait r\xe9sum\xe9 s\xfcd".encode("windows-1252")
+        ) == "windows-1252"
+
+    def test_statistical_detection_canonical_links(self):
+        """The exact canonical links detection must produce — the
+        UTF-8 percent-encoding of the CORRECTLY decoded href (mojibake
+        would canonicalize differently)."""
+        from colly_spark.functions import urlnorm
+        from colly_spark.operators.extract import extract_page
+
+        cases = [
+            ("shift_jis", "日本", "%E6%97%A5%E6%9C%AC"),
+            ("big5", "中文", "%E4%B8%AD%E6%96%87"),
+            ("koi8_r", "гора", "%D0%B3%D0%BE%D1%80%D0%B0"),
+        ]
+        for codec, word, pct in cases:
+            html = (f"<html><body><p>{word}{word}{word}</p>"
+                    f'<a href="/{word}">{word}</a></body></html>')
+            raw = html.encode(codec)
+            links, _ = extract_page("http://x.test/p", raw, "text/html",
+                                    detect_charset=True)
+            assert urlnorm.canonicalize(f"http://x.test/{pct}") in links, \
+                (codec, links)
+
     def test_decode_text_detect_flag(self):
         raw = "caf\xe9".encode("iso-8859-1")
         # off (default): utf-8 replacement mangles the é

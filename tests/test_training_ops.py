@@ -338,3 +338,55 @@ def test_token_shards_budget_property(spark):
         assert shards == list(range(len(shards)))  # contiguous from 0
     for toks in per.values():
         assert sum(toks[:-1]) < 256  # only the last doc may cross
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """Large-star/small-star (Kiveris et al.) and min-label propagation
+    must return identical labels — toy graph (chain + clique +
+    singletons, label flow against edge direction) and a random sparse
+    graph with several mid-size components."""
+    from colly_spark.operators.text_dedup import connected_components
+
+    v = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    p = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 5)], "id_a long, id_b long")
+    lab = {r.doc_id: r.cluster_id
+           for r in connected_components(v, p, algorithm="label").collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components(v, p, algorithm="star").collect()}
+    assert lab == star == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    # deterministic pseudo-random sparse graph: 60 vertices, edges from
+    # a fixed LCG — several components of varying shape
+    n, edges, s = 60, [], 12345
+    for _ in range(55):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        a = s % n
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        b = s % n
+        if a != b:
+            edges.append((a, b))
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    p = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = {r.doc_id: r.cluster_id
+           for r in connected_components(v, p, algorithm="label").collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components(v, p, algorithm="star").collect()}
+    assert lab == star and len(lab) == n
+
+
+def test_cc_star_long_chain_logarithmic_rounds(spark):
+    """The adversarial case the star path exists for: a diameter-d path
+    graph must converge in O(log d) star rounds (label propagation
+    needs d). 64-vertex path: log2(63) ≈ 6 — assert ≤ 9 rounds with
+    headroom, and exactly one component labeled by its minimum."""
+    from colly_spark.operators.text_dedup import _cc_star
+
+    n = 64
+    v = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    p = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                              "id_a long, id_b long")
+    labels, rounds = _cc_star(v, p, "doc_id", "id_a", "id_b", max_iter=25)
+    out = labels.collect()
+    assert {r.cluster_id for r in out} == {0} and len(out) == n
+    assert rounds <= 9, rounds
