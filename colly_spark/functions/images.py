@@ -17,6 +17,10 @@ This container has no PIL/libjpeg, so both codecs are from scratch:
   the worst-case pure-noise fixture images (above the 40dB gate, below
   lossless). The round-1 stand-in codec ("QNT1": 6-bit quantization +
   zlib) remains readable for legacy payloads via magic sniffing.
+- ``webp``: a REAL from-scratch VP8-L lossless codec —
+  ``functions/webp.py`` — decoder verified bit-exact against a genuine
+  libwebp-produced stream (tests/test_webp.py); lossy VP8 stays an
+  honest NotImplementedError (RFC 6386 probability tables).
 
 All decode paths are vectorized at the Arrow-batch level (one Python
 call per batch, numpy per image). ~100TB scale: images stay as opaque
@@ -119,6 +123,12 @@ def decode_qnt(data: bytes) -> np.ndarray:
 decode_lossy = decode_qnt
 
 
+# the formats this engine can decode natively, from scratch; the
+# corpus-admission default (operators/multimodal.image_corpus_filter)
+# derives from this set so metadata admission never outruns decode
+DECODABLE_WEB_FMTS = ("png", "jpeg", "webp")
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     data = bytes(data)
     if fmt == "png":
@@ -130,9 +140,16 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
             return decode_jpeg(data)
         return decode_qnt(data)
+    if fmt == "webp":
+        # from-scratch VP8-L lossless (functions/webp.py); lossy VP8
+        # raises NotImplementedError there (needs RFC 6386 tables)
+        from colly_spark.functions.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
-        f"format {fmt!r}: webp/avif decoders are not in this container; "
-        "plug PIL/turbojpeg here in deployment (jpeg/png are native)"
+        f"format {fmt!r}: avif/gif decoders are not in this container; "
+        "plug PIL/turbojpeg here in deployment (jpeg/png/webp-lossless "
+        "are native)"
     )
 
 
@@ -167,9 +184,10 @@ def validate_batch(bodies, fmts, ref_bodies, ref_fmts, min_psnr_db: float = 40.0
     crawl pipeline's image-validation stage: decode fetched bytes and
     reference bytes, return (ok: list[bool], psnr_db: list[float]).
 
-    Lossless (png): exact pixel equality required.
+    Lossless (png, webp/VP8-L): exact pixel equality required.
     Lossy: PSNR ≥ min_psnr_db against the reference pixels.
     """
+    lossless = ("png", "webp")
     oks, psnrs = [], []
     for body, fmt, ref_body, ref_fmt in zip(bodies, fmts, ref_bodies, ref_fmts):
         try:
@@ -179,7 +197,7 @@ def validate_batch(bodies, fmts, ref_bodies, ref_fmts, min_psnr_db: float = 40.0
                 oks.append(False), psnrs.append(0.0)
                 continue
             p = psnr(got, ref)
-            if fmt == "png" and ref_fmt == "png":
+            if fmt in lossless and ref_fmt in lossless:
                 oks.append(bool(np.array_equal(got, ref)))
             else:
                 oks.append(bool(p >= min_psnr_db))

@@ -75,9 +75,9 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
                       n_variants: int = 0):
     """Deterministic image table (input_hint schema) generated
     *distributed*: ids partitioned via spark.range, pixels seeded per
-    id, encoded with the real PNG codec (even ids) / stand-in lossy
-    codec (odd ids). Stand-in for reading an image lake at 100 TB —
-    the downstream plumbing is identical.
+    id, encoded with the real PNG / baseline-JPEG / VP8-L-webp codecs
+    (id mod 3). Stand-in for reading an image lake at 100 TB — the
+    downstream plumbing is identical.
 
     ``n_variants`` appends near-duplicate rows: id ``n + j`` is a lossy
     re-encode of base image ``j``'s pixels (same scene, different
@@ -99,6 +99,7 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
     def _gen(iterator):
         from colly_spark.functions.images import (encode_lossy, encode_png,
                                                   decode_image, phash64)
+        from colly_spark.functions.webp import encode_webp
         for pdf in iterator:
             rows = []
             for i in pdf["id"]:
@@ -107,8 +108,10 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
                 rng = np.random.default_rng(seed * 1_000_003 + base)
                 px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
                 if i < n:
-                    fmt = "png" if i % 2 == 0 else "jpeg"
-                    data = encode_png(px) if fmt == "png" else encode_lossy(px)
+                    fmt = ("png", "jpeg", "webp")[i % 3]
+                    data = (encode_png(px) if fmt == "png"
+                            else encode_lossy(px) if fmt == "jpeg"
+                            else encode_webp(px))
                     caption = f"synthetic caption {i}"
                 else:
                     fmt, data = "jpeg", encode_lossy(px)
@@ -221,8 +224,7 @@ def caption_token_count_expr(caption_col):
 
 
 def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
-                        min_caption_tokens: int = 3,
-                        fmts: tuple = ("png", "jpeg", "webp")):
+                        min_caption_tokens: int = 3, fmts: tuple = None):
     """Training-corpus admission over the image+caption table (the
     LAION-style cleanroom pass): keep rows whose format is decodable,
     whose short side is ≥ ``min_side`` px, whose aspect ratio is
@@ -235,8 +237,16 @@ def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
     Scale shape: all predicates are map-side Catalyst over scan columns
     (w/h/fmt/caption — the parquet scan prunes ``bytes``, by far the
     widest column, entirely); the only shuffle is the keep-min groupBy
-    on phash, which is uniformly distributed by construction."""
+    on phash, which is uniformly distributed by construction.
+
+    ``fmts`` defaults to the set this engine can actually decode
+    (functions/images.DECODABLE_WEB_FMTS), so a metadata-admitted row
+    can never poison a downstream decode stage."""
     from pyspark.sql import functions as F
+
+    if fmts is None:
+        from colly_spark.functions.images import DECODABLE_WEB_FMTS
+        fmts = DECODABLE_WEB_FMTS
 
     base = df.select(
         "image_id", "w", "h", "fmt", "phash",

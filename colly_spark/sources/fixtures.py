@@ -66,8 +66,15 @@ def make_images(spec: CorpusSpec) -> pd.DataFrame:
         h = rng.choice(spec.image_sizes)
         px_rng = np.random.default_rng(spec.seed * 1_000_003 + i)
         pixels = px_rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        fmt = "png" if i % 2 == 0 else "jpeg"
-        data = imgcodec.encode_png(pixels) if fmt == "png" else imgcodec.encode_lossy(pixels)
+        fmt = ("png", "jpeg", "webp")[i % 3]
+        if fmt == "png":
+            data = imgcodec.encode_png(pixels)
+        elif fmt == "jpeg":
+            data = imgcodec.encode_lossy(pixels)
+        else:
+            from colly_spark.functions.webp import encode_webp
+
+            data = encode_webp(pixels)
         rows.append(
             dict(
                 image_id=f"img{i:08d}",
@@ -338,7 +345,8 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         host = _domain(d)
         for _, im in images.iterrows():
             url = f"http://{host}/img/{im['image_id']}.{im['fmt']}"
-            ct = "image/png" if im["fmt"] == "png" else "image/jpeg"
+            ct = {"png": "image/png", "jpeg": "image/jpeg",
+                  "webp": "image/webp"}[im["fmt"]]
             add_page(url, 200, ct, bytes(im["bytes"]), image_id=im["image_id"])
 
     pages = pd.DataFrame(pages_rows)

@@ -127,13 +127,15 @@ def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
     # plain-Python replica of multimodal.synthesize_images → decode_meta
     from colly_spark.functions.images import (decode_image, encode_lossy,
                                               encode_png, phash64)
+    from colly_spark.functions.webp import encode_webp
 
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
-        fmt = "png" if i % 2 == 0 else "jpeg"
-        data = encode_png(px) if fmt == "png" else encode_lossy(px)
+        fmt = ("png", "jpeg", "webp")[i % 3]
+        data = (encode_png(px) if fmt == "png"
+                else encode_lossy(px) if fmt == "jpeg" else encode_webp(px))
         decoded = decode_image(data, fmt)
         rows.append(dict(image_id=f"img{i:08d}", w=decoded.shape[1],
                          h=decoded.shape[0], fmt=fmt,
@@ -154,6 +156,7 @@ def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
     # golden input for the phash_near_dup brute-force DuckDB oracle
     from colly_spark.functions.images import (decode_image, encode_lossy,
                                               encode_png, phash64)
+    from colly_spark.functions.webp import encode_webp
 
     rows = []
     for i in range(n + n_variants):
@@ -161,8 +164,10 @@ def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
         rng = np.random.default_rng(seed * 1_000_003 + base)
         px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
         if i < n:
-            fmt = "png" if i % 2 == 0 else "jpeg"
-            data = encode_png(px) if fmt == "png" else encode_lossy(px)
+            fmt = ("png", "jpeg", "webp")[i % 3]
+            data = (encode_png(px) if fmt == "png"
+                    else encode_lossy(px) if fmt == "jpeg"
+                    else encode_webp(px))
         else:
             fmt, data = "jpeg", encode_lossy(px)
         rows.append(dict(image_id=f"img{i:08d}",
