@@ -426,6 +426,7 @@ class Crawler:
         self.compact_every = compact_every
         self.compact_major_bases = max(2, compact_major_bases)
         self._gc_dirs: list = []
+        self._tmpl_ready: set = set()
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
         self.live = fetch_source
@@ -740,7 +741,12 @@ class Crawler:
         # spread it across cores BEFORE the per-row UDF work or
         # admission runs near-single-threaded (the shuffle moves only
         # compact frontier rows and replaces a per-batch .rdd plan
-        # conversion that inspected the scan's split count)
+        # conversion that inspected the scan's split count).
+        # (Round-3 measured-and-rejected: SKIPPING this exchange for
+        # small frontiers left _admit medians unchanged — 1.07 s vs
+        # 1.04 s on a 6k-row frontier — the barrier pipelines into the
+        # claim exchange; see ROADMAP. Re-sizing it was already
+        # rejected in round 2.)
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         frontier_df = frontier_df.repartition(n)
         # ONE pass computes every pre-dedup decision as columns (fused
@@ -835,6 +841,8 @@ class Crawler:
             F.sum(F.when(F.col("needs_mark"), 1).otherwise(0)).alias("marks"),
             F.sum(F.when(F.col("kind").isNull() & F.col("_fetch_now"), 1)
                   .otherwise(0)).alias("fetch_now"),
+            F.sum(F.when(F.col("kind").isNotNull(), 1)
+                  .otherwise(0)).alias("errs"),
         ).localCheckpoint(eager=True)
         counts = obs.get
         ok_rows = combined.filter(F.col("kind").isNull())
@@ -850,7 +858,8 @@ class Crawler:
         return fetch_now, deferred, err_out, dict(
             admitted=int(counts["admitted"] or 0),
             deferred=int(counts["deferred"] or 0),
-            fetch_now=int(counts["fetch_now"] or 0))
+            fetch_now=int(counts["fetch_now"] or 0),
+            errs=int(counts["errs"] or 0))
 
     # ---- fetch + redirect-hop loop (phase 3) ---------------------------
     def _fetch(self, fetch_now, batch: int, tag: str = ""):
@@ -1182,6 +1191,27 @@ class Crawler:
         for d in self._gc_dirs:
             shutil.rmtree(d, ignore_errors=True)
         self._gc_dirs.clear()
+
+    def _write_empty(self, target_dir: str, schema_key: str) -> None:
+        """Write an empty sink/snapshot dir WITHOUT a Spark job. The
+        first empty write per (process, schema) materializes a template
+        via a real Spark write — so the on-disk layout is exactly what
+        every other batch produces (_SUCCESS + typed parquet footer) —
+        and later empty writes driver-copy it. In the politeness-
+        bounded many-small-batch regime, frontier / pending / errors
+        are routinely empty and each saved write is a full job
+        round-trip off the per-batch floor. Deterministic recompute
+        repeats the same decision, so resume stays exact."""
+        tmpl = os.path.join(self.state, "empty_tmpl", schema_key)
+        if schema_key not in self._tmpl_ready:
+            # (re)written once per process, so schema drift across
+            # engine versions can't leak a stale template out of an
+            # old state dir
+            (self.spark.createDataFrame([], self.sch[schema_key])
+                 .coalesce(1).write.mode("overwrite").parquet(tmpl))
+            self._tmpl_ready.add(schema_key)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        shutil.copytree(tmpl, target_dir)
 
     def _manifest_path(self):
         return os.path.join(self.state, "MANIFEST.json")
@@ -1642,18 +1672,41 @@ class Crawler:
         errors_dir = os.path.join(out, "errors", f"batch_{batch:06d}")
         from concurrent.futures import ThreadPoolExecutor
 
+        # known-empty sinks become driver-side template copies, not
+        # Spark jobs (see _write_empty). Errors can only be proven
+        # empty on a zero-fetch batch (fetch/http/queue-full error
+        # sources are empty by construction there, leaving exactly the
+        # admission Observation's count); frontier/pending emptiness
+        # is known from the dense-seq and admission counts.
+        # COLLY_EMPTY_TMPL=0 is the escape hatch (and the A/B lever
+        # scripts/empty_batch_bench.py flips within one session).
+        tmpl_on = os.environ.get("COLLY_EMPTY_TMPL", "1") != "0"
+        errors_empty = tmpl_on and skip_fetch and counts["errs"] == 0
+        frontier_empty = tmpl_on and (n_new + n_retries) == 0
+        pending_empty = tmpl_on and m["deferred"] == 0
+        frontier_dir = os.path.join(self.state, "snap", f"frontier_{batch:06d}")
+        pending_dir = os.path.join(self.state, "snap", f"pending_{batch:06d}")
         with ThreadPoolExecutor(max_workers=5) as ex:
-            futs = [
-                ex.submit(lambda: shrink(all_errors).write.mode("overwrite")
-                          .parquet(errors_dir)),
-                ex.submit(lambda: (new_frontier.coalesce(4)
-                                   if small and (n_new + n_retries)
-                                   else new_frontier)
-                          .write.mode("overwrite").parquet(
-                              os.path.join(self.state, "snap", f"frontier_{batch:06d}"))),
-                ex.submit(lambda: shrink(deferred).write.mode("overwrite").parquet(
-                    os.path.join(self.state, "snap", f"pending_{batch:06d}"))),
-            ]
+            futs = []
+            if errors_empty:
+                self._write_empty(errors_dir, "error")
+            else:
+                futs.append(
+                    ex.submit(lambda: shrink(all_errors).write.mode("overwrite")
+                              .parquet(errors_dir)))
+            if frontier_empty:
+                self._write_empty(frontier_dir, "frontier")
+            else:
+                futs.append(
+                    ex.submit(lambda: (new_frontier.coalesce(4) if small
+                                       else new_frontier)
+                              .write.mode("overwrite").parquet(frontier_dir)))
+            if pending_empty:
+                self._write_empty(pending_dir, "pending")
+            else:
+                futs.append(
+                    ex.submit(lambda: shrink(deferred).write.mode("overwrite")
+                              .parquet(pending_dir)))
             if m["fetched"] > 0:
                 # a batch with no fetches has an empty trace and no
                 # images — skip those write jobs entirely (handles glob
