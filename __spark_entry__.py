@@ -976,6 +976,83 @@ def q_ann_ivf_prod(spark, sf_dir):
                         centroids=ivf_centroids(256, 1024, seed=7))
 
 
+def q_ann_lsh_tables(spark, sf_dir):
+    """Multi-table sign-LSH ANN: candidates are the UNION of two
+    independent hyperplane draws' bucket joins (the orthogonal recall
+    dial to multiprobe — recall ≈ 1-(1-p^b)^T). Fully oracled: both
+    tables' planes are inlined in both engines (table t's bucket is
+    tagged t<<n_bits so one join key spans tables), and the
+    cross-table pair dedup is a DISTINCT on the deterministic rounded
+    cosine in both."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                        n_tables=2)
+
+
+def _ann_lsh_tables_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
+                        seed: int = 42, n_queries: int = 8,
+                        n_tables: int = 2) -> str:
+    from colly_spark.operators.similarity import table_planes
+
+    planes_list = table_planes(dim, n_bits, n_tables, seed)
+    rows = ",".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            t, j, ",".join(repr(float(v)) for v in planes_list[t][j]))
+        for t in range(n_tables) for j in range(n_bits))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH planes(t, j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, t,
+               CAST(sum(CASE WHEN {dot.format(a='v', b='pv')} > 0
+                             THEN (1::BIGINT << j) ELSE 0 END)
+                    + (t::BIGINT << {n_bits}) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes GROUP BY vec_id, t),
+c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
+      FROM e JOIN sig ON sig.vec_id = e.vec_id),
+q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
+      FROM e JOIN sig ON sig.vec_id = e.vec_id
+      WHERE e.vec_id < {n_queries}),
+s AS (SELECT DISTINCT query_id, neighbor_id,
+        round({dot.format(a='cv', b='qv')}
+          / (sqrt({dot.format(a='cv', b='cv')}) * sqrt({dot.format(a='qv', b='qv')})),
+          6) AS cos_sim
+      FROM c JOIN q USING (bucket)
+      WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF-Flat ANN over k-means-TRAINED coarse centroids: 3 Lloyd
+    iterations of distributed spherical k-means (one broadcast-matmul
+    assignment pass + one partial-aggregating groupBy per iteration,
+    driver traffic = the nlist×dim centroid matrix only), then the
+    vectorized serving path probes the trained cells. No SQL oracle by
+    design — iterative float means are not SQL-reproducible; evidence
+    is tests/test_ann_training.py (blob-mean recovery, recall ≥ the
+    untrained quantizer at equal nprobe, assignment/serving
+    agreement). The driver records the weaker rows-only check."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.similarity import ann_ivf_topk, ivf_train_kmeans
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = ivf_train_kmeans(emb, nlist=8, n_iter=3)
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                        nlist=8, nprobe=2, assign="vectorized",
+                        centroids=cents)
+
+
 def q_token_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1556,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_prod": q_ann_ivf_prod,
+        "ann_lsh_tables": q_ann_lsh_tables,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_dedup": q_embedding_dedup,
         "corpus_filter": q_corpus_filter,
         "token_stats": q_token_stats,
@@ -1602,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
         "ann_ivf": _ann_ivf_sql(),
+        "ann_lsh_tables": _ann_lsh_tables_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "corpus_filter": _Q_CORPUS_FILTER_SQL,
         "token_stats": _Q_TOKEN_SQL,

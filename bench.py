@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "quota_multi_rule", "seen_antijoin", "redirect_resolve", "dedup_keep_first",
     "exact_dedup", "ngram_jaccard", "minhash_lsh_buckets", "simhash",
     "cosine_topk", "ann_lsh", "ann_multiprobe", "ann_ivf", "ann_ivf_prod",
+    "ann_lsh_tables", "ann_ivf_trained",
     "token_stats", "langid", "quality_score",
     "events_rollup", "sessionize", "hot_sources", "lineitem_pricing",
     "region_revenue", "brand_supplier_revenue",

@@ -69,20 +69,38 @@ def cosine_topk(corpus_df, query_df, k: int = 10,
 def embedding_near_dup_pairs(emb_df, threshold: float, n_bits: int = 8,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, seed: int = 42,
-                             multiprobe: int = 8, assign: str = "catalyst"):
+                             multiprobe: int = 8, assign: str = "catalyst",
+                             n_tables: int = 1):
     """Embedding-cosine near-duplicate candidate pairs: sign-LSH
     bucket join (+ Hamming-1 multiprobe) → exact cosine ≥ threshold.
     Returns (a, b, cos_sim) with a < b. The bucketed join keeps the
     pair generation ~n/2^bits per probe — never all-pairs — which is
     the 10^9-vector shape; dedup policy on top is one anti-join
-    (see q_embedding_dedup)."""
+    (see q_embedding_dedup). ``n_tables`` unions candidates from that
+    many independent hyperplane draws (recall dial — see
+    ``ann_lsh_topk``); cross-table duplicate pairs are deduped."""
     from pyspark.sql import functions as F
 
-    planes = hyperplanes(dim, n_bits, seed)
-    bucket_of = (lsh_bucket_vec if assign == "vectorized"
-                 else lsh_bucket_expr)
-    base = emb_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                         bucket_of(planes, F.col(vec_col)).alias("bucket"))
+    if n_tables <= 1:
+        planes = hyperplanes(dim, n_bits, seed)
+        bucket_of = (lsh_bucket_vec if assign == "vectorized"
+                     else lsh_bucket_expr)
+        bucket_col = bucket_of(planes, F.col(vec_col))
+        base = emb_df.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"),
+                             bucket_col.alias("bucket"))
+    else:
+        planes_list = table_planes(dim, n_bits, n_tables, seed)
+        if assign == "vectorized":
+            buckets_col = lsh_buckets_multi_vec(planes_list, F.col(vec_col))
+        else:
+            buckets_col = F.array(*[
+                (lsh_bucket_expr(p, F.col(vec_col))
+                 + F.lit(t << n_bits)).cast("long")
+                for t, p in enumerate(planes_list)])
+        base = emb_df.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"),
+                             F.explode(buckets_col).alias("bucket"))
     left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     if multiprobe > 0:
         probes = F.array(
@@ -91,21 +109,32 @@ def embedding_near_dup_pairs(emb_df, threshold: float, n_bits: int = 8,
               for j in range(min(multiprobe, n_bits))])
         left = left.select("a", "va", F.explode(probes).alias("bucket"))
     right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-    return (
+    pairs = (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos_sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
-        # no distinct needed: each vector owns ONE bucket and probe
-        # sets are distinct values, so a pair matches exactly once
-        # (Hamming-1 XOR is symmetric, so no orientation is missed)
+        # single-table: no distinct needed — each vector owns ONE
+        # bucket and probe sets are distinct values, so a pair matches
+        # exactly once (Hamming-1 XOR is symmetric, so no orientation
+        # is missed). Multi-table: dedup the cross-table repeats.
         .select("a", "b", "cos_sim")
     )
+    return pairs.distinct() if n_tables > 1 else pairs
 
 
 def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def table_planes(dim: int, n_bits: int, n_tables: int,
+                 seed: int = 42) -> list:
+    """Independent hyperplane draws for multi-table LSH — table t uses
+    the deterministic stream seeded ``seed + t`` (table 0 is exactly
+    the single-table ``hyperplanes(dim, n_bits, seed)``, so
+    ``n_tables=1`` reproduces the existing plans/oracles bit-for-bit)."""
+    return [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +181,32 @@ def lsh_bucket_vec(planes: np.ndarray, vec_col):
         return pd.Series(((dots > 0) @ weights).astype(np.int64))
 
     return _bucket(vec_col)
+
+
+def lsh_buckets_multi_vec(planes_list: list, vec_col):
+    """Vectorized multi-table sign-LSH: ONE (batch × dim) @
+    (dim × n_tables·n_bits) matmul assigns every table's bucket, each
+    tagged with its table id in the high bits (``bucket | t<<n_bits``)
+    so a single join key spans all tables. Returns array<long> of
+    n_tables tagged buckets per vector."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables = len(planes_list)
+    n_bits = planes_list[0].shape[0]
+    stacked = np.concatenate(planes_list, axis=0)  # (tables*bits, dim)
+    bc = _broadcast_matrix(stacked.T)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    tags = (np.arange(n_tables, dtype=np.int64) << n_bits)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        bits = (_stack(vs) @ bc.value) > 0          # (batch, tables*bits)
+        per_t = bits.reshape(len(vs), n_tables, n_bits) @ weights
+        return pd.Series(list(per_t + tags))
+    return _buckets(vec_col)
 
 
 def ivf_cell_vec(centroids: np.ndarray, vec_col):
@@ -214,7 +269,7 @@ def lsh_bucket_expr(planes: np.ndarray, vec_col):
 def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, seed: int = 42, multiprobe: int = 0,
-                 assign: str = "catalyst"):
+                 assign: str = "catalyst", n_tables: int = 1):
     """Approximate top-k: bucket by sign-LSH, exact cosine within the
     query's bucket only. Returns (query_id, neighbor_id, rank, cos_sim).
     At 10^9-vector scale the bucket join replaces the full cross
@@ -223,8 +278,19 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
     ``multiprobe``: additionally probe the ``multiprobe`` nearest
     Hamming-1 neighbor buckets (bucket XOR bit j) per query — the
     standard recall/cost dial: each extra probe adds ~1/2^b of the
-    corpus to the candidate set. Corpus vectors keep ONE bucket, so
-    probes never duplicate a candidate pair.
+    corpus to the candidate set. Corpus vectors keep ONE bucket per
+    table, so probes never duplicate a candidate pair within a table.
+
+    ``n_tables``: union the candidates of that many INDEPENDENT
+    hyperplane draws (seed+t per table) — the orthogonal recall dial:
+    recall grows ~linearly in tables (1-(1-p^b)^T for per-bit
+    agreement p) where multiprobe explores one table's neighborhood.
+    Cost is n_tables× the bucketed-join candidate fraction AND
+    n_tables corpus bucket entries (the classic LSH space/recall
+    trade). Cross-table duplicate pairs are deduped before ranking
+    (cos_sim is deterministic, so a distinct on the rounded value is
+    exact). Table 0 with ``n_tables=1`` is bit-identical to the
+    pre-existing single-table plan/oracle.
 
     ``assign="catalyst"`` inlines the hyperplanes as plan literals
     (bit-exact vs the SQL oracle, toy n_bits only);
@@ -232,16 +298,34 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
     buckets via numpy matmul in a pandas UDF — the production shape."""
     from pyspark.sql import Window, functions as F
 
-    planes = hyperplanes(dim, n_bits, seed)
-    bucket_of = (lsh_bucket_vec if assign == "vectorized"
-                 else lsh_bucket_expr)
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        bucket_of(planes, F.col(vec_col)).alias("bucket"))
-    q = query_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        bucket_of(planes, F.col(vec_col)).alias("bucket"))
+    if n_tables <= 1:
+        planes = hyperplanes(dim, n_bits, seed)
+        bucket_of = (lsh_bucket_vec if assign == "vectorized"
+                     else lsh_bucket_expr)
+        c = corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            bucket_of(planes, F.col(vec_col)).alias("bucket"))
+        q = query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            bucket_of(planes, F.col(vec_col)).alias("bucket"))
+    else:
+        planes_list = table_planes(dim, n_bits, n_tables, seed)
+        if assign == "vectorized":
+            buckets_col = lsh_buckets_multi_vec(planes_list, F.col(vec_col))
+        else:
+            buckets_col = F.array(*[
+                (lsh_bucket_expr(p, F.col(vec_col))
+                 + F.lit(t << n_bits)).cast("long")
+                for t, p in enumerate(planes_list)])
+        c = corpus_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            F.explode(buckets_col).alias("bucket"))
+        q = query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode(buckets_col).alias("bucket"))
     if multiprobe > 0:
+        # XOR of bit j < n_bits flips within the low bucket bits only,
+        # so a tagged bucket keeps its table id
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
@@ -252,6 +336,8 @@ def ann_lsh_topk(corpus_df, query_df, k: int = 10, n_bits: int = 8,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
     )
+    if n_tables > 1:
+        sims = sims.select("query_id", "neighbor_id", "cos_sim").distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -295,6 +381,55 @@ def ivf_cell_expr(centroids: np.ndarray, vec_col):
 
     best = F.array_max(_cell_entries(centroids, vec_col))
     return (-best["nj"]).cast("int")
+
+
+def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
+                     vec_col: str = "embedding", dim: int = 64,
+                     seed: int = 7) -> np.ndarray:
+    """Train IVF coarse centroids with distributed spherical k-means
+    (Lloyd iterations under cosine similarity): assignment is
+    argmax dot against L2-normalized centroids — exactly
+    ``ivf_cell_vec``'s rule, so training and serving agree — and the
+    update step renormalizes each cell's mean direction.
+
+    Scale shape (10^9 vectors): per iteration, ONE map-side vectorized
+    assignment pass (broadcast centroid matmul, no per-row Python) and
+    ONE partial-aggregating groupBy over nlist×dim cells — the only
+    driver traffic is the nlist×dim centroid matrix itself
+    (stats-scale, ≈ the same matrix the serving path broadcasts).
+    Empty cells keep their previous centroid. Deterministic up to
+    float-sum ordering in the cell means (the assignment argmax and
+    seeded init are exact); serve the returned matrix via
+    ``ann_ivf_topk(..., centroids=...)``.
+
+    Init is the seeded Gaussian-direction quantizer (``ivf_centroids``)
+    that Lloyd then refines on the data — k-means++ would need
+    sequential passes; refined-random converges equivalently for the
+    coarse-quantizer use (nlist ≪ n, many points per cell)."""
+    from pyspark.sql import functions as F
+
+    cents = ivf_centroids(dim, nlist, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb_df.select(vd.alias("v"))
+    for _ in range(n_iter):
+        assigned = base.select(
+            ivf_cell_vec(cents, F.col("v")).alias("cell"),
+            F.posexplode("v").alias("pos", "x"))
+        stats = (assigned.groupBy("cell", "pos")
+                 .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+                 .collect())  # nlist×dim scalars — stats-only traffic
+        sums = np.zeros((nlist, dim))
+        counts = np.zeros(nlist)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        nxt = cents.copy()
+        nonempty = counts > 0
+        nxt[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(nxt, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = nxt / norms
+    return cents
 
 
 def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
