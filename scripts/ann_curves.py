@@ -80,6 +80,13 @@ def main():
                                           multiprobe=p, assign="vectorized"),
             f"lsh n_bits={n_bits} multiprobe={probes}",
             mean_bucket * (1 + probes)))
+    # --- multi-table curve (n_bits=8, no multiprobe) --------------------
+    for tables in (2, 4, 8):
+        rows.append(point(
+            lambda t=tables: ann_lsh_topk(emb, q, k=K, n_bits=n_bits,
+                                          n_tables=t, assign="vectorized"),
+            f"lsh n_bits={n_bits} n_tables={tables}",
+            min(1.0, mean_bucket * tables)))
     # --- IVF nprobe curve (nlist=16) ------------------------------------
     nlist = 16
     cents = ivf_centroids(64, nlist, seed=7)
