@@ -185,6 +185,22 @@ def _count_nonhttp_errors(errors_dir: str) -> int:
     return n
 
 
+def _read_metrics(out_dir: str, as_of=None) -> list:
+    """Committed per-batch metrics dicts (out/metrics_N.json, one per
+    batch), sorted by batch. ``as_of`` bounds the batch index the same
+    way the sink readers do."""
+    import glob as _glob
+
+    out = []
+    for p in sorted(_glob.glob(os.path.join(out_dir, "metrics_*.json"))):
+        b = int(os.path.basename(p).split("_")[1].split(".")[0])
+        if as_of is not None and b > as_of:
+            continue
+        with open(p) as f:
+            out.extend(json.load(f))
+    return out
+
+
 @dataclass
 class CrawlHandles:
     """Lazy readers over the crawl's sink directories.
@@ -198,6 +214,23 @@ class CrawlHandles:
     spark: object
     out_dir: str
     metrics: list = field(default_factory=list)
+
+    @classmethod
+    def open(cls, state_dir: str, spark=None) -> "CrawlHandles":
+        """Open the committed state of ANY state dir — including one
+        written by a different (or dead) process: post-hoc analysis,
+        the dashboard CLI, a monitor watching a live crawl. Metrics
+        come from the committed out/metrics_N.json files, bounded by
+        the manifest commit point. ``spark`` may stay None for the
+        driver-side readers (summary, metrics, has_visited, cookies,
+        plans.dashboard); the DataFrame readers need a session."""
+        as_of = None
+        man = os.path.join(state_dir, "MANIFEST.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                as_of = json.load(f)["batch"]
+        out_dir = os.path.join(state_dir, "out")
+        return cls(spark, out_dir, metrics=_read_metrics(out_dir, as_of))
 
     @staticmethod
     def _batch_of(path: str) -> int:
@@ -1347,7 +1380,13 @@ class Crawler:
             bodies = self._frontier.filter(
                 F.col("body_req").isNotNull()).select("seq", "body_req")
             self._live_bodies = bodies if not bodies.isEmpty() else None
-        self._metrics = []
+        # restore the committed per-batch metrics history (the
+        # north-star checkpoint carries "fetch/dedup metrics"): each
+        # batch persisted its dict as out/metrics_N.json before use —
+        # only batches ≤ the manifest commit point count (a post-crash
+        # metrics file from an uncommitted batch is recomputed anyway)
+        self._metrics = _read_metrics(os.path.join(self.state, "out"),
+                                      self._batch - 1)
 
     def handles(self) -> CrawlHandles:
         h = CrawlHandles(self.spark, os.path.join(self.state, "out"))

@@ -87,10 +87,7 @@ def test_resume_across_compaction_boundary(spark, corpus_spark, tmp_state):
         full = Crawler(spark, corpus_spark, _cfg(), full_state,
                        bloom_threshold_rows=0, compact_every=2,
                        compact_major_bases=2).run(SEEDS)
-        # drop per-batch metrics from the comparison: a resumed engine
-        # tracks metrics from the resume point only (by design — the
-        # sinks carry full history, the in-memory metrics list doesn't)
-        full_sig = _signature(full)[:2] + (_signature(full)[3],)
+        full_sig = _signature(full)
 
         # stop after 4 batches — enough for ≥1 compaction at every-2
         Crawler(spark, corpus_spark, _cfg(), tmp_state,
@@ -103,8 +100,11 @@ def test_resume_across_compaction_boundary(spark, corpus_spark, tmp_state):
         resumed = Crawler(spark, corpus_spark, _cfg(), tmp_state,
                           bloom_threshold_rows=0, compact_every=2,
                           compact_major_bases=2).run(resume=True)
-        res_sig = _signature(resumed)
-        assert (res_sig[0], res_sig[1], res_sig[3]) == full_sig
+        # metrics included: a resumed engine restores the committed
+        # per-batch metrics history (out/metrics_N.json), so the full
+        # signature — trace, errors, METRICS, seen-set — must match the
+        # uninterrupted run exactly
+        assert _signature(resumed) == full_sig
     finally:
         shutil.rmtree(full_state, ignore_errors=True)
 
