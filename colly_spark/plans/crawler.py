@@ -655,6 +655,38 @@ class Crawler:
         already = dup_in_batch.unionByName(already_exact)
         return accepted.unionByName(bypass), already
 
+    def _join_marks(self) -> None:
+        """Wait for an in-flight async marks commit (and surface its
+        exception). MUST be called before anything reads the visited
+        store or Bloom segments — _visited_df, _maybe_compact and
+        _commit do, so every consumer path is covered."""
+        fut, self._marks_fut = getattr(self, "_marks_fut", None), None
+        if fut is not None:
+            fut.result()
+
+    def _commit_marks_async(self, accepted_df, batch: int, delta_tag: str):
+        """Run _commit_marks on a single worker thread so the marks
+        delta write + Bloom fold overlap the fetch join / parse phase
+        (they are independent: within-batch dedup was already claimed
+        inside the admission probe, and the delta's first consumer is
+        the redirect-hop admission — which joins via _visited_df — or
+        the next batch). Mark-before-fetch (colly.go:745-753) is a
+        crash-ordering rule, and the manifest commit point — which is
+        what a resume reads — still happens strictly after the join in
+        _commit, so resume semantics are byte-identical.
+        COLLY_ASYNC_MARKS=0 forces the synchronous path (A/B lever)."""
+        if os.environ.get("COLLY_ASYNC_MARKS", "1") == "0":
+            self._commit_marks(accepted_df, batch, delta_tag)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._join_marks()  # serialize deltas: one in flight at a time
+        if getattr(self, "_marks_exec", None) is None:
+            self._marks_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="marks_commit")
+        self._marks_fut = self._marks_exec.submit(
+            self._commit_marks, accepted_df, batch, delta_tag)
+
     def _commit_marks(self, accepted_df, batch: int, delta_tag: str):
         """Append the accepted needs_mark hashes to the visited deltas +
         fold into the Bloom segments. MUST run after the accepted rows
@@ -685,6 +717,7 @@ class Crawler:
             self._bloom_active = True
 
     def _visited_df(self):
+        self._join_marks()
         if not self._visited_paths:
             return self.spark.createDataFrame([], self.sch["visited"])
         return self.spark.read.parquet(*self._visited_paths)
@@ -880,7 +913,7 @@ class Crawler:
         counts = obs.get
         ok_rows = combined.filter(F.col("kind").isNull())
         if int(counts["marks"] or 0) > 0:
-            self._commit_marks(ok_rows, batch, "admit")
+            self._commit_marks_async(ok_rows, batch, "admit")
         pend_cols = ["seq", "canon_url", "host", "depth", "method",
                      "body_req", "url_hash", "referer", "ctx", "tries"]
         fetch_now = ok_rows.filter(F.col("_fetch_now")).select(pend_cols)
@@ -1055,7 +1088,7 @@ class Crawler:
                 mobs, F.sum(F.col("needs_mark").cast("int")).alias("marks"),
             ).localCheckpoint(eager=True)
             if int(mobs.get["marks"] or 0) > 0:
-                self._commit_marks(accepted, batch, f"{tag}hop{hop}")
+                self._commit_marks_async(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
                 "body_req", "req_hash", "referer", "ctx", "tries")
@@ -1195,6 +1228,7 @@ class Crawler:
         the manifest can reference is complete. Rows are rewritten
         verbatim — probe semantics (revisit counts, expiry generations,
         latest-cookie-wins) are row-level and unaffected."""
+        self._join_marks()
         if self.compact_every <= 0:
             return
         for store, attr, key in self._STORES:
@@ -1256,6 +1290,8 @@ class Crawler:
         reads exactly the committed file set — the Iceberg snapshot's
         data-file list analogue — and compaction leftovers are
         identifiable garbage."""
+        self._join_marks()
+
         def rel(ps):
             return [os.path.relpath(p, self.state) for p in ps]
 
