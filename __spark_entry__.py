@@ -1480,13 +1480,18 @@ def q_crawl_events(spark, sf_dir):
 
 
 def q_image_decode(spark, sf_dir):
-    """Multimodal plumbing: synthesize a binary image column, decode
-    metadata + phash via Arrow-batched mapInPandas. Oracled against
+    """Multimodal plumbing: synthesize a binary image column spanning
+    all five corpus codecs (from-scratch png/jpeg/VP8L plus native
+    avif and lossy-VP8 webp), decode metadata + phash via
+    Arrow-batched mapInPandas. Oracled against
     golden/image_decode.parquet (plain-Python replica of the same
     deterministic generate→encode→decode pipeline)."""
     from colly_spark.operators.multimodal import decode_meta, synthesize_images
 
-    return decode_meta(synthesize_images(spark, 64), repartition_to=8)
+    return decode_meta(
+        synthesize_images(spark, 64, fmt_cycle=(
+            "png", "jpeg", "webp", "avif", "webp_lossy")),
+        repartition_to=8)
 
 
 def q_phash_near_dup(spark, sf_dir):
@@ -1521,6 +1526,17 @@ def q_image_corpus_filter(spark, sf_dir):
     return image_corpus_filter(imgs)
 
 
+# the corpus-filter fmt allowlist, derived from the SAME decodable set
+# the Spark-side default uses (from-scratch codecs + avif when the
+# container's libavif loads) so engine and oracle always agree
+def _fmts_sql() -> str:
+    from colly_spark.functions.images import decodable_web_fmts
+
+    return ", ".join(f"'{f}'" for f in decodable_web_fmts())
+
+
+_FMTS_SQL = _fmts_sql()
+
 _Q_IMAGE_CORPUS_FILTER_SQL = rf"""
 WITH base AS (
   SELECT image_id, w, h, fmt, phash,
@@ -1531,7 +1547,7 @@ WITH base AS (
   FROM '{_REPO}/golden/images_meta.parquet'),
 admitted AS (
   SELECT * FROM base
-  WHERE fmt IN ('png', 'jpeg', 'webp')
+  WHERE fmt IN ({_FMTS_SQL})
     AND least(w, h) >= 64
     AND greatest(w, h)::DOUBLE / least(w, h)::DOUBLE <= 3.0
     AND n_caption_tokens >= 3),

@@ -6,7 +6,10 @@ decode, pixel validation, PSNR — come from ``BASELINE.json``
 input_hint: "decoded-pixel allclose (PSNR≥40dB for lossy) + caption
 equality".
 
-This container has no PIL/libjpeg, so both codecs are from scratch:
+This container has no Python imaging packages, so the portable codecs
+are from scratch (the system's native libwebp/libavif, bound via
+ctypes in functions/native_codecs.py, back them up and independently
+verify them):
 
 - ``png``: a REAL minimal PNG codec (RGB8, filter 0) over stdlib zlib.
   Lossless → decoded pixels must match exactly.
@@ -18,9 +21,12 @@ This container has no PIL/libjpeg, so both codecs are from scratch:
   lossless). The round-1 stand-in codec ("QNT1": 6-bit quantization +
   zlib) remains readable for legacy payloads via magic sniffing.
 - ``webp``: a REAL from-scratch VP8-L lossless codec —
-  ``functions/webp.py`` — decoder verified bit-exact against a genuine
-  libwebp-produced stream (tests/test_webp.py); lossy VP8 stays an
-  honest NotImplementedError (RFC 6386 probability tables).
+  ``functions/webp.py`` — decoder verified bit-exact against genuine
+  libwebp-produced streams (tests/test_webp.py); payloads it declines
+  (lossy VP8 until the from-scratch intra decoder covers them) fall
+  back to the system libwebp.
+- ``avif``: native-only via the system libavif (dav1d/aom) — a
+  from-scratch AV1 decoder is out of honest reach.
 
 All decode paths are vectorized at the Arrow-batch level (one Python
 call per batch, numpy per image). ~100TB scale: images stay as opaque
@@ -123,10 +129,20 @@ def decode_qnt(data: bytes) -> np.ndarray:
 decode_lossy = decode_qnt
 
 
-# the formats this engine can decode natively, from scratch; the
-# corpus-admission default (operators/multimodal.image_corpus_filter)
-# derives from this set so metadata admission never outruns decode
+# the formats this engine can decode from scratch, portable to any
+# environment (pure Python/numpy, no native libraries)
 DECODABLE_WEB_FMTS = ("png", "jpeg", "webp")
+
+
+def decodable_web_fmts() -> tuple:
+    """The formats THIS process can actually decode: the from-scratch
+    set plus avif when the container's libavif is loadable (checked
+    with a round-trip self-validation on first call). The
+    corpus-admission default (operators/multimodal.image_corpus_filter)
+    derives from this so metadata admission never outruns decode."""
+    from colly_spark.functions.native_codecs import avif_native_available
+
+    return DECODABLE_WEB_FMTS + (("avif",) if avif_native_available() else ())
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -141,16 +157,58 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             return decode_jpeg(data)
         return decode_qnt(data)
     if fmt == "webp":
-        # from-scratch VP8-L lossless (functions/webp.py); lossy VP8
-        # raises NotImplementedError there (needs RFC 6386 tables)
+        # from-scratch decoder first (functions/webp.py: VP8-L lossless
+        # + VP8 intra); the system libwebp backs it up for anything the
+        # portable path declines
         from colly_spark.functions.webp import decode_webp
 
-        return decode_webp(data)
+        try:
+            return decode_webp(data)
+        except NotImplementedError:
+            from colly_spark.functions.native_codecs import decode_webp_native
+
+            return decode_webp_native(data)
+    if fmt == "avif":
+        # native-only: a from-scratch AV1 decoder is out of honest
+        # reach; libavif (dav1d/aom) is the production decode path
+        from colly_spark.functions.native_codecs import decode_avif_native
+
+        return decode_avif_native(data)
     raise NotImplementedError(
-        f"format {fmt!r}: avif/gif decoders are not in this container; "
-        "plug PIL/turbojpeg here in deployment (jpeg/png/webp-lossless "
-        "are native)"
+        f"format {fmt!r}: no decoder in this container; plug PIL/"
+        "turbojpeg here in deployment (jpeg/png/webp are from-scratch, "
+        "avif rides the system libavif)"
     )
+
+
+def synth_encode(px: np.ndarray, enc: str):
+    """Encode synthetic pixels with one of the corpus codecs and return
+    ``(fmt, data, phash_of_decoded)``. Encoder names: png / jpeg
+    (from-scratch baseline JPEG) / webp (from-scratch VP8-L) /
+    webp_lossy (system libwebp VP8; fmt column stays "webp") / avif
+    (system libavif). Shared by operators/multimodal.synthesize_images
+    and the golden-fixture generator so both sides encode identically;
+    the phash is always computed from the DECODED pixels, so lossy
+    codecs contribute their real reconstruction."""
+    if enc == "png":
+        fmt, data = "png", encode_png(px)
+    elif enc == "jpeg":
+        fmt, data = "jpeg", encode_lossy(px)
+    elif enc == "webp":
+        from colly_spark.functions.webp import encode_webp
+
+        fmt, data = "webp", encode_webp(px)
+    elif enc == "webp_lossy":
+        from colly_spark.functions.native_codecs import encode_webp_native
+
+        fmt, data = "webp", encode_webp_native(px, quality=95.0)
+    elif enc == "avif":
+        from colly_spark.functions.native_codecs import encode_avif_native
+
+        fmt, data = "avif", encode_avif_native(px, max_quantizer=4)
+    else:
+        raise ValueError(f"unknown synthetic encoder {enc!r}")
+    return fmt, data, phash64(decode_image(data, fmt))
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -185,19 +243,28 @@ def validate_batch(bodies, fmts, ref_bodies, ref_fmts, min_psnr_db: float = 40.0
     reference bytes, return (ok: list[bool], psnr_db: list[float]).
 
     Lossless (png, webp/VP8-L): exact pixel equality required.
-    Lossy: PSNR ≥ min_psnr_db against the reference pixels.
+    Lossy (jpeg, webp/VP8, avif): PSNR ≥ min_psnr_db against the
+    reference pixels.
     """
-    lossless = ("png", "webp")
+
+    def _is_lossless(body: bytes, fmt: str) -> bool:
+        if fmt == "png":
+            return True
+        if fmt == "webp":  # VP8L chunk = lossless, 'VP8 ' = lossy
+            return b"VP8L" in body[:32]
+        return False
+
     oks, psnrs = [], []
     for body, fmt, ref_body, ref_fmt in zip(bodies, fmts, ref_bodies, ref_fmts):
         try:
-            got = decode_image(bytes(body), fmt)
-            ref = decode_image(bytes(ref_body), ref_fmt)
+            body, ref_body = bytes(body), bytes(ref_body)
+            got = decode_image(body, fmt)
+            ref = decode_image(ref_body, ref_fmt)
             if got.shape != ref.shape:
                 oks.append(False), psnrs.append(0.0)
                 continue
             p = psnr(got, ref)
-            if fmt in lossless and ref_fmt in lossless:
+            if _is_lossless(body, fmt) and _is_lossless(ref_body, ref_fmt):
                 oks.append(bool(np.array_equal(got, ref)))
             else:
                 oks.append(bool(p >= min_psnr_db))

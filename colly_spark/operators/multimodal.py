@@ -13,12 +13,12 @@ batch shape, partitioning — around the codecs in functions/images.py:
   sandbox stand-in for reading a real image lake) — pixels seeded per
   id, encoded with the real PNG codec / the stand-in lossy codec.
 
-Real JPEG/WebP/AVIF decoders are not in this container — the codecs
-module stubs them (NotImplementedError) behind the same interface; the
-Spark plumbing (binary columns, mapInPandas batch shape, metadata
-schema) is identical in deployment and is what's tested here. Decode
-runs map-side only; rows are round-robin repartitioned first so a few
-huge images can't skew a partition.
+Codecs: png/jpeg/webp decode through the from-scratch implementations
+(functions/{images,jpeg,webp}.py); avif and lossy-VP8 fallback ride
+the container's native libavif/libwebp via ctypes
+(functions/native_codecs.py). Decode runs map-side only; rows are
+round-robin repartitioned first so a few huge images can't skew a
+partition.
 """
 
 from __future__ import annotations
@@ -72,17 +72,23 @@ def decode_meta(df, id_col: str = "image_id", bytes_col: str = "bytes",
 
 
 def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
-                      n_variants: int = 0):
+                      n_variants: int = 0,
+                      fmt_cycle: tuple = ("png", "jpeg", "webp"),
+                      variant_fmt: str = "jpeg"):
     """Deterministic image table (input_hint schema) generated
     *distributed*: ids partitioned via spark.range, pixels seeded per
-    id, encoded with the real PNG / baseline-JPEG / VP8-L-webp codecs
-    (id mod 3). Stand-in for reading an image lake at 100 TB — the
-    downstream plumbing is identical.
+    id, encoded with codec ``fmt_cycle[id % len(fmt_cycle)]``. Cycle
+    entries are encoder names: ``png`` / ``jpeg`` (from-scratch
+    baseline JPEG) / ``webp`` (from-scratch VP8-L lossless) /
+    ``webp_lossy`` (system libwebp VP8, fmt column still "webp") /
+    ``avif`` (system libavif). Stand-in for reading an image lake at
+    100 TB — the downstream plumbing is identical.
 
     ``n_variants`` appends near-duplicate rows: id ``n + j`` is a lossy
-    re-encode of base image ``j``'s pixels (same scene, different
-    bytes/format) — the crawl-corpus situation phash dedup exists for.
-    Measured phash Hamming distance of these variants is 0–2 bits."""
+    re-encode (``variant_fmt``) of base image ``j``'s pixels (same
+    scene, different bytes/format) — the crawl-corpus situation phash
+    dedup exists for. Measured phash Hamming distance of these
+    variants is 0–2 bits."""
     from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                    StructField, StructType)
 
@@ -97,9 +103,7 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
     ])
 
     def _gen(iterator):
-        from colly_spark.functions.images import (encode_lossy, encode_png,
-                                                  decode_image, phash64)
-        from colly_spark.functions.webp import encode_webp
+        from colly_spark.functions.images import synth_encode
         for pdf in iterator:
             rows = []
             for i in pdf["id"]:
@@ -108,18 +112,15 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
                 rng = np.random.default_rng(seed * 1_000_003 + base)
                 px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
                 if i < n:
-                    fmt = ("png", "jpeg", "webp")[i % 3]
-                    data = (encode_png(px) if fmt == "png"
-                            else encode_lossy(px) if fmt == "jpeg"
-                            else encode_webp(px))
+                    enc = fmt_cycle[i % len(fmt_cycle)]
+                    fmt, data, ph = synth_encode(px, enc)
                     caption = f"synthetic caption {i}"
                 else:
-                    fmt, data = "jpeg", encode_lossy(px)
+                    fmt, data, ph = synth_encode(px, variant_fmt)
                     caption = f"synthetic caption {base} (re-encoded)"
                 rows.append(dict(
                     image_id=f"img{i:08d}", bytes=data, w=size, h=size, fmt=fmt,
-                    caption=caption,
-                    phash=phash64(decode_image(data, fmt))))
+                    caption=caption, phash=ph))
             yield pd.DataFrame(rows)
 
     return spark.range(n + n_variants).mapInPandas(_gen, schema=schema)
@@ -240,13 +241,14 @@ def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
     on phash, which is uniformly distributed by construction.
 
     ``fmts`` defaults to the set this engine can actually decode
-    (functions/images.DECODABLE_WEB_FMTS), so a metadata-admitted row
-    can never poison a downstream decode stage."""
+    (functions/images.decodable_web_fmts(): the from-scratch codecs
+    plus avif when the container's libavif loads), so a metadata-
+    admitted row can never poison a downstream decode stage."""
     from pyspark.sql import functions as F
 
     if fmts is None:
-        from colly_spark.functions.images import DECODABLE_WEB_FMTS
-        fmts = DECODABLE_WEB_FMTS
+        from colly_spark.functions.images import decodable_web_fmts
+        fmts = decodable_web_fmts()
 
     base = df.select(
         "image_id", "w", "h", "fmt", "phash",

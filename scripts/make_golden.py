@@ -125,17 +125,16 @@ def make_crawl_events() -> None:
 
 def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
     # plain-Python replica of multimodal.synthesize_images → decode_meta
-    from colly_spark.functions.images import (decode_image, encode_lossy,
-                                              encode_png, phash64)
-    from colly_spark.functions.webp import encode_webp
+    # over the full five-codec cycle (from-scratch png/jpeg/VP8L +
+    # native avif / lossy-VP8 webp)
+    from colly_spark.functions.images import decode_image, phash64, synth_encode
 
+    cycle = ("png", "jpeg", "webp", "avif", "webp_lossy")
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
-        fmt = ("png", "jpeg", "webp")[i % 3]
-        data = (encode_png(px) if fmt == "png"
-                else encode_lossy(px) if fmt == "jpeg" else encode_webp(px))
+        fmt, data, _ = synth_encode(px, cycle[i % len(cycle)])
         decoded = decode_image(data, fmt)
         rows.append(dict(image_id=f"img{i:08d}", w=decoded.shape[1],
                          h=decoded.shape[0], fmt=fmt,
@@ -154,24 +153,16 @@ def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
                      size: int = 16) -> None:
     # plain-Python replica of synthesize_images(n, n_variants) → phash;
     # golden input for the phash_near_dup brute-force DuckDB oracle
-    from colly_spark.functions.images import (decode_image, encode_lossy,
-                                              encode_png, phash64)
-    from colly_spark.functions.webp import encode_webp
+    from colly_spark.functions.images import synth_encode
 
     rows = []
     for i in range(n + n_variants):
         base = i if i < n else i - n
         rng = np.random.default_rng(seed * 1_000_003 + base)
         px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
-        if i < n:
-            fmt = ("png", "jpeg", "webp")[i % 3]
-            data = (encode_png(px) if fmt == "png"
-                    else encode_lossy(px) if fmt == "jpeg"
-                    else encode_webp(px))
-        else:
-            fmt, data = "jpeg", encode_lossy(px)
-        rows.append(dict(image_id=f"img{i:08d}",
-                         phash=phash64(decode_image(data, fmt))))
+        enc = ("png", "jpeg", "webp")[i % 3] if i < n else "jpeg"
+        _, _, ph = synth_encode(px, enc)
+        rows.append(dict(image_id=f"img{i:08d}", phash=ph))
     schema = pa.schema([("image_id", pa.string()), ("phash", pa.int64())])
     tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
                                preserve_index=False)
