@@ -20,11 +20,11 @@ verify them):
   the worst-case pure-noise fixture images (above the 40dB gate, below
   lossless). The round-1 stand-in codec ("QNT1": 6-bit quantization +
   zlib) remains readable for legacy payloads via magic sniffing.
-- ``webp``: a REAL from-scratch VP8-L lossless codec —
-  ``functions/webp.py`` — decoder verified bit-exact against genuine
-  libwebp-produced streams (tests/test_webp.py); payloads it declines
-  (lossy VP8 until the from-scratch intra decoder covers them) fall
-  back to the system libwebp.
+- ``webp``: REAL from-scratch codecs for BOTH coding modes —
+  VP8-L lossless (``functions/webp.py``, bit-exact vs genuine libwebp
+  streams) and lossy VP8 intra (``functions/vp8.py``, YUV planes
+  bit-exact vs libwebp's own decoder across quality/size/content
+  sweeps).
 - ``avif``: native-only via the system libavif (dav1d/aom) — a
   from-scratch AV1 decoder is out of honest reach.
 
@@ -157,17 +157,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             return decode_jpeg(data)
         return decode_qnt(data)
     if fmt == "webp":
-        # from-scratch decoder first (functions/webp.py: VP8-L lossless
-        # + VP8 intra); the system libwebp backs it up for anything the
-        # portable path declines
+        # fully from scratch: VP8-L lossless + VP8 intra (functions/
+        # webp.py + functions/vp8.py); the pure path is the canonical
+        # one (deterministic in any environment) — use
+        # native_codecs.decode_webp_native directly for bulk speed
         from colly_spark.functions.webp import decode_webp
 
-        try:
-            return decode_webp(data)
-        except NotImplementedError:
-            from colly_spark.functions.native_codecs import decode_webp_native
-
-            return decode_webp_native(data)
+        return decode_webp(data)
     if fmt == "avif":
         # native-only: a from-scratch AV1 decoder is out of honest
         # reach; libavif (dav1d/aom) is the production decode path

@@ -19,10 +19,13 @@ Scope (honest):
   lossy files (a headerless VP8L stream) — decoded by the same engine;
   verified bit-exact against a genuine libwebp-produced stream in
   tests/test_webp.py.
-- VP8 (lossy) luma/chroma: NOT implemented — an intra VP8 decoder
-  requires RFC 6386's default probability tables verbatim, which
-  cannot be reproduced honestly from scratch; decode raises
-  NotImplementedError naming the seam.
+- VP8 (lossy): FULL from-scratch keyframe decoder in
+  functions/vp8.py (RFC 6386; normative tables transcribed from the
+  spec via the system libwebp binary — scripts/extract_vp8_tables.py),
+  verified BIT-EXACT against libwebp's decoded YUV planes across
+  content/size/quality sweeps and CPython's genuine python.webp
+  (tests/test_vp8.py). decode_webp routes lossy files through it and
+  merges the ALPH alpha plane.
 
 Everything is pure Python/numpy; images in this engine stay opaque
 ``binary`` columns through every shuffle and are only decoded map-side
@@ -660,16 +663,26 @@ def _riff_chunks(data: bytes) -> dict:
 
 
 def decode_webp(data: bytes, keep_alpha: bool = False) -> np.ndarray:
-    """Decode a WebP file. Lossless (VP8L) is fully supported; lossy
-    (VP8) raises NotImplementedError — see module docstring."""
+    """Decode a WebP file, entirely from scratch: lossless (VP8L) via
+    this module, lossy (VP8 key frame) via functions/vp8.py (bit-exact
+    YUV vs libwebp, converted with the portable BT.601 integer path),
+    with the ALPH alpha plane merged for lossy+alpha files."""
     chunks = _riff_chunks(bytes(data))
     if b"VP8L" in chunks:
         return decode_vp8l(chunks[b"VP8L"], keep_alpha)
     if b"VP8 " in chunks:
-        raise NotImplementedError(
-            "webp: lossy VP8 decode needs RFC 6386's default probability "
-            "tables verbatim; plug libwebp here in deployment (VP8L "
-            "lossless and ALPH are native)")
+        from colly_spark.functions.vp8 import decode_vp8, yuv420_to_rgb
+
+        Y, U, V = decode_vp8(chunks[b"VP8 "])
+        rgb = yuv420_to_rgb(Y, U, V)
+        if not keep_alpha:
+            return rgb
+        h, w = rgb.shape[:2]
+        if b"ALPH" in chunks:
+            alpha = decode_alpha_chunk(chunks[b"ALPH"], w, h)
+        else:
+            alpha = np.full((h, w), 255, np.uint8)
+        return np.concatenate([rgb, alpha[:, :, None]], axis=2)
     raise ValueError("WebP: no image chunk found")
 
 
@@ -686,6 +699,11 @@ def webp_dimensions(data: bytes):
         if br.read(8) != 0x2F:
             raise ValueError("VP8L: bad signature")
         return br.read(14) + 1, br.read(14) + 1
+    if b"VP8 " in chunks:
+        c = chunks[b"VP8 "]
+        if c[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8: bad keyframe start code")
+        return (c[6] | (c[7] << 8)) & 0x3FFF, (c[8] | (c[9] << 8)) & 0x3FFF
     raise ValueError("WebP: no dimension source")
 
 

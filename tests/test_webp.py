@@ -85,11 +85,14 @@ class TestRealLibwebpStream:
     def test_container_dimensions(self):
         assert webp_dimensions(_PYTHON_WEBP) == (16, 16)
 
-    def test_lossy_vp8_raises(self):
-        """Lossy VP8 luma/chroma decode is an honest seam (RFC 6386
-        default probability tables cannot be reproduced from scratch)."""
-        with pytest.raises(NotImplementedError):
-            decode_webp(_PYTHON_WEBP)
+    def test_lossy_vp8_decodes(self):
+        """Lossy VP8 luma/chroma decode through the from-scratch intra
+        decoder (functions/vp8.py; bit-exactness vs libwebp is pinned
+        in tests/test_vp8.py)."""
+        rgb = decode_webp(_PYTHON_WEBP)
+        assert rgb.shape == (16, 16, 3)
+        rgba = decode_webp(_PYTHON_WEBP, keep_alpha=True)
+        assert np.array_equal(rgba[:, :, 3], _EXPECTED_ALPHA)
 
 
 def _rt(px, **kw):
