@@ -1123,6 +1123,84 @@ SELECT doc_id,
 FROM t
 """
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 App. A) over
+    token n-grams: top-2/3-gram character coverage and duplicated-
+    4-gram character coverage per document. Scale shape: explode ->
+    groupBy((doc, n, gram)) -> groupBy(doc) — the shuffle is the token
+    stream keyed by gram text, never per-row quadratic array work."""
+    from colly_spark.operators.text_quality import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_Q_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, length(trim(text)) AS n_chars,
+                  string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, n_chars, 2 AS n, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, n_chars, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, n_chars, 4,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+  FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i) WHERE len(toks) >= 4
+),
+c AS (SELECT doc_id, n, gram, any_value(n_chars) AS n_chars,
+             count(*) AS cnt
+      FROM g GROUP BY doc_id, n, gram),
+p AS (SELECT doc_id, n,
+             max(cnt * length(gram))::DOUBLE / any_value(n_chars) AS maxfrac,
+             sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+               / any_value(n_chars) AS dupfrac
+      FROM c GROUP BY doc_id, n)
+SELECT d.doc_id,
+  round(coalesce(max(CASE WHEN n = 2 THEN maxfrac END), 0.0), 6) AS top_2gram_frac,
+  round(coalesce(max(CASE WHEN n = 3 THEN maxfrac END), 0.0), 6) AS top_3gram_frac,
+  round(coalesce(max(CASE WHEN n = 4 THEN dupfrac END), 0.0), 6) AS dup_4gram_frac
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher document-admission flags (token count in [50, 1e5], mean
+    token length in [3, 10], >=80% alphabetic tokens) — per-row
+    Catalyst predicates over scan columns, map-side only."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_quality import gopher_filter_exprs
+
+    flags, keep = gopher_filter_exprs(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep")).orderBy("doc_id")
+
+
+_Q_GOPHER_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS ntok,
+        round(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b)::DOUBLE
+              / len(toks), 6) AS mean_len,
+        round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / len(toks), 6) AS alpha_frac
+      FROM t)
+SELECT doc_id,
+  ntok >= 50 AND ntok <= 100000 AS ok_token_count,
+  mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_token_len,
+  alpha_frac >= 0.8 AS ok_alpha_frac,
+  (ntok >= 50 AND ntok <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+    AND alpha_frac >= 0.8 AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction engine (E1-E3): CSS unmarshal + XPath over synthesized HTML
 # ---------------------------------------------------------------------------
@@ -1656,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1703,6 +1783,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _Q_TOKEN_SQL,
         "langid": _Q_LANGID_SQL,
         "quality_score": _Q_QUALITY_SQL,
+        "repetition_stats": _Q_REPETITION_SQL,
+        "gopher_filter": _Q_GOPHER_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,

@@ -88,3 +88,101 @@ def quality_score_expr(text_col):
     mean_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x) / F.size(t)
     len_score = F.least(mean_len / F.lit(8.0), F.lit(1.0))
     return F.round(length_score * 0.5 + diversity * 0.3 + len_score * 0.2, 6)
+
+
+def _gram_frame(df, id_col, text_col, ns):
+    """(id, n, gram, n_chars) rows: token n-grams for each n in ``ns``
+    via posexplode — the scale shape is explode -> groupBy on
+    (id, n, gram), ONE shuffle keyed by gram text, never a per-row
+    O(tokens²) array comparison."""
+    from pyspark.sql import functions as F
+
+    t = tokens_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        t.alias("t"), F.size(t).alias("ntok"))
+    frames = []
+    for n in ns:
+        gram = F.concat_ws(
+            " ", *[F.element_at("t", F.col("i") + F.lit(k + 1))
+                   for k in range(n)])
+        g = (base.filter(F.col("ntok") >= n)
+             .select("id", "n_chars",
+                     F.explode(F.sequence(
+                         F.lit(0), F.col("ntok") - F.lit(n))).alias("i"),
+                     "t")
+             .select("id", "n_chars", F.lit(n).alias("n"), gram.alias("gram")))
+        frames.append(g)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals (Rae et al. 2021, 'Scaling
+    Language Models', App. A quality heuristics), over token n-grams:
+
+    - ``top_2gram_frac`` / ``top_3gram_frac``: characters covered by
+      the most-covering n-gram (count x gram length, tie-free by
+      construction) / document characters;
+    - ``dup_4gram_frac``: characters covered by 4-grams occurring more
+      than once (every occurrence counted) / document characters.
+
+    Documents shorter than n tokens contribute 0.0. Rounded to 6 dp to
+    hash-match the DuckDB oracle. Scale shape: one explode + one
+    groupBy((id, n, gram)) + one groupBy(id) — shuffle volume is the
+    token stream, uniformly keyed by gram text; no per-row quadratic
+    array work, no skew (gram keys are near-unique)."""
+    from pyspark.sql import functions as F
+
+    grams = _gram_frame(df, id_col, text_col, (2, 3, 4))
+    counts = (grams.groupBy("id", "n", "gram")
+              .agg(F.count("*").alias("cnt"),
+                   F.first("n_chars").alias("n_chars")))
+    cov = F.col("cnt") * F.length("gram")
+    per_n = (counts.groupBy("id", "n")
+             .agg(F.max(cov).alias("maxcov"),
+                  F.sum(F.when(F.col("cnt") >= 2, cov).otherwise(0))
+                  .alias("dupcov"),
+                  F.first("n_chars").alias("n_chars")))
+    stats = (per_n.groupBy("id")
+             .agg(*[F.round(
+                 F.coalesce(
+                     F.max(F.when(F.col("n") == n,
+                                  F.col(src) / F.col("n_chars"))),
+                     F.lit(0.0)), 6).alias(alias)
+                 for n, src, alias in ((2, "maxcov", "top_2gram_frac"),
+                                       (3, "maxcov", "top_3gram_frac"),
+                                       (4, "dupcov", "dup_4gram_frac"))]))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(stats, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+                    F.coalesce("top_3gram_frac", F.lit(0.0)).alias("top_3gram_frac"),
+                    F.coalesce("dup_4gram_frac", F.lit(0.0)).alias("dup_4gram_frac")))
+
+
+def gopher_filter_exprs(text_col):
+    """The Gopher document-level admission flags that are expressible
+    per-row (repetition flags come from ``repetition_stats``): token
+    count in [50, 100000], mean token length in [3, 10], and >= 80%
+    of tokens containing at least one alphabetic character. Returns a
+    dict of named boolean expressions plus the conjunction."""
+    from pyspark.sql import functions as F
+
+    ntok = token_count_expr(text_col)
+    mean_len = mean_token_len_expr(text_col)
+    t = tokens_expr(text_col)
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / F.size(t), 6)
+    flags = {
+        "ok_token_count": (ntok >= 50) & (ntok <= 100000),
+        "ok_mean_token_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_alpha_frac": alpha_frac >= 0.8,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return flags, keep

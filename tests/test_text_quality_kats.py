@@ -1,0 +1,67 @@
+"""Hand-computed known-answer tests for the Gopher-style repetition
+signals (operators/text_quality.repetition_stats / gopher_filter_exprs)
+— the oracle gate (test_entry_oracle) proves Spark==DuckDB; these pin
+both to the intended semantics on documents small enough to compute by
+hand."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _stats(spark, text):
+    from colly_spark.operators.text_quality import repetition_stats
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return repetition_stats(df).collect()[0].asDict()
+
+
+class TestRepetitionKATs:
+    def test_alternating_pair(self, spark):
+        # "a b a b a b": n_chars=11
+        # 2-grams: "a b" x3 (len 3), "b a" x2 -> top cov 9/11
+        # 3-grams: "a b a" x2, "b a b" x2 (len 5) -> top cov 10/11
+        # 4-grams: "a b a b" x2, "b a b a" x1 -> dup cov 2*7/11
+        r = _stats(spark, "a b a b a b")
+        assert r["top_2gram_frac"] == round(9 / 11, 6)
+        assert r["top_3gram_frac"] == round(10 / 11, 6)
+        assert r["dup_4gram_frac"] == round(14 / 11, 6)
+
+    def test_no_repeats(self, spark):
+        r = _stats(spark, "one two three four five")
+        # every 2-gram unique: top cov = count 1 * longest 2-gram
+        # "three four" (10 chars) over 23 chars
+        assert r["top_2gram_frac"] == round(10 / 23, 6)
+        assert r["dup_4gram_frac"] == 0.0
+
+    def test_too_short_for_grams(self, spark):
+        r = _stats(spark, "single")
+        assert (r["top_2gram_frac"], r["top_3gram_frac"],
+                r["dup_4gram_frac"]) == (0.0, 0.0, 0.0)
+
+    def test_three_tokens_has_no_4grams(self, spark):
+        r = _stats(spark, "x y z")
+        assert r["top_3gram_frac"] == round(5 / 5, 6)
+        assert r["dup_4gram_frac"] == 0.0
+
+
+class TestGopherFilterKATs:
+    @pytest.mark.parametrize("text,ok_count,ok_len,ok_alpha", [
+        (" ".join(["word"] * 50), True, True, True),
+        (" ".join(["word"] * 49), False, True, True),   # too short
+        (" ".join(["ab"] * 60), True, False, True),     # mean len 2 < 3
+        (" ".join(["12345"] * 40 + ["abcde"] * 20), True, True, False),
+    ])
+    def test_flags(self, spark, text, ok_count, ok_len, ok_alpha):
+        from pyspark.sql import functions as F
+
+        from colly_spark.operators.text_quality import gopher_filter_exprs
+
+        df = spark.createDataFrame([(text,)], "text string")
+        flags, keep = gopher_filter_exprs(F.col("text"))
+        row = df.select(*[v.alias(k) for k, v in flags.items()],
+                        keep.alias("keep")).collect()[0]
+        assert row["ok_token_count"] is ok_count
+        assert row["ok_mean_token_len"] is ok_len
+        assert row["ok_alpha_frac"] is ok_alpha
+        assert row["keep"] is (ok_count and ok_len and ok_alpha)
