@@ -1201,6 +1201,43 @@ ORDER BY doc_id
 """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Cross-document duplicate-span removal (Lee et al. 2022): cut
+    every non-first occurrence of a duplicated 5-token span, rebuild
+    the surviving text. Scale shape: explode -> one groupBy keyed by
+    gram text (count + keeper fused) -> join over duplicated grams
+    only -> anti-join -> per-doc rebuild; no all-pairs path."""
+    from colly_spark.operators.text_dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), k=5).orderBy("doc_id")
+
+
+_Q_DUP_SPAN_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i) WHERE len(toks) >= 5),
+r AS (SELECT doc_id, pos,
+        count(*) OVER (PARTITION BY gram) AS cnt,
+        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g),
+cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+        FROM r, UNNEST(range(0, 5)) AS v(j) WHERE cnt >= 2 AND rn > 1),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+a AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.clean_text, '') AS clean_text,
+  coalesce(a.n_kept, 0) AS n_kept,
+  len(string_split_regex(trim(d.text), '\s+')) - coalesce(a.n_kept, 0) AS n_removed
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction engine (E1-E3): CSS unmarshal + XPath over synthesized HTML
 # ---------------------------------------------------------------------------
@@ -1736,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
+        "dup_span_removal": q_dup_span_removal,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1785,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _Q_QUALITY_SQL,
         "repetition_stats": _Q_REPETITION_SQL,
         "gopher_filter": _Q_GOPHER_SQL,
+        "dup_span_removal": _Q_DUP_SPAN_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,

@@ -65,3 +65,46 @@ class TestGopherFilterKATs:
         assert row["ok_mean_token_len"] is ok_len
         assert row["ok_alpha_frac"] is ok_alpha
         assert row["keep"] is (ok_count and ok_len and ok_alpha)
+
+
+def _cleaned(spark, rows, k=5):
+    from colly_spark.operators.text_dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(rows)),
+                               "doc_id long, text string")
+    out = remove_duplicate_spans(df, k=k).orderBy("doc_id").collect()
+    return [r.asDict() for r in out]
+
+
+class TestDupSpanKATs:
+    def test_within_doc_repeat(self, spark):
+        # "a b c d e" repeats at pos 0 and 6; keeper is pos 0, the
+        # pos-6 occurrence's 5 tokens are cut.
+        [r] = _cleaned(spark, ["a b c d e x a b c d e"])
+        assert r["clean_text"] == "a b c d e x"
+        assert (r["n_kept"], r["n_removed"]) == (6, 5)
+
+    def test_cross_doc_keeper_is_global_first(self, spark):
+        rs = _cleaned(spark, ["a b c d e x", "y a b c d e"])
+        assert rs[0]["clean_text"] == "a b c d e x"
+        assert rs[0]["n_removed"] == 0
+        assert rs[1]["clean_text"] == "y"
+        assert (rs[1]["n_kept"], rs[1]["n_removed"]) == (1, 5)
+
+    def test_overlapping_cuts_union(self, spark):
+        # duplicated grams at pos 7 ("a b c d e") and 8 ("b c d e f")
+        # cover positions 7..12 jointly, not 10 tokens.
+        [r] = _cleaned(spark, ["m a b c d e f a b c d e f m"])
+        assert r["clean_text"] == "m a b c d e f m"
+        assert (r["n_kept"], r["n_removed"]) == (8, 6)
+
+    def test_short_doc_untouched(self, spark):
+        [r] = _cleaned(spark, ["p q r s"])
+        assert r["clean_text"] == "p q r s"
+        assert (r["n_kept"], r["n_removed"]) == (4, 0)
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        rs = _cleaned(spark, ["q w e r t", "q w e r t"])
+        assert rs[0]["clean_text"] == "q w e r t"
+        assert rs[1]["clean_text"] == ""
+        assert (rs[1]["n_kept"], rs[1]["n_removed"]) == (0, 5)
