@@ -1201,6 +1201,33 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """GPT-2-style pretokenizer segment counts + chars-per-token —
+    regexp_extract_all in Catalyst, map-side only; the IDENTICAL RE2-
+    compatible pattern runs in the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_quality import bpe_token_stats_cols
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", *bpe_token_stats_cols(F.col("text"))).orderBy("doc_id")
+
+
+_Q_BPE_SQL = r"""
+WITH t AS (SELECT doc_id, length(trim(text)) AS n_chars,
+  list_filter(
+    regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+    x -> NOT regexp_matches(x, '^\s+$')) AS toks
+FROM documents)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_bpe_tokens,
+  round(n_chars::DOUBLE / nullif(len(toks), 0), 6) AS bpe_chars_per_token
+FROM t
+ORDER BY doc_id
+"""
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Cross-document duplicate-span removal (Lee et al. 2022): cut
     every non-first occurrence of a duplicated 5-token span, rebuild
@@ -1774,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "gopher_filter": q_gopher_filter,
         "dup_span_removal": q_dup_span_removal,
+        "bpe_token_stats": q_bpe_token_stats,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1824,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _Q_REPETITION_SQL,
         "gopher_filter": _Q_GOPHER_SQL,
         "dup_span_removal": _Q_DUP_SPAN_SQL,
+        "bpe_token_stats": _Q_BPE_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,

@@ -186,3 +186,34 @@ def gopher_filter_exprs(text_col):
     for f in flags.values():
         keep = f if keep is None else (keep & f)
     return flags, keep
+
+
+# GPT-2-style pretokenizer, restricted to the RE2-compatible subset
+# (no lookahead) so the DuckDB oracle runs the IDENTICAL pattern:
+# contractions, space-prefixed letter runs, digit runs, symbol runs,
+# whitespace runs. Alternation is leftmost-first in both Java regex
+# and RE2's Perl-compatible mode.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens_expr(text_col):
+    """Array of BPE-pretokenizer segments (whitespace-run matches
+    dropped — a BPE vocab would merge them into the following token).
+    Pure Catalyst: regexp_extract_all + filter, map-side."""
+    from pyspark.sql import functions as F
+
+    return F.filter(
+        F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), F.lit(0)),
+        lambda x: ~x.rlike(r"^\s+$"))
+
+
+def bpe_token_stats_cols(text_col):
+    """(n_bpe_tokens, bpe_chars_per_token): segment count under the
+    GPT-2-style pretokenizer and the chars-per-token diagnostic
+    (trimmed chars / segments, NULL for empty docs)."""
+    from pyspark.sql import functions as F
+
+    toks = bpe_tokens_expr(text_col)
+    n = F.size(toks).cast("long")
+    cpt = F.when(n > 0, F.round(F.length(F.trim(text_col)) / n, 6))
+    return n.alias("n_bpe_tokens"), cpt.alias("bpe_chars_per_token")

@@ -108,3 +108,23 @@ class TestDupSpanKATs:
         assert rs[0]["clean_text"] == "q w e r t"
         assert rs[1]["clean_text"] == ""
         assert (rs[1]["n_kept"], rs[1]["n_removed"]) == (0, 5)
+
+
+class TestBpePretokenizerKATs:
+    @pytest.mark.parametrize("text,want", [
+        ("it's a test", ["it", "'s", " a", " test"]),
+        ("price 42 now!", ["price", " 42", " now", "!"]),
+        # double space: the ws-run match (no lookahead in the RE2
+        # subset) swallows both spaces, so "b" carries no prefix
+        ("a  b", ["a", "b"]),
+        ("don't we'll I'm", ["don", "'t", " we", "'ll", " I", "'m"]),
+        ("x++y", ["x", "++", "y"]),
+    ])
+    def test_segments(self, spark, text, want):
+        from pyspark.sql import functions as F
+
+        from colly_spark.operators.text_quality import bpe_tokens_expr
+
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(bpe_tokens_expr(F.col("text")).alias("t")).collect()[0]["t"]
+        assert got == want
