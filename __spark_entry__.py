@@ -1668,6 +1668,42 @@ def q_image_corpus_filter(spark, sf_dir):
     return image_corpus_filter(imgs)
 
 
+def q_aspect_buckets(spark, sf_dir):
+    """SDXL-style aspect-ratio bucket assignment over the image table:
+    nearest log-aspect ladder bucket + resize scale. Pure map-side
+    Catalyst (constant ladder array, argmin via array_sort) — zero
+    shuffles; runs at scan speed at any corpus size."""
+    from colly_spark.operators.multimodal import aspect_bucket_assign
+
+    imgs = spark.read.parquet(os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return aspect_bucket_assign(imgs).orderBy("image_id")
+
+
+def _aspect_ladder_sql() -> str:
+    from colly_spark.operators.multimodal import DEFAULT_ASPECT_LADDER
+
+    rows = ", ".join(
+        f"({i}, {bw}, {bh}, {float(bw) / bh!r})"
+        for i, (bw, bh) in enumerate(DEFAULT_ASPECT_LADDER))
+    return f"(VALUES {rows}) AS l(i, bw, bh, bar)"
+
+
+def _q_aspect_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT m.image_id, l.bw, l.bh,
+         abs(ln(m.w::DOUBLE / m.h) - ln(l.bar)) AS d, l.i,
+         greatest(l.bw / m.w::DOUBLE, l.bh / m.h::DOUBLE) AS sc,
+         row_number() OVER (PARTITION BY m.image_id
+                            ORDER BY abs(ln(m.w::DOUBLE / m.h) - ln(l.bar)), l.i) AS rn
+  FROM '{_REPO}/golden/images_meta.parquet' m, {_aspect_ladder_sql()}
+)
+SELECT image_id, bw AS bucket_w, bh AS bucket_h, round(sc, 6) AS scale
+FROM scored WHERE rn = 1
+ORDER BY image_id
+"""
+
+
 # the corpus-filter fmt allowlist, derived from the SAME decodable set
 # the Spark-side default uses (from-scratch codecs + avif when the
 # container's libavif loads) so engine and oracle always agree
@@ -1813,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "phash_near_dup": q_phash_near_dup,
         "image_corpus_filter": q_image_corpus_filter,
+        "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
         "callback_fires": q_callback_fires,
@@ -1869,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _Q_IMAGE_DECODE_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
+        "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
         "callback_fires": _Q_CALLBACK_FIRES_SQL,

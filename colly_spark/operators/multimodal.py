@@ -265,3 +265,43 @@ def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
     return (admitted.join(keep, ["image_id", "phash"], "left_semi")
                     .select("image_id", "w", "h", "fmt",
                             "n_caption_tokens", "megapixels"))
+
+
+# SDXL-style aspect-ratio bucket ladder scaled to a 256x256 area
+# budget, sides multiples of 64. A training loader packs batches
+# per-bucket so every sample in a batch shares the resize target.
+DEFAULT_ASPECT_LADDER = (
+    (256, 256), (320, 192), (192, 320), (384, 160), (160, 384),
+    (448, 128), (128, 448), (512, 128), (128, 512),
+)
+
+
+def aspect_bucket_assign(df, ladder=DEFAULT_ASPECT_LADDER,
+                         id_col: str = "image_id"):
+    """Assign each image to the ladder bucket minimizing
+    |ln(w/h) - ln(bw/bh)| (ties -> lowest ladder index), with the
+    resize scale max(bw/w, bh/h) a loader would apply before the
+    center crop. Pure Catalyst map-side work: the ladder is a
+    constant array literal, argmin via array_sort on (dist, index)
+    structs — no shuffle at all, so this runs at scan speed over any
+    corpus size; the per-bucket rollup downstream is one groupBy on
+    ~|ladder| keys.
+    """
+    from pyspark.sql import functions as F
+
+    w, h = F.col("w").cast("double"), F.col("h").cast("double")
+    lad = F.array(*[
+        F.struct(F.lit(float(bw) / bh).alias("bar"),
+                 F.lit(i).alias("i"),
+                 F.lit(bw).alias("bw"), F.lit(bh).alias("bh"))
+        for i, (bw, bh) in enumerate(ladder)])
+    scored = F.transform(
+        lad, lambda b: F.struct(
+            F.abs(F.log(w / h) - F.log(b["bar"])).alias("d"),
+            b["i"].alias("i"), b["bw"].alias("bw"), b["bh"].alias("bh")))
+    best = F.array_sort(scored)[0]
+    return df.select(
+        F.col(id_col),
+        best["bw"].alias("bucket_w"),
+        best["bh"].alias("bucket_h"),
+        F.round(F.greatest(best["bw"] / w, best["bh"] / h), 6).alias("scale"))
