@@ -1201,6 +1201,48 @@ ORDER BY doc_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: the test split (FNV
+    bucket >= 990, the same content-stable split as dataset_split) is
+    the eval set; every train/val document sharing a 5-token span with
+    it is flagged. Bench grams broadcast; corpus grams stream map-side
+    through the hash join."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.operators.text_dedup import decontaminate
+
+    d = _docs(spark, sf_dir).withColumn(
+        "bucket", F.pmod(fnv64a_udf(F.col("doc_id").cast("string")),
+                         F.lit(1000)))
+    corpus = d.filter(F.col("bucket") < 990).drop("bucket")
+    bench = d.filter(F.col("bucket") >= 990).drop("bucket")
+    return decontaminate(corpus, bench, k=5).orderBy("doc_id")
+
+
+_Q_DECONTAM_SQL = f"""
+WITH h AS (SELECT doc_id, text,
+                  (({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 1000) + 1000) % 1000 AS bucket
+           FROM documents),
+tt AS (SELECT doc_id, bucket,
+              string_split_regex(trim(text), '\\s+') AS toks FROM h),
+gc AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+       FROM tt, UNNEST(range(1, len(toks) - 3)) AS u(i)
+       WHERE bucket < 990 AND len(toks) >= 5),
+gb AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+       FROM tt, UNNEST(range(1, len(toks) - 3)) AS u(i)
+       WHERE bucket >= 990 AND len(toks) >= 5),
+hits AS (SELECT DISTINCT gc.doc_id, gc.gram FROM gc JOIN gb USING (gram)),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_shared_grams FROM hits GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+       coalesce(a.n_shared_grams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM h WHERE bucket < 990) t
+LEFT JOIN a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """GPT-2-style pretokenizer segment counts + chars-per-token —
     regexp_extract_all in Catalyst, map-side only; the IDENTICAL RE2-
@@ -1838,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "dup_span_removal": q_dup_span_removal,
         "bpe_token_stats": q_bpe_token_stats,
+        "decontaminate": q_decontaminate,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1890,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _Q_GOPHER_SQL,
         "dup_span_removal": _Q_DUP_SPAN_SQL,
         "bpe_token_stats": _Q_BPE_SQL,
+        "decontaminate": _Q_DECONTAM_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,

@@ -514,3 +514,36 @@ def remove_duplicate_spans(df, k: int = 5, id_col: str = "doc_id",
                     F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
                     (F.col("ntok0") - F.coalesce("n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def decontaminate(df, bench_df, k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark decontamination (GPT-3 style, Brown et al. 2020
+    App. C): flag every corpus document sharing at least one k-token
+    span with a benchmark/eval set; reports the distinct shared-span
+    count per document so thresholds other than >0 are a filter away.
+
+    Scale shape: the benchmark side is distinct k-grams from a small
+    eval set — broadcast; corpus grams stream map-side through the
+    broadcast hash join (no corpus-side shuffle for the match), then
+    one distinct + one groupBy keyed by doc. The corpus is never
+    self-joined and never collected.
+    """
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_quality import _gram_frame
+
+    grams_c = _gram_frame(df, id_col, text_col, (k,)).select("id", "gram")
+    grams_b = (_gram_frame(bench_df, id_col, text_col, (k,))
+               .select("gram").distinct())
+    hits = (grams_c.join(F.broadcast(grams_b), "gram")
+            .select("id", "gram").distinct())
+    agg = hits.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_shared_grams"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(agg, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_shared_grams", F.lit(0)).cast("long")
+                    .alias("n_shared_grams"),
+                    (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+                    .alias("contaminated")))

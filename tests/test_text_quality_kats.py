@@ -128,3 +128,35 @@ class TestBpePretokenizerKATs:
         df = spark.createDataFrame([(text,)], "text string")
         got = df.select(bpe_tokens_expr(F.col("text")).alias("t")).collect()[0]["t"]
         assert got == want
+
+
+class TestDecontaminateKATs:
+    def test_shared_span_flags_doc(self, spark):
+        from colly_spark.operators.text_dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "one two three four")],          # <5 tokens: no grams
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "x alpha beta gamma delta epsilon y")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r.asDict()
+                for r in decontaminate(corpus, bench, k=5).collect()}
+        # doc 0 shares "alpha beta gamma delta epsilon" AND
+        # "beta gamma delta epsilon zeta"? — the second is NOT in
+        # bench (bench has "beta gamma delta epsilon y"), so exactly 1
+        assert rows[0]["n_shared_grams"] == 1
+        assert rows[0]["contaminated"] is True
+        assert rows[1]["n_shared_grams"] == 0
+        assert rows[1]["contaminated"] is False
+
+    def test_repeated_shared_span_counted_once(self, spark):
+        from colly_spark.operators.text_dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e a b c d e")], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "a b c d e")], "doc_id long, text string")
+        [r] = decontaminate(corpus, bench, k=5).collect()
+        assert r["n_shared_grams"] == 1  # distinct shared grams
