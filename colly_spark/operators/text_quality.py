@@ -92,8 +92,11 @@ def quality_score_expr(text_col):
 
 def _gram_frame(df, id_col, text_col, ns):
     """(id, n, gram, n_chars) rows: token n-grams for each n in ``ns``
-    via posexplode — the scale shape is explode -> groupBy on
-    (id, n, gram), ONE shuffle keyed by gram text, never a per-row
+    from a SINGLE scan — every n's gram array is built per-row, the
+    arrays flatten, and one explode emits the stream. The scale shape
+    is explode -> groupBy on (id, n, gram): ONE pass over the text
+    column (a per-n union would re-scan the table |ns| times at
+    100 TB) and one shuffle keyed by gram text, never a per-row
     O(tokens²) array comparison."""
     from pyspark.sql import functions as F
 
@@ -102,22 +105,22 @@ def _gram_frame(df, id_col, text_col, ns):
         F.col(id_col).alias("id"),
         F.length(F.trim(F.col(text_col))).alias("n_chars"),
         t.alias("t"), F.size(t).alias("ntok"))
-    frames = []
-    for n in ns:
-        gram = F.concat_ws(
-            " ", *[F.element_at("t", F.col("i") + F.lit(k + 1))
-                   for k in range(n)])
-        g = (base.filter(F.col("ntok") >= n)
-             .select("id", "n_chars",
-                     F.explode(F.sequence(
-                         F.lit(0), F.col("ntok") - F.lit(n))).alias("i"),
-                     "t")
-             .select("id", "n_chars", F.lit(n).alias("n"), gram.alias("gram")))
-        frames.append(g)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+
+    def gram_arr(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.col("ntok") - F.lit(n)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.element_at("t", i + F.lit(k + 1))
+                                   for k in range(n)]).alias("gram")))
+
+    # docs shorter than n contribute a NULL slot (filtered pre-flatten)
+    # so the sequence() never runs start > stop
+    arrs = F.array(*[F.when(F.col("ntok") >= n, gram_arr(n)) for n in ns])
+    allg = F.flatten(F.filter(arrs, lambda x: x.isNotNull()))
+    return (base.select("id", "n_chars", F.explode(allg).alias("g"))
+            .select("id", "n_chars",
+                    F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
 
 
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
