@@ -1201,6 +1201,32 @@ ORDER BY doc_id
 """
 
 
+def q_streaming_events_window(spark, sf_dir):
+    """A REAL Structured Streaming query (file source → withWatermark
+    → 1-hour window agg → availableNow → memory sink) whose complete-
+    mode result over a static table must equal the batch hourly
+    rollup — so the streaming path itself is SQL-oracled. win_start is
+    cast back to TIMESTAMP_NTZ so the value is the wall-time window
+    start regardless of session timezone."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.streaming.windows import run_streaming_rollup
+
+    out = run_streaming_rollup(
+        spark, os.path.join(sf_dir, "events.parquet"), mode="complete")
+    return (out.withColumn("win_start",
+                           F.col("win_start").cast("timestamp_ntz"))
+            .orderBy("win_start", "event_type"))
+
+
+_Q_STREAM_WIN_SQL = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the test split (FNV
     bucket >= 990, the same content-stable split as dataset_split) is
@@ -1881,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate": q_decontaminate,
+        "streaming_events_window": q_streaming_events_window,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1934,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _Q_DUP_SPAN_SQL,
         "bpe_token_stats": _Q_BPE_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "streaming_events_window": _Q_STREAM_WIN_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,
