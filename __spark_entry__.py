@@ -1227,6 +1227,21 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stateful_sessionize(spark, sf_dir):
+    """The applyInPandasWithState sessionizer run as a REAL streaming
+    query (Update mode, availableNow); converged cumulative counts
+    must equal the batch lag-window sessionize, so the arbitrary-state
+    streaming surface is SQL-oracled too."""
+    from colly_spark.streaming.stateful import (converged_sessions,
+                                                run_stateful_sessions)
+
+    sink = run_stateful_sessions(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    return (converged_sessions(sink)
+            .select("user_id", "n_sessions", "n_events")
+            .orderBy("user_id"))
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the test split (FNV
     bucket >= 990, the same content-stable split as dataset_split) is
@@ -1908,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate": q_decontaminate,
         "streaming_events_window": q_streaming_events_window,
+        "stateful_sessionize": q_stateful_sessionize,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -1962,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _Q_BPE_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "streaming_events_window": _Q_STREAM_WIN_SQL,
+        "stateful_sessionize": _Q_SESSION_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,
