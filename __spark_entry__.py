@@ -1214,13 +1214,17 @@ def q_streaming_events_window(spark, sf_dir):
 
     out = run_streaming_rollup(
         spark, os.path.join(sf_dir, "events.parquet"), mode="complete")
+    # string-typed window start ("YYYY-MM-DD HH:MM:SS", identical in
+    # DuckDB) so the driver's value hash never depends on an engine's
+    # timestamp representation
     return (out.withColumn("win_start",
-                           F.col("win_start").cast("timestamp_ntz"))
+                           F.col("win_start").cast("timestamp_ntz")
+                           .cast("string"))
             .orderBy("win_start", "event_type"))
 
 
 _Q_STREAM_WIN_SQL = """
-SELECT date_trunc('hour', ts) AS win_start, event_type,
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start, event_type,
        count(*)::BIGINT AS n_events,
        CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
