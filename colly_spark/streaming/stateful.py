@@ -38,12 +38,11 @@ def _session_fold(gap_s: int):
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0))
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                t = ts.timestamp()
+            pdf = pdf.sort_values(["ts_unix", "event_id"])
+            for t in pdf["ts_unix"]:
                 if last_ts is None or (t - last_ts) > gap_s:
                     n_sessions += 1
-                last_ts = t
+                last_ts = float(t)
             n_events += len(pdf)
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame({"user_id": [key[0]],
@@ -75,8 +74,12 @@ def run_stateful_sessions(spark, events_path: str, gap_s: int = 1800,
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # epoch seconds computed JVM-side: the pandas fold then never
+    # touches timezone-dependent Timestamp.timestamp() conversions
     src = (reader.parquet(glob_path)
-           .withColumn("ts", F.col("ts").cast("timestamp")))
+           .withColumn("ts", F.col("ts").cast("timestamp"))
+           .withColumn("ts_unix", F.unix_timestamp("ts")
+                       .cast("double")))
     out = (src.groupBy("user_id")
            .applyInPandasWithState(_session_fold(gap_s), OUTPUT_SCHEMA,
                                    STATE_SCHEMA, "Update",
