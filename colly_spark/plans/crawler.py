@@ -995,8 +995,19 @@ class Crawler:
                 # partitioned and cached; a sort-merge join would
                 # re-SORT it every batch. Hash join builds on the
                 # (small) frontier side and streams the corpus
-                # partitions untouched.
-                joined = remaining.hint("shuffle_hash").join(
+                # partitions untouched. The build side is per-
+                # partition IN-MEMORY though — beyond a rows-per-
+                # partition cap the hash map outgrows task execution
+                # memory (observed: SparkOutOfMemoryError at a 10x
+                # stress corpus) — so huge frontiers fall back to
+                # sort-merge, which spills; the cap is the honest
+                # memory/sort trade, not a correctness knob.
+                per_part = self._n_frontier / max(self._n_shuffle, 1)
+                shj_cap = int(os.environ.get(
+                    "COLLY_SHJ_ROWS_PER_PART", "100000"))
+                lhs = (remaining if per_part > shj_cap
+                       else remaining.hint("shuffle_hash"))
+                joined = lhs.join(
                     pages, remaining["cur"] == pages["_purl"], "left")
             missing = joined.filter(F.col("_purl").isNull())
             err_parts.append(err_rows(missing, F.lit(cfgmod.ERR_MISSING)))

@@ -79,3 +79,34 @@ def test_cli_crawl_requires_corpus(capsys, tmp_path):
                "http://a.test/"])
     assert rc == 2
     assert "--corpus" in capsys.readouterr().err
+
+
+def test_smj_fallback_matches_shj_fetch_join(spark, corpus_spark, tmp_path,
+                                             monkeypatch):
+    """The fetch join falls back from the shuffle-hash hint to
+    sort-merge when the frontier's per-partition build rows exceed
+    COLLY_SHJ_ROWS_PER_PART (the hash map otherwise outgrows task
+    memory at stress corpus sizes). Forcing the fallback (cap=0) must
+    produce an identical crawl: same trace rows, same seen set."""
+    from colly_spark.config import CrawlConfig
+    from colly_spark.plans.crawler import Crawler
+
+    cfg = CrawlConfig(max_depth=2, ignore_robots=True)
+    seeds = ["http://d00.test/", "http://d01.test/"]
+
+    def run(state, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        h = Crawler(spark, corpus_spark, cfg, state).run(
+            list(seeds), max_batches=20)
+        trace = sorted(map(tuple, h.trace().select(
+            "batch", "seq", "url", "status").collect()))
+        seen = {r["url_hash"] for r in h.visited().collect()}
+        for k in env:
+            monkeypatch.delenv(k)
+        return trace, seen
+
+    shj = run(str(tmp_path / "shj"))
+    smj = run(str(tmp_path / "smj"), COLLY_SHJ_ROWS_PER_PART="0")
+    assert len(shj[0]) > 2 and shj[1]     # a real crawl, not a no-op
+    assert shj == smj
