@@ -170,6 +170,9 @@ def main():
 
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # ship colly_spark to executor workers so the bench (like the
+    # driver contract) runs from any cwd, not just the repo root
+    entry_mod._ensure_pkg(spark)
     qs = entry_mod.queries()
     t_all = time.time()
     # throwaway warm-up: session/Arrow/codegen spin-up lands here, not
