@@ -1201,6 +1201,106 @@ ORDER BY doc_id
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-corpus curation as ONE composed plan:
+    Gopher admission flags -> duplicate-span removal over the admitted
+    train/val docs -> decontamination of the CLEANED text against the
+    (never-filtered) test split -> a final per-doc verdict. The point
+    is compositionality: every stage is the already-oracled operator,
+    and Catalyst fuses the whole thing into one DAG — no intermediate
+    materialization, predicates still pushed to the one scan."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.operators.text_dedup import (decontaminate,
+                                                  remove_duplicate_spans)
+    from colly_spark.operators.text_quality import gopher_filter_exprs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket", F.pmod(fnv64a_udf(F.col("doc_id").cast("string")),
+                         F.lit(1000)))
+    _flags, keep = gopher_filter_exprs(F.col("text"))
+    docs = docs.withColumn("in_bench", F.col("bucket") >= 990).withColumn(
+        "gopher_keep", keep).drop("bucket")
+    kept = (docs.filter(F.col("gopher_keep") & ~F.col("in_bench"))
+            .select("doc_id", "text"))
+    cleaned = remove_duplicate_spans(kept, k=5)
+    bench = docs.filter(F.col("in_bench")).select("doc_id", "text")
+    decon = decontaminate(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        bench, k=5)
+    return (docs.select("doc_id", "in_bench", "gopher_keep")
+            .join(cleaned.select("doc_id", "n_kept", "n_removed"),
+                  "doc_id", "left")
+            .join(decon.select("doc_id", "contaminated"), "doc_id", "left")
+            .select(
+                "doc_id", "in_bench", "gopher_keep",
+                F.coalesce("n_removed", F.lit(0)).cast("long")
+                .alias("n_removed_spans"),
+                F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+                (F.col("gopher_keep") & ~F.col("in_bench")
+                 & ~F.coalesce("contaminated", F.lit(False))
+                 & (F.coalesce("n_kept", F.lit(0)) > 0)).alias("admitted"))
+            .orderBy("doc_id"))
+
+
+_Q_CURATION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 1000) + 1000) % 1000 >= 990
+           AS in_bench,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+g0 AS (SELECT doc_id, text, in_bench, toks, len(toks) AS ntok,
+         round(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b)::DOUBLE
+               / len(toks), 6) AS mean_len,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / len(toks), 6) AS alpha_frac
+       FROM d),
+flags AS (SELECT doc_id, text, in_bench, toks,
+            (ntok >= 50 AND ntok <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+              AND alpha_frac >= 0.8 AS gopher_keep
+          FROM g0),
+kept AS (SELECT doc_id, toks FROM flags WHERE gopher_keep AND NOT in_bench),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM kept, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM kept, UNNEST(range(1, len(toks) - 3)) AS u(i) WHERE len(toks) >= 5),
+r AS (SELECT doc_id, pos,
+        count(*) OVER (PARTITION BY gram) AS cnt,
+        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g),
+cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+        FROM r, UNNEST(range(0, 5)) AS v(j) WHERE cnt >= 2 AND rn > 1),
+keptt AS (SELECT tok.doc_id, tok.pos, tok.tok
+          FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+cnt AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM keptt GROUP BY doc_id),
+cleaned AS (SELECT kept.doc_id,
+              coalesce(cnt.n_kept, 0) AS n_kept, cnt.clean_text,
+              len(kept.toks) - coalesce(cnt.n_kept, 0) AS n_removed
+            FROM kept LEFT JOIN cnt ON kept.doc_id = cnt.doc_id),
+ctoks AS (SELECT doc_id, string_split_regex(trim(clean_text), '\\s+') AS toks
+          FROM cleaned WHERE clean_text IS NOT NULL),
+gc AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+       FROM ctoks, UNNEST(range(1, len(toks) - 3)) AS u(i) WHERE len(toks) >= 5),
+gb AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+       FROM d, UNNEST(range(1, len(toks) - 3)) AS u(i)
+       WHERE in_bench AND len(toks) >= 5),
+hits AS (SELECT DISTINCT gc.doc_id FROM gc JOIN gb USING (gram))
+SELECT f.doc_id, f.in_bench, f.gopher_keep,
+       coalesce(c.n_removed, 0)::BIGINT AS n_removed_spans,
+       (hits.doc_id IS NOT NULL) AS contaminated,
+       f.gopher_keep AND NOT f.in_bench AND hits.doc_id IS NULL
+         AND coalesce(c.n_kept, 0) > 0 AS admitted
+FROM flags f
+LEFT JOIN cleaned c ON f.doc_id = c.doc_id
+LEFT JOIN hits ON f.doc_id = hits.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def q_streaming_events_window(spark, sf_dir):
     """A REAL Structured Streaming query (file source → withWatermark
     → 1-hour window agg → availableNow → memory sink) whose complete-
@@ -1926,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate": q_decontaminate,
+        "curation_pipeline": q_curation_pipeline,
         "streaming_events_window": q_streaming_events_window,
         "stateful_sessionize": q_stateful_sessionize,
         "events_rollup": q_events_rollup,
@@ -1981,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _Q_DUP_SPAN_SQL,
         "bpe_token_stats": _Q_BPE_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
+        "curation_pipeline": _Q_CURATION_SQL,
         "streaming_events_window": _Q_STREAM_WIN_SQL,
         "stateful_sessionize": _Q_SESSION_SQL,
         "events_rollup": _Q_EVENTS_SQL,
