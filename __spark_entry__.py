@@ -1201,6 +1201,54 @@ ORDER BY doc_id
 """
 
 
+_PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """No-straddle next-fit packing into 512-token shards (sample-
+    isolated-attention layout): an applyInPandas fold over metadata-
+    only (stratum, FNV-bucket) groups — text pruned before the one
+    shuffle. Oracled by a DuckDB RECURSIVE CTE replaying the exact
+    fold."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.sampling import pack_sequences
+    from colly_spark.operators.text_quality import token_count_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+    return (pack_sequences(d, budget=_PACK_BUDGET)
+            .orderBy("stratum", "bucket", "key"))
+
+
+_Q_PACK_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, source AS stratum,
+         ((({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 8) + 8) % 8)::INTEGER AS bucket,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+o AS (SELECT *, row_number() OVER (PARTITION BY stratum, bucket ORDER BY key) AS rn
+      FROM d),
+p AS (
+  SELECT stratum, bucket, rn, key, n_tokens,
+         0::INTEGER AS shard, 0::BIGINT AS "offset", n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.stratum, o.bucket, o.rn, o.key, o.n_tokens,
+    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {_PACK_BUDGET}
+         THEN p.shard + 1 ELSE p.shard END,
+    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {_PACK_BUDGET}
+         THEN 0 ELSE p.fill END,
+    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {_PACK_BUDGET}
+         THEN o.n_tokens ELSE p.fill + o.n_tokens END
+  FROM p JOIN o ON o.stratum = p.stratum AND o.bucket = p.bucket
+               AND o.rn = p.rn + 1)
+SELECT key, stratum, bucket, n_tokens, shard, "offset"
+FROM p ORDER BY stratum, bucket, key
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end training-corpus curation as ONE composed plan:
     Gopher admission flags -> duplicate-span removal over the admitted
@@ -2027,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate": q_decontaminate,
         "curation_pipeline": q_curation_pipeline,
+        "pack_sequences": q_pack_sequences,
         "streaming_events_window": q_streaming_events_window,
         "stateful_sessionize": q_stateful_sessionize,
         "events_rollup": q_events_rollup,
@@ -2083,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _Q_BPE_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "curation_pipeline": _Q_CURATION_SQL,
+        "pack_sequences": _Q_PACK_SQL,
         "streaming_events_window": _Q_STREAM_WIN_SQL,
         "stateful_sessionize": _Q_SESSION_SQL,
         "events_rollup": _Q_EVENTS_SQL,

@@ -57,3 +57,53 @@ def token_shards(df, budget: int, tokens_col: str = "n_tokens",
     prefix_excl = prefix_incl - F.col(tokens_col)
     return df.withColumn(
         "shard", F.floor(prefix_excl / F.lit(budget)).cast("int"))
+
+
+def pack_sequences(df, budget: int, tokens_col: str = "n_tokens",
+                   key_col: str = "doc_id", strata_col: str = "source",
+                   n_buckets: int = 8):
+    """No-straddle next-fit sequence packing: documents are laid into
+    fixed token-budget shards in content-stable order (by key within
+    (stratum, FNV bucket)); a document that would overflow the open
+    shard starts the next one (so shards never straddle documents —
+    the layout for sample-isolated attention, vs ``token_shards``'s
+    concat-and-truncate layout). A document longer than the budget
+    gets a shard of its own. Returns (key, stratum, bucket, n_tokens,
+    shard, offset) with shard numbered per (stratum, bucket) and
+    offset the token start within the shard.
+
+    Scale shape: the fold is inherently sequential, so it runs in
+    applyInPandas over (stratum, bucket) groups — METADATA ONLY (key +
+    token count; text is pruned before the shuffle), so a group is a
+    few MB even for millions of docs, and ``n_buckets`` dials group
+    size down independently of corpus growth. One shuffle; the
+    per-group fold is O(group).
+    """
+    import pandas as pd
+
+    meta = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(strata_col).alias("stratum"),
+        F.pmod(fnv64a_udf(F.col(key_col).cast("string")),
+               F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(tokens_col).cast("long").alias("n_tokens"))
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("key").reset_index(drop=True)
+        shard, fill = 0, 0
+        shards, offsets = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                shard += 1
+                fill = 0
+            shards.append(shard)
+            offsets.append(fill)
+            fill += t
+        pdf["shard"] = pd.Series(shards, dtype="int32")
+        pdf["offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    schema = ("key string, stratum string, bucket int, n_tokens long, "
+              "shard int, offset long")
+    return meta.groupBy("stratum", "bucket").applyInPandas(_fold, schema)

@@ -160,3 +160,38 @@ class TestDecontaminateKATs:
             [(9, "a b c d e")], "doc_id long, text string")
         [r] = decontaminate(corpus, bench, k=5).collect()
         assert r["n_shared_grams"] == 1  # distinct shared grams
+
+
+class TestPackSequencesKATs:
+    def test_next_fit_fold(self, spark):
+        from colly_spark.operators.sampling import pack_sequences
+
+        rows = [("a", "s", 4), ("b", "s", 5), ("c", "s", 3),
+                ("d", "s", 12), ("e", "s", 2)]
+        df = spark.createDataFrame(
+            rows, "doc_id string, source string, n_tokens long")
+        out = {r["key"]: (r["shard"], r["offset"])
+               for r in pack_sequences(df, budget=10, n_buckets=1).collect()}
+        # a(4)->s0@0; b(5) fits (9<=10)->s0@4; c(3) overflows->s1@0;
+        # d(12) oversized, own shard->s2@0; e(2)->s3@0
+        assert out == {"a": (0, 0), "b": (0, 4), "c": (1, 0),
+                       "d": (2, 0), "e": (3, 0)}
+
+    def test_shards_never_straddle(self, spark):
+        from pyspark.sql import functions as F
+
+        from colly_spark.operators.sampling import pack_sequences
+        from colly_spark.operators.text_quality import token_count_expr
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "source",
+                    token_count_expr(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+        packed = pack_sequences(d, budget=200)
+        bad = (packed.groupBy("stratum", "bucket", "shard")
+               .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+               .filter((F.col("tot") > 200) & (F.col("n") > 1)))
+        assert bad.count() == 0  # only a lone oversized doc may exceed
+        off = (packed.groupBy("stratum", "bucket", "shard")
+               .agg(F.min("offset").alias("mn")).filter("mn != 0"))
+        assert off.count() == 0  # every shard starts at offset 0
