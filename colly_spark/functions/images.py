@@ -13,10 +13,12 @@ verify them):
 
 - ``png``: a REAL minimal PNG codec (RGB8, filter 0) over stdlib zlib.
   Lossless → decoded pixels must match exactly.
-- ``jpeg``: a REAL from-scratch baseline JPEG (ITU-T T.81/JFIF) codec —
+- ``jpeg``: a REAL from-scratch JPEG (ITU-T T.81/JFIF) codec —
   ``functions/jpeg.py`` — pure numpy, standard-decoder-compatible
-  output, decoder verified against libjpeg-produced files
-  (tests/test_jpeg.py). Default quality 98 keeps PSNR ≈ 45dB even on
+  output; the decoder handles baseline, extended-sequential AND
+  progressive (SOF2, all four Annex-G scan kinds), verified against
+  libjpeg-produced files (tests/test_jpeg.py,
+  tests/test_jpeg_progressive.py). Default quality 98 keeps PSNR ≈ 45dB even on
   the worst-case pure-noise fixture images (above the 40dB gate, below
   lossless). The round-1 stand-in codec ("QNT1": 6-bit quantization +
   zlib) remains readable for legacy payloads via magic sniffing.

@@ -11,12 +11,19 @@ only from the public spec (ITU-T T.81, Annex F/K; JFIF 1.02):
   choice the format allows, keeps PSNR high on noisy fixture images),
   the standard Annex K Huffman tables.  Output is decodable by any
   standard JPEG decoder.
-- ``decode_jpeg``: baseline/extended-sequential Huffman JPEG → uint8
-  pixels.  Generic Hi×Vi sampling (4:4:4, 4:2:0, 4:2:2, grayscale),
-  multiple DQT/DHT segments, 16-bit quant tables, restart markers
-  (DRI/RSTn), APPn/COM skipping.  Progressive (SOF2) raises with a
-  clear message.  Verified against a real libjpeg-produced file in
-  tests (4:2:0 16×16 KAT).
+- ``decode_jpeg``: baseline/extended-sequential AND progressive (SOF2)
+  Huffman JPEG → uint8 pixels.  Generic Hi×Vi sampling (4:4:4, 4:2:0,
+  4:2:2, grayscale), multiple DQT/DHT segments, 16-bit quant tables,
+  restart markers (DRI/RSTn), APPn/COM skipping.  The progressive path
+  implements all four T.81 Annex G scan kinds — DC first (point
+  transform), DC successive-approximation refinement, AC first with
+  EOB-run coding, and AC refinement with correction bits — over a
+  persistent per-component coefficient store, so any spectral-selection
+  / successive-approximation scan script decodes (including libjpeg's
+  ``jpeg_simple_progression`` 10-scan script).  Verified against real
+  libjpeg-produced files in tests: 4:2:0 16×16 baseline KAT, plus
+  baseline-vs-progressive bit-identical pixel equality on libjpeg
+  encodes of the same image (tests/test_jpeg_progressive.py).
 
 Scale notes: the DCT/IDCT and dequantization are vectorized over all
 blocks of an image (one einsum), and callers batch at the Arrow level
@@ -351,25 +358,32 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline/extended-sequential Huffman JPEG → (h, w, 3)
-    uint8 RGB (grayscale replicated to 3 channels).  Generic Hi×Vi
-    chroma sampling with box upsampling; restart markers honored."""
+    """Decode baseline/extended-sequential or progressive Huffman JPEG
+    → (h, w, 3) uint8 RGB (grayscale replicated to 3 channels).
+    Generic Hi×Vi chroma sampling with box upsampling; restart markers
+    honored.  Progressive (SOF2) streams accumulate coefficients across
+    scans (T.81 Annex G) and reconstruct at EOI."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
     frame = None
+    stores = None                                      # progressive coefficient state
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream")
         marker = data[pos + 1]
         if marker == 0xD9:                            # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no body
             pos += 2
             continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream")
         (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + length]
         pos += 2 + length
@@ -393,17 +407,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):                  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):            # SOF0/1/2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq))
-            frame = dict(h=h, w=w, comps=comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline decoder)")
+                comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq, idx=c))
+            frame = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF, 0xCC):
+            raise ValueError(f"unsupported SOF/coding marker 0x{marker:02X} "
+                             "(lossless/arithmetic/hierarchical JPEG)")
         elif marker == 0xDD:                          # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                          # SOS
@@ -415,19 +431,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(data, pos, frame, scan, qtables, htables,
-                                restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(data, pos, frame, scan, qtables, htables,
+                                    restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if (ss == 0) != (se == 0):
+                raise ValueError("invalid progressive scan header "
+                                 "(DC scans need Ss=Se=0)")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be "
+                                 "non-interleaved (Ns=1)")
+            if stores is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                stores = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                   dtype=np.int64) for c in frame["comps"]]
+            pos = _progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                                    stores, htables, restart_interval)
+    if frame is not None and frame.get("progressive") and stores is not None:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        return _reconstruct(frame, frame["comps"], stores, qtables, hmax, vmax)
     raise ValueError("no scan data found")
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # split the entropy-coded segment into restart chunks, destuffed
+def _entropy_chunks(data, pos):
+    """Split the entropy-coded segment at ``pos`` into destuffed chunks
+    separated by RSTn markers.  Returns (chunks, next_pos) where
+    next_pos is the offset of the terminating marker's 0xFF."""
     chunks, cur = [], bytearray()
     i = pos
     while i < len(data):
@@ -447,9 +481,23 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         cur.append(b)
         i += 1
     chunks.append(bytes(cur))
+    return chunks, i
 
-    readers = [_BitReader(np.unpackbits(np.frombuffer(c, dtype=np.uint8)))
-               for c in chunks]
+
+def _make_readers(chunks):
+    return [_BitReader(np.unpackbits(np.frombuffer(c, dtype=np.uint8)))
+            for c in chunks]
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    chunks, _ = _entropy_chunks(data, pos)
+    readers = _make_readers(chunks)
 
     # per-component zigzag coefficient stores (block grid sized by MCU)
     stores = []
@@ -496,9 +544,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             k += 1
             mcu_in_chunk += 1
 
-    # dequantize + IDCT, vectorized per component; box-upsample to full res
+    return _reconstruct(frame, [c for c, _, _ in scan], stores, qtables,
+                        hmax, vmax)
+
+
+def _reconstruct(frame, comps, stores, qtables, hmax, vmax):
+    """Dequantize + IDCT (vectorized per component), box-upsample to
+    full resolution, convert to RGB."""
+    h, w = frame["h"], frame["w"]
     planes = []
-    for (comp, _, _), zz in zip(scan, stores):
+    for comp, zz in zip(comps, stores):
         qt = qtables[comp["tq"]][UNZIGZAG].reshape(8, 8)
         f = zz[..., UNZIGZAG].reshape(zz.shape[0], zz.shape[1], 8, 8) * qt
         px = np.einsum("ji,byjk,kl->byil", _T, f, _T) + 128.0
@@ -513,3 +568,156 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         return np.stack([y, y, y], axis=-1)
     ycc = np.stack(planes, axis=-1)
     return np.clip(np.round(ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) scan decoding: T.81 Annex G -------------------------
+
+
+def _scan_blocks(frame, scan, hmax, vmax):
+    """Yield one list of (scan_comp_index, by, bx) per restart unit.
+
+    Interleaved scans (Ns>1) iterate MCUs with each component's full
+    Hi×Vi block group per MCU; non-interleaved scans (Ns=1) iterate the
+    component's own ceil-by-8 block grid one block at a time
+    (T.81 A.2.2/A.2.3)."""
+    h, w = frame["h"], frame["w"]
+    if len(scan) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, entry in enumerate(scan):
+                    comp = entry[0]
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            blocks.append((ci, my * comp["v"] + v,
+                                           mx * comp["h"] + hh))
+                yield blocks
+    else:
+        comp = scan[0][0]
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(0, by, bx)]
+
+
+def _progressive_scan(data, pos, frame, scan, ss, se, ah, al, stores,
+                      htables, restart_interval):
+    """Decode one progressive scan into the persistent coefficient
+    stores; returns the offset of the marker terminating the scan."""
+    chunks, end = _entropy_chunks(data, pos)
+    readers = _make_readers(chunks)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+
+    rd_idx, rd = 0, readers[0]
+    pred = [0] * len(scan)
+    eobrun = 0
+    n_in_chunk = 0
+    if ss > 0:
+        act = htables[(1, scan[0][2])]
+        store = stores[scan[0][0]["idx"]]
+    for blocks in _scan_blocks(frame, scan, hmax, vmax):
+        if restart_interval and n_in_chunk == restart_interval:
+            rd_idx += 1
+            if rd_idx >= len(readers):
+                raise ValueError("missing restart segment")
+            rd = readers[rd_idx]
+            pred = [0] * len(scan)
+            eobrun = 0
+            n_in_chunk = 0
+        if ss == 0:                                   # DC scan
+            for ci, by, bx in blocks:
+                comp, td, _ = scan[ci]
+                z = stores[comp["idx"]][by, bx]
+                if ah == 0:                            # first pass (G.1.2.1)
+                    s = rd.decode_symbol(htables[(0, td)])
+                    diff = _extend(rd.read_bits(s), s) if s else 0
+                    pred[ci] += diff
+                    z[0] = pred[ci] << al
+                elif rd.read_bit():                    # refinement (G.1.2.1)
+                    z[0] |= 1 << al
+        else:                                          # AC scan (Ns=1)
+            (_ci, by, bx), = blocks
+            z = store[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(rd, act, z, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(rd, act, z, ss, se, al, eobrun)
+        n_in_chunk += 1
+    return end
+
+
+def _ac_first_block(rd, act, z, ss, se, al, eobrun):
+    """G.1.2.2: first AC scan for one block — run/size coding with
+    end-of-band (EOBn) run lengths spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode_symbol(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                                # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        z[k] = _extend(rd.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(rd, act, z, ss, se, al, eobrun):
+    """G.1.2.3: AC successive-approximation refinement for one block.
+
+    Newly-nonzero coefficients carry ±(1<<Al); every already-nonzero
+    coefficient traversed (including during EOB runs) consumes one
+    correction bit that may add 1<<Al toward its sign."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode_symbol(act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                # s must be 1 in a well-formed stream (magnitude is ±1)
+                newval = p1 if rd.read_bit() else m1
+            while k <= se:
+                if z[k] != 0:
+                    if rd.read_bit() and (int(z[k]) & p1) == 0:
+                        z[k] += p1 if z[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refine index overflow")
+                z[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if z[k] != 0:
+                if rd.read_bit() and (int(z[k]) & p1) == 0:
+                    z[k] += p1 if z[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun

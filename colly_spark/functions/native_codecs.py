@@ -361,3 +361,219 @@ def encode_avif_native(pixels: np.ndarray, max_quantizer: int = 10,
         lib.avifImageDestroy(ctypes.c_void_p(img))
         lib.avifEncoderDestroy(ctypes.c_void_p(enc))
     return data
+
+
+# ---------------------------------------------------------------------------
+# libjpeg (62 ABI / libjpeg-turbo) — classic API over version-pinned offsets
+# ---------------------------------------------------------------------------
+#
+# Purpose: an independent industry JPEG codec to (a) PRODUCE progressive
+# (SOF2) and restart-interval streams the from-scratch encoder never
+# emits and (b) cross-check functions/jpeg.py pixel output
+# (tests/test_jpeg_progressive.py).  TRUSTED-INPUT ONLY: the classic
+# libjpeg error path calls exit() on malformed input, so this binding
+# must never sit on the crawl decode path (decode_image keeps routing
+# jpeg to the exception-safe from-scratch decoder); feed it only bytes
+# produced by our own encoder or by libjpeg itself.
+#
+# ABI safety: struct sizes + field offsets below are pinned for the
+# container's libjpeg62-turbo (jpeglib.h v6b layout on x86-64).  First
+# use runs a full encode->decode round trip in a SUBPROCESS — if the
+# ABI drifted, jpeg_CreateCompress's struct-size guard kills only that
+# probe process and the backend is disabled here.
+
+_JPEG_SIZEOF_COMPRESS = 520
+_JPEG_SIZEOF_DECOMPRESS = 632
+# jpeg_compress_struct (after the 40-byte jpeg_common_fields + dest ptr)
+_JC_IMAGE_WIDTH = 48       # JDIMENSION (u32)
+_JC_IMAGE_HEIGHT = 52
+_JC_INPUT_COMPONENTS = 56  # int
+_JC_IN_COLOR_SPACE = 60    # J_COLOR_SPACE (int): 1=GRAYSCALE 2=RGB
+_JC_DATA_PRECISION = 72    # int, ==8 after jpeg_set_defaults (sanity)
+_JC_RESTART_INTERVAL = 280  # unsigned int
+# jpeg_decompress_struct output fields
+_JD_OUTPUT_WIDTH = 136     # JDIMENSION
+_JD_OUTPUT_HEIGHT = 140
+_JD_OUTPUT_COMPONENTS = 148  # int
+
+_jpeg = None  # (lib, libc) once the subprocess gate passes; False if not
+
+
+def _jpeg_struct_set(buf, off, ctype, val):
+    ctypes.memmove(ctypes.byref(buf, off), ctypes.byref(ctype(val)),
+                   ctypes.sizeof(ctype))
+
+
+def _jpeg_struct_get(buf, off, ctype):
+    v = ctype()
+    ctypes.memmove(ctypes.byref(v), ctypes.byref(buf, off),
+                   ctypes.sizeof(ctype))
+    return v.value
+
+
+def _jpeg_bind():
+    lib = ctypes.CDLL("libjpeg.so.62")
+    libc = ctypes.CDLL("libc.so.6")
+    lib.jpeg_std_error.restype = ctypes.c_void_p
+    sigs = {
+        "jpeg_CreateCompress": [ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t],
+        "jpeg_CreateDecompress": [ctypes.c_void_p, ctypes.c_int, ctypes.c_size_t],
+        "jpeg_mem_dest": [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p],
+        "jpeg_mem_src": [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_ulong],
+        "jpeg_set_defaults": [ctypes.c_void_p],
+        "jpeg_set_quality": [ctypes.c_void_p, ctypes.c_int, ctypes.c_int],
+        "jpeg_simple_progression": [ctypes.c_void_p],
+        "jpeg_start_compress": [ctypes.c_void_p, ctypes.c_int],
+        "jpeg_write_scanlines": [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint],
+        "jpeg_finish_compress": [ctypes.c_void_p],
+        "jpeg_destroy_compress": [ctypes.c_void_p],
+        "jpeg_read_header": [ctypes.c_void_p, ctypes.c_int],
+        "jpeg_start_decompress": [ctypes.c_void_p],
+        "jpeg_read_scanlines": [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint],
+        "jpeg_finish_decompress": [ctypes.c_void_p],
+        "jpeg_destroy_decompress": [ctypes.c_void_p],
+    }
+    for name, argtypes in sigs.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+    lib.jpeg_write_scanlines.restype = ctypes.c_uint
+    lib.jpeg_read_scanlines.restype = ctypes.c_uint
+    return lib, libc
+
+
+def _jpeg_roundtrip_probe():
+    """Run in a throwaway subprocess by _load_jpeg: full encode (baseline
+    + progressive) -> decode round trip with the pinned ABI constants.
+    Any drift segfaults/exits HERE, not in the caller."""
+    global _jpeg
+    _jpeg = _jpeg_bind()  # bypass the gate inside this probe process
+    yy, xx = np.mgrid[0:11, 0:13]
+    px = np.stack([(yy * 19) % 256, (xx * 23) % 256, ((xx + yy) * 7) % 256],
+                  axis=-1).astype(np.uint8)
+    base = encode_jpeg_native(px, quality=90)
+    prog = encode_jpeg_native(px, quality=90, progressive=True,
+                              restart_interval=2)
+    assert b"\xff\xc0" in base and b"\xff\xc2" in prog
+    db = decode_jpeg_native(base)
+    dp = decode_jpeg_native(prog)
+    assert db.shape == (11, 13, 3) and np.array_equal(db, dp)
+
+
+def _load_jpeg():
+    global _jpeg
+    with _lock:
+        if _jpeg is not None:
+            return _jpeg
+        import subprocess
+        import sys
+        import os
+        try:
+            pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r); "
+                 "from colly_spark.functions.native_codecs import "
+                 "_jpeg_roundtrip_probe; _jpeg_roundtrip_probe()" % pkg_parent],
+                capture_output=True, timeout=60)
+            if r.returncode != 0:
+                _jpeg = False
+                return _jpeg
+            _jpeg = _jpeg_bind()
+        except Exception:
+            _jpeg = False
+        return _jpeg
+
+
+def jpeg_native_available() -> bool:
+    return bool(_load_jpeg())
+
+
+def _jpeg_error_mgr(lib):
+    err = ctypes.create_string_buffer(2048)  # > sizeof(jpeg_error_mgr)
+    return err, lib.jpeg_std_error(err)
+
+
+def encode_jpeg_native(pixels: np.ndarray, quality: int = 90,
+                       progressive: bool = False,
+                       restart_interval: int = 0) -> bytes:
+    """Encode uint8 RGB (h,w,3) or grayscale (h,w) via libjpeg.
+    ``progressive=True`` uses jpeg_simple_progression's 10-scan script
+    (spectral selection + successive approximation, the scan shapes
+    real web JPEGs use)."""
+    loaded = _load_jpeg()
+    if not loaded:
+        raise RuntimeError("libjpeg backend unavailable")
+    lib, libc = loaded
+    h, w = pixels.shape[:2]
+    ncomp = 1 if pixels.ndim == 2 else pixels.shape[2]
+    assert pixels.dtype == np.uint8 and ncomp in (1, 3)
+    err, e = _jpeg_error_mgr(lib)
+    cinfo = ctypes.create_string_buffer(_JPEG_SIZEOF_COMPRESS)
+    _jpeg_struct_set(cinfo, 0, ctypes.c_void_p, e)
+    lib.jpeg_CreateCompress(cinfo, 62, _JPEG_SIZEOF_COMPRESS)
+    outbuf = ctypes.c_void_p(None)
+    outsize = ctypes.c_ulong(0)
+    try:
+        lib.jpeg_mem_dest(cinfo, ctypes.byref(outbuf), ctypes.byref(outsize))
+        _jpeg_struct_set(cinfo, _JC_IMAGE_WIDTH, ctypes.c_uint, w)
+        _jpeg_struct_set(cinfo, _JC_IMAGE_HEIGHT, ctypes.c_uint, h)
+        _jpeg_struct_set(cinfo, _JC_INPUT_COMPONENTS, ctypes.c_int, ncomp)
+        _jpeg_struct_set(cinfo, _JC_IN_COLOR_SPACE, ctypes.c_int,
+                         2 if ncomp == 3 else 1)
+        lib.jpeg_set_defaults(cinfo)
+        if _jpeg_struct_get(cinfo, _JC_DATA_PRECISION, ctypes.c_int) != 8:
+            raise RuntimeError("libjpeg ABI sanity check failed "
+                               "(data_precision offset)")
+        lib.jpeg_set_quality(cinfo, int(quality), 1)
+        if progressive:
+            lib.jpeg_simple_progression(cinfo)
+        if restart_interval:
+            _jpeg_struct_set(cinfo, _JC_RESTART_INTERVAL, ctypes.c_uint,
+                             int(restart_interval))
+        lib.jpeg_start_compress(cinfo, 1)
+        rows = np.ascontiguousarray(pixels.reshape(h, -1))
+        rowptr = (ctypes.c_void_p * 1)()
+        for y in range(h):
+            rowptr[0] = rows.ctypes.data + y * rows.strides[0]
+            if lib.jpeg_write_scanlines(cinfo, rowptr, 1) != 1:
+                raise RuntimeError("jpeg_write_scanlines stalled")
+        lib.jpeg_finish_compress(cinfo)
+        data = ctypes.string_at(outbuf, outsize.value)
+    finally:
+        lib.jpeg_destroy_compress(cinfo)
+        if outbuf.value:
+            libc.free(outbuf)
+    return data
+
+
+def decode_jpeg_native(data: bytes) -> np.ndarray:
+    """Decode a TRUSTED JPEG via libjpeg -> uint8 (h,w,3) or (h,w)."""
+    loaded = _load_jpeg()
+    if not loaded:
+        raise RuntimeError("libjpeg backend unavailable")
+    lib, _libc = loaded
+    err, e = _jpeg_error_mgr(lib)
+    cinfo = ctypes.create_string_buffer(_JPEG_SIZEOF_DECOMPRESS)
+    _jpeg_struct_set(cinfo, 0, ctypes.c_void_p, e)
+    lib.jpeg_CreateDecompress(cinfo, 62, _JPEG_SIZEOF_DECOMPRESS)
+    try:
+        lib.jpeg_mem_src(cinfo, data, len(data))
+        lib.jpeg_read_header(cinfo, 1)
+        lib.jpeg_start_decompress(cinfo)
+        w = _jpeg_struct_get(cinfo, _JD_OUTPUT_WIDTH, ctypes.c_uint)
+        h = _jpeg_struct_get(cinfo, _JD_OUTPUT_HEIGHT, ctypes.c_uint)
+        nc = _jpeg_struct_get(cinfo, _JD_OUTPUT_COMPONENTS, ctypes.c_int)
+        if not (0 < w < 1 << 24 and 0 < h < 1 << 24 and nc in (1, 3)):
+            raise RuntimeError("libjpeg ABI sanity check failed "
+                               "(output field offsets)")
+        out = np.zeros((h, w * nc), dtype=np.uint8)
+        rowptr = (ctypes.c_void_p * 1)()
+        for y in range(h):
+            rowptr[0] = out.ctypes.data + y * out.strides[0]
+            if lib.jpeg_read_scanlines(cinfo, rowptr, 1) != 1:
+                raise RuntimeError("jpeg_read_scanlines stalled")
+        lib.jpeg_finish_decompress(cinfo)
+    finally:
+        lib.jpeg_destroy_decompress(cinfo)
+    return out.reshape(h, w, nc) if nc == 3 else out.reshape(h, w)

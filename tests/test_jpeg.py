@@ -164,13 +164,14 @@ def test_output_is_valid_marker_stream():
             i += 1
 
 
-def test_progressive_rejected():
-    # flip SOF0 marker to SOF2 in a minimal stream → clear error
+def test_lossless_sof_rejected():
+    # flip SOF0 to SOF3 (lossless) in a minimal stream → clear error
+    # (progressive SOF2 is now SUPPORTED — tests/test_jpeg_progressive.py)
     rng = np.random.default_rng(23)
     data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
     idx = bytes(data).find(b"\xFF\xC0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    data[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg(bytes(data))
 
 
