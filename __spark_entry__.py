@@ -1394,6 +1394,49 @@ def q_stateful_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_stateful_rate_limit(spark, sf_dir):
+    """The stateful per-domain rate limiter (streaming/ratelimit.py —
+    LimitRule politeness as an applyInPandasWithState continuous-query
+    operator, deferred FIFO backlog held in the state store, timeout-
+    driven re-emission).  Run as a REAL streaming query over the
+    synthetic frontier (capped at doc_id < 1000 so the politeness
+    window count stays bounded at every SF); the emitted ``window_id``
+    must equal the closed form floor((rank_by_seq - 1)/quota) + 1,
+    which the DuckDB oracle replays as a window function.  Rules
+    exercise first-match-wins: src1*.test → quota 5 (delay 180ms),
+    fallback * → quota 10 (delay 80ms)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.streaming.ratelimit import run_rate_limited_drain
+
+    cfg = CrawlConfig(limit_rules=(
+        LimitRule(domain_glob="src1*.test", delay_ms=80, parallelism=1),
+        LimitRule(domain_glob="*", delay_ms=20, parallelism=1),
+    ))
+    pending = (_frontier(spark, sf_dir).filter(F.col("doc_id") < 1000)
+               .select(F.col("doc_id").cast("long").alias("seq"), "url",
+                       F.regexp_extract("url", r"http://([^/]+)/", 1)
+                       .alias("host")))
+    out = run_rate_limited_drain(spark, pending, cfg)
+    return out.select("host", "url", "seq", "window_id").orderBy("seq")
+
+
+_Q_RATE_LIMIT_SQL = f"""
+WITH f AS ({_FRONTIER_SQL}),
+p AS (SELECT doc_id AS seq, url,
+             regexp_extract(url, 'http://([^/]+)/', 1) AS host
+      FROM f WHERE doc_id < 1000),
+r AS (SELECT seq, url, host,
+             CASE WHEN host LIKE 'src1%.test' THEN 10 ELSE 25 END AS quota,
+             row_number() OVER (PARTITION BY host ORDER BY seq) AS rn
+      FROM p)
+SELECT host, url, seq,
+       CAST(FLOOR((rn - 1) / quota) + 1 AS INT) AS window_id
+FROM r ORDER BY seq
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the test split (FNV
     bucket >= 990, the same content-stable split as dataset_split) is
@@ -2078,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "streaming_events_window": q_streaming_events_window,
         "stateful_sessionize": q_stateful_sessionize,
+        "stateful_rate_limit": q_stateful_rate_limit,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -2135,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _Q_PACK_SQL,
         "streaming_events_window": _Q_STREAM_WIN_SQL,
         "stateful_sessionize": _Q_SESSION_SQL,
+        "stateful_rate_limit": _Q_RATE_LIMIT_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,
