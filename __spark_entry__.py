@@ -1506,6 +1506,62 @@ ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / intl phone → placeholder tokens)
+    — pure Catalyst regexp_count/regexp_replace, map-side at scan
+    speed.  The synthetic corpus carries no PII, so deterministic
+    PII-bearing suffixes derived from doc_id are injected IDENTICALLY
+    in Spark and the oracle (email when doc_id%3≠0, IP when doc_id%2=0,
+    phone always), and both engines then run the IDENTICAL Java/RE2-
+    shared patterns with the contract's email→ip→phone pass order
+    (operators/text_quality.py PII_PASSES)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_quality import pii_scrub_cols
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc % 3 != 0, F.concat(
+            F.lit(" reach user"), doc.cast("string"),
+            F.lit("@mail"), (doc % 7).cast("string"),
+            F.lit(".example.com"))).otherwise(F.lit("")),
+        F.when(doc % 2 == 0, F.concat(
+            F.lit(" from 10."), (doc % 256).cast("string"),
+            F.lit("."), (doc % 100).cast("string"),
+            F.lit(".4"))).otherwise(F.lit("")),
+        F.concat(F.lit(" call +1-555-"), (doc % 90 + 10).cast("string"),
+                 F.lit("10")),
+    )
+    return (d.select("doc_id", *pii_scrub_cols(injected))
+            .orderBy("doc_id"))
+
+
+_Q_PII_SQL = r"""
+WITH t AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || doc_id || '@mail'
+          || (doc_id % 7) || '.example.com' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 256) || '.'
+          || (doc_id % 100) || '.4' ELSE '' END
+  || ' call +1-555-' || (doc_id % 90 + 10) || '10' AS raw
+FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(raw, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(raw, '\+\d{1,3}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(raw,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean_text
+FROM t
+ORDER BY doc_id
+"""
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Cross-document duplicate-span removal (Lee et al. 2022): cut
     every non-first occurrence of a duplicated 5-token span, rebuild
@@ -2116,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "dup_span_removal": q_dup_span_removal,
         "bpe_token_stats": q_bpe_token_stats,
+        "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "curation_pipeline": q_curation_pipeline,
         "pack_sequences": q_pack_sequences,
@@ -2174,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _Q_GOPHER_SQL,
         "dup_span_removal": _Q_DUP_SPAN_SQL,
         "bpe_token_stats": _Q_BPE_SQL,
+        "pii_scrub": _Q_PII_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "curation_pipeline": _Q_CURATION_SQL,
         "pack_sequences": _Q_PACK_SQL,

@@ -220,3 +220,43 @@ def bpe_token_stats_cols(text_col):
     n = F.size(toks).cast("long")
     cpt = F.when(n > 0, F.round(F.length(F.trim(text_col)) / n, 6))
     return n.alias("n_bpe_tokens"), cpt.alias("bpe_chars_per_token")
+
+
+# PII scrubbing — the standard pre-training redaction pass (emails,
+# IPv4 addresses, international-format phone numbers → typed
+# placeholder tokens).  Patterns are restricted to the syntax Java
+# regex and RE2 share (no lookaround), so the DuckDB oracle runs the
+# IDENTICAL patterns; replacement order (email → ip → phone) is part
+# of the contract — an email's host can contain dotted digits, so
+# emails must be redacted before the IP pass sees them.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_PASSES = ((PII_EMAIL_RE, "<EMAIL>"), (PII_IPV4_RE, "<IP>"),
+              (PII_PHONE_RE, "<PHONE>"))
+
+
+def pii_scrub_cols(text_col):
+    """(n_emails, n_ipv4, n_phones, clean_text): occurrence counts on
+    the raw text plus the text with every match replaced by its
+    placeholder.  Pure Catalyst (regexp_count / regexp_replace) —
+    map-side, whole-stage-codegen'd, scan-speed at 100 TB."""
+    from pyspark.sql import functions as F
+
+    counts = [
+        F.regexp_count(text_col, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text_col, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text_col, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    ]
+    clean = text_col
+    for pat, tok in PII_PASSES:
+        clean = F.regexp_replace(clean, pat, tok)
+    return (*counts, clean.alias("clean_text"))
+
+
+def pii_scrub(df, text_col="text", id_col="doc_id"):
+    """Per-document PII redaction: returns (id, n_emails, n_ipv4,
+    n_phones, clean_text)."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.col(id_col), *pii_scrub_cols(F.col(text_col)))

@@ -195,3 +195,34 @@ class TestPackSequencesKATs:
         off = (packed.groupBy("stratum", "bucket", "shard")
                .agg(F.min("offset").alias("mn")).filter("mn != 0"))
         assert off.count() == 0  # every shard starts at offset 0
+
+
+class TestPIIScrubKATs:
+    def _scrub(self, spark, text):
+        from colly_spark.operators.text_quality import pii_scrub
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return pii_scrub(df).collect()[0].asDict()
+
+    def test_email_ip_phone(self, spark):
+        r = self._scrub(spark, "mail bob.smith+x@sub.example.co.uk at "
+                               "192.168.1.10 or +44-555-0142 now")
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 1, 1)
+        assert r["clean_text"] == "mail <EMAIL> at <IP> or <PHONE> now"
+
+    def test_ip_mail_host_still_redacted(self, spark):
+        # an all-numeric mail host is not an email (no alpha TLD) but
+        # its dotted quad must still fall to the IP pass
+        r = self._scrub(spark, "x user@10.0.0.1 y")
+        assert (r["n_emails"], r["n_ipv4"]) == (0, 1)
+        assert r["clean_text"] == "x user@<IP> y"
+
+    def test_counts_multiple(self, spark):
+        r = self._scrub(spark, "a@b.co c@d.io 1.2.3.4 5.6.7.8 +1-555-1234")
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (2, 2, 1)
+        assert r["clean_text"] == "<EMAIL> <EMAIL> <IP> <IP> <PHONE>"
+
+    def test_clean_text_without_pii_is_unchanged(self, spark):
+        r = self._scrub(spark, "plain words only here")
+        assert r["clean_text"] == "plain words only here"
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (0, 0, 0)
