@@ -1970,6 +1970,79 @@ def q_image_decode(spark, sf_dir):
         repartition_to=8)
 
 
+def q_image_metadata_scrub(spark, sf_dir):
+    """EXIF/comment scrubbing over the five-codec image table — the
+    privacy pass of an image pipeline.  The synthetic images are born
+    metadata-free, so deterministic EXIF-like payloads (GPS-looking
+    strings derived from image_id) are injected first (jpeg: APP1+COM,
+    png: tEXt, webp: RIFF EXIF chunk; avif untouched), then
+    operators/multimodal.scrub_metadata removes them.  The engine
+    reports per image: segments removed, bytes removed, clean length,
+    pixels bit-identical across the scrub, and clean bytes == the
+    pre-injection original.  Golden oracle computes the expectations
+    ARITHMETICALLY from the injected payload sizes (scripts/
+    make_golden.py) — it never runs the scrubber."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import (scrub_metadata,
+                                                  synthesize_images)
+
+    imgs = synthesize_images(spark, 64, fmt_cycle=(
+        "png", "jpeg", "webp", "avif", "webp_lossy"))
+
+    def _inject(iterator):
+        from colly_spark.functions.imagemeta import inject_metadata
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(r.image_id[3:])
+                payload = f"GPS {i} 51.5074 -0.1278 CAM{i % 9}".encode()
+                rows.append(dict(
+                    image_id=r.image_id,
+                    bytes=inject_metadata(bytes(r.bytes), r.fmt, payload),
+                    fmt=r.fmt, orig=bytes(r.bytes)))
+            yield pd.DataFrame(rows)
+
+    injected = imgs.select("image_id", "bytes", "fmt").mapInPandas(
+        _inject, "image_id string, bytes binary, fmt string, orig binary")
+    scrubbed = scrub_metadata(injected, repartition_to=8)
+    joined = (injected.select("image_id", F.col("bytes").alias("dirty"), "orig")
+              .join(scrubbed.withColumnRenamed("bytes", "clean"), "image_id"))
+
+    def _verify(iterator):
+        import numpy as np
+
+        from colly_spark.functions.images import decode_image
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples():
+                dirty, clean, orig = bytes(r.dirty), bytes(r.clean), bytes(r.orig)
+                px_same = bool(np.array_equal(
+                    decode_image(dirty, r.fmt), decode_image(clean, r.fmt)))
+                rows.append(dict(
+                    image_id=r.image_id, fmt=r.fmt,
+                    n_removed=int(r.n_removed),
+                    bytes_removed=int(r.bytes_removed),
+                    clean_len=len(clean), pixels_unchanged=px_same,
+                    restored=clean == orig))
+            yield pd.DataFrame(rows)
+
+    return (joined.mapInPandas(
+        _verify, "image_id string, fmt string, n_removed int, "
+                 "bytes_removed long, clean_len long, "
+                 "pixels_unchanged boolean, restored boolean")
+        .orderBy("image_id"))
+
+
+_Q_IMAGE_SCRUB_SQL = f"""
+SELECT image_id, fmt, n_removed, bytes_removed, clean_len,
+       pixels_unchanged, restored
+FROM '{_REPO}/golden/image_metadata_scrub.parquet'
+ORDER BY image_id
+"""
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Image near-dup detection over perceptual hashes: synthesize 96
     base images + 32 lossy re-encoded variants, recompute phash through
@@ -2188,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace": q_crawl_trace,
         "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
+        "image_metadata_scrub": q_image_metadata_scrub,
         "phash_near_dup": q_phash_near_dup,
         "image_corpus_filter": q_image_corpus_filter,
         "aspect_buckets": q_aspect_buckets,
@@ -2252,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "crawl_events": _Q_CRAWL_EVENTS_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
+        "image_metadata_scrub": _Q_IMAGE_SCRUB_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
         "aspect_buckets": _q_aspect_sql(),

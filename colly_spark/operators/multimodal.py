@@ -305,3 +305,49 @@ def aspect_bucket_assign(df, ladder=DEFAULT_ASPECT_LADDER,
         best["bw"].alias("bucket_w"),
         best["bh"].alias("bucket_h"),
         F.round(F.greatest(best["bw"] / w, best["bh"] / h), 6).alias("scale"))
+
+
+def scrub_metadata(df, id_col: str = "image_id", bytes_col: str = "bytes",
+                   fmt_col: str = "fmt", repartition_to: int | None = None):
+    """EXIF/XMP/comment scrubbing over a binary image column — the
+    privacy pass of an image training pipeline (camera EXIF carries
+    GPS/serial/timestamps).  Container-level walk only
+    (functions/imagemeta.py): entropy-coded pixel data is copied
+    verbatim, so decoded pixels are bit-identical.  Arrow-batched
+    mapInPandas, map-side only; unknown containers pass through with
+    zero counts (scrubbing never drops an image).
+
+    Returns (image_id, fmt, bytes=clean, n_removed, bytes_removed).
+    """
+    from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    sel = df.select(df[id_col].alias("image_id"),
+                    df[bytes_col].alias("bytes"), df[fmt_col].alias("fmt"))
+    if repartition_to:
+        sel = sel.repartition(repartition_to)
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("fmt", StringType()),
+        StructField("n_removed", IntegerType()),
+        StructField("bytes_removed", LongType()),
+    ])
+
+    def _scrub(iterator):
+        from colly_spark.functions.imagemeta import strip_metadata
+        for pdf in iterator:
+            out, nrem, brem = [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    clean, n, b = strip_metadata(bytes(data), fmt)
+                except Exception:
+                    clean, n, b = bytes(data), 0, 0  # poison-row tolerance
+                out.append(clean); nrem.append(n); brem.append(b)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "bytes": out, "fmt": pdf["fmt"],
+                "n_removed": np.array(nrem, dtype=np.int32),
+                "bytes_removed": np.array(brem, dtype=np.int64),
+            })
+
+    return sel.mapInPandas(_scrub, schema=schema)

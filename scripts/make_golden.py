@@ -216,6 +216,57 @@ def make_images_meta(n: int = 512, seed: int = 99) -> None:
     print(f"images_meta: {len(rows)} rows")
 
 
+def make_image_metadata_scrub(n: int = 64, seed: int = 42,
+                              size: int = 16) -> None:
+    """Expected output of q_image_metadata_scrub, computed
+    ARITHMETICALLY from the container specs and the known injected
+    payload sizes — the scrubber code is never executed here, so the
+    oracle is independent of it:
+
+    - jpeg: APP1 (2 marker + 2 len + 6 'Exif\\0\\0' + p) and COM
+      (2 + 2 + p) segments removed → n=2, bytes = 14 + 2p
+    - png: one tEXt chunk (4 len + 4 tag + 8 'Comment\\0' + p + 4 crc)
+      → n=1, bytes = 20 + p
+    - webp: one RIFF EXIF chunk (8 header + p + odd-pad) → n=1
+    - avif: untouched → 0, 0
+
+    clean_len is the pre-injection encoded length (scrubbing must
+    restore the original bytes exactly), so restored=True and
+    pixels_unchanged=True everywhere.
+    """
+    from colly_spark.functions.images import synth_encode
+
+    cycle = ("png", "jpeg", "webp", "avif", "webp_lossy")
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        fmt, data, _ = synth_encode(px, cycle[i % len(cycle)])
+        p = len(f"GPS {i} 51.5074 -0.1278 CAM{i % 9}".encode())
+        if fmt == "jpeg":
+            n_removed, bytes_removed = 2, 14 + 2 * p
+        elif fmt == "png":
+            n_removed, bytes_removed = 1, 20 + p
+        elif fmt == "webp":
+            n_removed, bytes_removed = 1, 8 + p + (p & 1)
+        else:  # avif: injector and scrubber both pass through
+            n_removed, bytes_removed = 0, 0
+        rows.append(dict(image_id=f"img{i:08d}", fmt=fmt,
+                         n_removed=n_removed, bytes_removed=bytes_removed,
+                         clean_len=len(data), pixels_unchanged=True,
+                         restored=True))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("fmt", pa.string()),
+        ("n_removed", pa.int32()), ("bytes_removed", pa.int64()),
+        ("clean_len", pa.int64()), ("pixels_unchanged", pa.bool_()),
+        ("restored", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_metadata_scrub.parquet"))
+    print(f"image_metadata_scrub: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -223,3 +274,4 @@ if __name__ == "__main__":
     make_image_decode()
     make_image_phash()
     make_images_meta()
+    make_image_metadata_scrub()
