@@ -1437,6 +1437,59 @@ FROM r ORDER BY seq
 """
 
 
+def q_continuous_fetch(spark, sf_dir):
+    """Politeness + fetch as ONE continuous streaming query (no driver
+    loop): the stateful rate limiter's admissions flow straight into a
+    stream-static join against the fetch corpus
+    (streaming/ratelimit.run_rate_limited_fetch) — the north-star drain
+    shape for the no-feedback case.  Corpus is derived from documents
+    (status 404 when doc_id%13=0 else 200, body_len = length(text));
+    the oracle replays the closed-form window assignment plus the same
+    derivations."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.streaming.ratelimit import run_rate_limited_fetch
+
+    cfg = CrawlConfig(limit_rules=(
+        LimitRule(domain_glob="src1*.test", delay_ms=80, parallelism=1),
+        LimitRule(domain_glob="*", delay_ms=20, parallelism=1),
+    ))
+    f = _frontier(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    pending = f.select(
+        F.col("doc_id").cast("long").alias("seq"), "url",
+        F.regexp_extract("url", r"http://([^/]+)/", 1).alias("host"))
+    corpus = (_docs(spark, sf_dir)
+              .join(_frontier(spark, sf_dir).select("doc_id", "url"), "doc_id")
+              .select(
+                  "url",
+                  F.when(F.col("doc_id") % 13 == 0, F.lit(404))
+                  .otherwise(F.lit(200)).cast("int").alias("status"),
+                  F.length("text").cast("long").alias("body_len")))
+    out = run_rate_limited_fetch(spark, pending, corpus, cfg)
+    return (out.select("seq", "url", "host", "window_id",
+                       "status", "body_len").orderBy("seq"))
+
+
+_Q_CONT_FETCH_SQL = f"""
+WITH f AS ({_FRONTIER_SQL}),
+p AS (SELECT f.doc_id AS seq, f.url,
+             regexp_extract(f.url, 'http://([^/]+)/', 1) AS host,
+             d.text
+      FROM f JOIN documents d ON d.doc_id = f.doc_id
+      WHERE f.doc_id < 1000),
+r AS (SELECT seq, url, host, text,
+             CASE WHEN host LIKE 'src1%.test' THEN 10 ELSE 25 END AS quota,
+             row_number() OVER (PARTITION BY host ORDER BY seq) AS rn
+      FROM p)
+SELECT seq, url, host,
+       CAST(FLOOR((rn - 1) / quota) + 1 AS INT) AS window_id,
+       CAST(CASE WHEN seq % 13 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+       length(text)::BIGINT AS body_len
+FROM r ORDER BY seq
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the test split (FNV
     bucket >= 990, the same content-stable split as dataset_split) is
@@ -2252,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_window": q_streaming_events_window,
         "stateful_sessionize": q_stateful_sessionize,
         "stateful_rate_limit": q_stateful_rate_limit,
+        "continuous_fetch": q_continuous_fetch,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -2312,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_events_window": _Q_STREAM_WIN_SQL,
         "stateful_sessionize": _Q_SESSION_SQL,
         "stateful_rate_limit": _Q_RATE_LIMIT_SQL,
+        "continuous_fetch": _Q_CONT_FETCH_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,

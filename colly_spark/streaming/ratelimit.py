@@ -121,11 +121,12 @@ class RateLimitedDrain:
     """
 
     def __init__(self, spark, pending_df, cfg: CrawlConfig,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None, transform=None):
         from pyspark.sql import functions as F
 
         self.spark = spark
         self.cfg = cfg
+        self.transform = transform  # post-admission streaming stages
         self.total = pending_df.count()
         self.stage = tempfile.mkdtemp(prefix="colly_rl_src_")
         self.ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="colly_rlckpt_")
@@ -138,8 +139,11 @@ class RateLimitedDrain:
 
     def start(self):
         src = self.spark.readStream.schema(self.schema).parquet(self.stage)
+        admitted = rate_limited_stream(src, self.cfg)
+        if self.transform is not None:
+            admitted = self.transform(admitted)
         # exactly-once parquet sink: accumulates across query restarts
-        self.query = (rate_limited_stream(src, self.cfg)
+        self.query = (admitted
                       .writeStream.outputMode("append").format("parquet")
                       .option("path", self.out)
                       .option("checkpointLocation", self.ckpt)
@@ -199,4 +203,46 @@ def run_rate_limited_drain(spark, pending_df, cfg: CrawlConfig,
     if emitted < drain.total:
         raise RuntimeError(
             f"rate-limited drain incomplete: {emitted}/{drain.total}")
+    return drain.emitted()
+
+
+def run_rate_limited_fetch(spark, pending_df, corpus_df, cfg: CrawlConfig,
+                           checkpoint_dir: str | None = None,
+                           timeout_s: float = 600.0):
+    """Politeness + fetch as ONE continuous query — no driver loop:
+    the stateful limiter admits per-host quota slices per micro-batch,
+    and each slice flows straight into a stream-static join against
+    the (pre-partitioned, broadcastable) fetch corpus.  This is the
+    north-star drain shape for the no-feedback case (seed fetches /
+    depth-0 / sitemap pulls); the full link-feedback loop stays on the
+    foreachBatch drain, whose frontier UNION is inherently iterative.
+
+    ``corpus_df`` must carry a ``url`` column; all its other columns
+    ride along into the output (status, body metadata, ...).  Returns
+    the fetched rows with their politeness window stamps.
+
+    Scale shape: the join is stream-static and the static side is
+    explicitly broadcast-hinted — the right plan (per-batch admissions
+    are quota-bounded and tiny against any corpus) AND a correctness
+    requirement here: letting the streaming planner shuffle the static
+    parquet scan emits columnar batches straight into the row-based
+    shuffle serializer (ClassCastException ColumnarBatchRow →
+    UnsafeRow; streaming plans skip AQE's columnar transition fix-up).
+    For a corpus too big to broadcast, materialize it to rows first
+    (cache()/localCheckpoint()) exactly like the batch drain's
+    pre-partitioned cached corpus.  Admission stays O(quota)/host/batch
+    so no batch can exceed the politeness budget regardless of backlog
+    size.
+    """
+    from pyspark.sql import functions as F
+
+    drain = RateLimitedDrain(
+        spark, pending_df, cfg, checkpoint_dir,
+        transform=lambda admitted: admitted.join(
+            F.broadcast(corpus_df), "url", "left"))
+    drain.start()
+    emitted = drain.wait_drained(timeout_s=timeout_s)
+    if emitted < drain.total:
+        raise RuntimeError(
+            f"rate-limited fetch incomplete: {emitted}/{drain.total}")
     return drain.emitted()

@@ -94,3 +94,22 @@ def test_drain_raises_when_stalled(spark):
     drain.start()
     with pytest.raises(RuntimeError, match="stalled"):
         drain.wait_drained(timeout_s=0.0)
+
+
+def test_rate_limited_fetch_joins_corpus(spark):
+    """Politeness + stream-static fetch join as one continuous query:
+    every admitted row carries its corpus columns; window assignment
+    unchanged by the join stage."""
+    from colly_spark.streaming.ratelimit import run_rate_limited_fetch
+
+    pending = _pending(spark)
+    corpus = spark.createDataFrame(
+        [(f"http://a.test/{i}", 200 + (i % 2)) for i in range(7)]
+        + [(f"http://b.test/{i}", 404) for i in range(12)]
+        + [("http://ab.test/x", 301)], "url string, status int")
+    out = run_rate_limited_fetch(spark, pending, corpus, CFG).toPandas()
+    assert len(out) == 20
+    got = {r.url: (r.status, r.window_id) for r in out.itertuples()}
+    assert got["http://a.test/3"] == (201, 2)   # quota 2: rank 4 → window 2
+    assert got["http://b.test/11"] == (404, 3)  # quota 5: rank 12 → window 3
+    assert got["http://ab.test/x"] == (301, 1)
