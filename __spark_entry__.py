@@ -1559,6 +1559,110 @@ ORDER BY doc_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
+    add-alpha bigram LM on a trusted reference slice (here the
+    deterministic doc_id%5==0 bucket standing in for CCNet's
+    Wikipedia), score EVERY document by perplexity. Low ppl ≈ reads
+    like the reference; the ppl column is the head/middle/tail
+    bucketing key. Pure Catalyst end-to-end — explode + two groupBys
+    (train) + two equi-joins + one groupBy (score); operators/lm.py
+    documents the 100-TB shuffle shape."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.lm import lm_score_corpus
+
+    return lm_score_corpus(
+        _docs(spark, sf_dir), F.col("doc_id") % 5 == 0).orderBy("doc_id")
+
+
+_Q_LM_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        x -> lower(x)) AS t
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS hist,
+         t[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+cbi AS (SELECT hist, tok, count(*) AS c_bi
+        FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+ch AS (SELECT hist, sum(c_bi) AS c_h FROM cbi GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs FROM cbi),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(c.c_bi, 0) + 0.1)
+            / (coalesce(h.c_h, 0) + 0.1 * v.vs)) AS lp
+  FROM big b
+  LEFT JOIN cbi c ON b.hist = c.hist AND b.tok = c.tok
+  LEFT JOIN ch h ON b.hist = h.hist, v)
+SELECT doc_id, count(*) AS n_tokens, round(exp(-avg(lp)), 4) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_caption_dedup(spark, sf_dir):
+    """Duplicate-caption collapse over the image+caption table (the
+    LAION-style curation step: identical alt-text across many images
+    signals templated/spam pairs). Normalize (lower+trim+whitespace-
+    fold), keep the min image_id per caption group, report group size.
+    One groupBy on the normalized caption — uniform key, scan-speed at
+    any corpus size; bytes column never touched (pruned at scan)."""
+    from pyspark.sql import functions as F
+
+    imgs = spark.read.parquet(
+        os.path.join(_REPO, "golden", "images_meta.parquet"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("caption"))), r"\s+", " ")
+    return (imgs.select("image_id", norm.alias("caption_norm"))
+            .groupBy("caption_norm")
+            .agg(F.min("image_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .orderBy("keep_id"))
+
+
+_Q_CAPTION_DEDUP_SQL = f"""
+SELECT regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g') AS caption_norm,
+       min(image_id) AS keep_id, count(*) AS n_dups
+FROM '{_REPO}/golden/images_meta.parquet'
+GROUP BY 1 ORDER BY keep_id
+"""
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: rank every document
+    by FNV-64a(doc_id ‖ ':' ‖ seed) — a content-stable pseudo-random
+    total order that is reproducible across runs/engines (the property
+    a training job needs for resumable epochs). The rank is assigned
+    with the two-phase dense_seq (plans/util.py) — range-partition +
+    per-partition offsets — NOT a single-partition row_number window,
+    so the shuffle is a real distributed sort at 10^10 rows."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.plans.util import dense_seq
+
+    seed = 17
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        fnv64a_udf(F.concat(F.col("doc_id").cast("string"),
+                            F.lit(f":{seed}"))).alias("shuffle_key"))
+    ranked, _n = dense_seq(d, ["shuffle_key", "doc_id"], out_col="shuffle_rank")
+    return ranked.select("doc_id", "shuffle_key",
+                         F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
+def _q_global_shuffle_sql() -> str:
+    key = _fnv_signed("doc_id || ':17'")
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS shuffle_key FROM documents)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS shuffle_rank
+FROM k
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / intl phone → placeholder tokens)
     — pure Catalyst regexp_count/regexp_replace, map-side at scan
@@ -2298,6 +2402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "dup_span_removal": q_dup_span_removal,
         "bpe_token_stats": q_bpe_token_stats,
+        "lm_perplexity": q_lm_perplexity,
+        "caption_dedup": q_caption_dedup,
+        "global_shuffle": q_global_shuffle,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "curation_pipeline": q_curation_pipeline,
@@ -2359,6 +2466,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _Q_GOPHER_SQL,
         "dup_span_removal": _Q_DUP_SPAN_SQL,
         "bpe_token_stats": _Q_BPE_SQL,
+        "lm_perplexity": _Q_LM_PPL_SQL,
+        "caption_dedup": _Q_CAPTION_DEDUP_SQL,
+        "global_shuffle": _q_global_shuffle_sql(),
         "pii_scrub": _Q_PII_SQL,
         "decontaminate": _Q_DECONTAM_SQL,
         "curation_pipeline": _Q_CURATION_SQL,
