@@ -1490,6 +1490,67 @@ FROM r ORDER BY seq
 """
 
 
+def q_continuous_crawl(spark, sf_dir):
+    """The FULL crawl loop — seen-gate + politeness + fetch + link
+    feedback — as two coupled Structured Streaming queries with no
+    driver-side iteration (streaming/feedback.py).  The cycle
+    frontier → fetched → frontier closes through the filesystem; the
+    loop quiesces when the per-host seen-sets saturate.
+
+    Corpus: a deterministic link graph over the first 400 documents
+    (bounded identically at every SF so the streaming state stays
+    small): page d has status 404 when d%13=0 else 200 and links to
+    pages (2d+1)%400 and (3d+7)%400; seeds are docs 0-2.  Per-batch
+    timing changes which micro-batch a URL rides but never the final
+    fetched set — the politeness-independent, parse-gated reachability
+    closure of the seeds — which the oracle replays as a recursive
+    CTE."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.config import CrawlConfig, LimitRule
+    from colly_spark.streaming.feedback import run_continuous_crawl
+
+    M = 400
+    base = (_frontier(spark, sf_dir).filter(F.col("doc_id") < M)
+            .select("doc_id", "url"))
+    tgt = base.select(F.col("doc_id").alias("tid"), F.col("url").alias("turl"))
+    corpus = (base
+              .withColumn("status",
+                          F.when(F.col("doc_id") % 13 == 0, F.lit(404))
+                          .otherwise(F.lit(200)).cast("int"))
+              .withColumn("t", F.explode(F.array(
+                  (F.col("doc_id") * 2 + 1) % M,
+                  (F.col("doc_id") * 3 + 7) % M)))
+              .join(tgt, F.col("t") == F.col("tid"))
+              .groupBy("url", "status")
+              .agg(F.collect_list("turl").alias("links")))
+    seeds = base.filter(F.col("doc_id") < 3).select("url")
+    cfg = CrawlConfig(limit_rules=(
+        LimitRule(domain_glob="*", delay_ms=20, parallelism=1),))
+    fetched = run_continuous_crawl(spark, seeds, corpus, cfg)
+    return fetched.select("host", "url", "status").orderBy("url")
+
+
+_Q_CONT_CRAWL_SQL = """
+WITH RECURSIVE
+g AS (SELECT doc_id,
+             'http://' || source || '.test/doc/' || doc_id AS url,
+             CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+               AS status
+      FROM documents WHERE doc_id < 400),
+e AS (SELECT g.doc_id AS src, u.dst
+      FROM g, UNNEST([(g.doc_id*2+1)%400, (g.doc_id*3+7)%400]) AS u(dst)
+      WHERE g.status = 200),
+reach(doc_id) AS (
+  SELECT doc_id FROM g WHERE doc_id IN (0, 1, 2)
+  UNION
+  SELECT e.dst FROM reach r JOIN e ON e.src = r.doc_id)
+SELECT regexp_extract(g.url, 'http://([^/]+)/', 1) AS host, g.url, g.status
+FROM reach r JOIN g ON g.doc_id = r.doc_id
+ORDER BY url
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3-style benchmark decontamination: the test split (FNV
     bucket >= 990, the same content-stable split as dataset_split) is
@@ -2413,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessionize": q_stateful_sessionize,
         "stateful_rate_limit": q_stateful_rate_limit,
         "continuous_fetch": q_continuous_fetch,
+        "continuous_crawl": q_continuous_crawl,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
@@ -2477,6 +2539,7 @@ def oracle_sql() -> dict[str, str]:
         "stateful_sessionize": _Q_SESSION_SQL,
         "stateful_rate_limit": _Q_RATE_LIMIT_SQL,
         "continuous_fetch": _Q_CONT_FETCH_SQL,
+        "continuous_crawl": _Q_CONT_CRAWL_SQL,
         "events_rollup": _Q_EVENTS_SQL,
         "sessionize": _Q_SESSION_SQL,
         "hot_sources": _Q_HOT_SQL,
