@@ -2293,6 +2293,84 @@ def q_image_corpus_filter(spark, sf_dir):
     return image_corpus_filter(imgs)
 
 
+def q_caption_alignment(spark, sf_dir):
+    """CLIP-score-style image-text alignment admission (LAION-5B's
+    curation step) over the image+caption table: cosine of two 64-dim
+    ±1 embeddings — image = perceptual hash (input_hint column),
+    text = caption SimHash — via ONE bit_count(xor) expression, then a
+    threshold filter.  Deterministic model stand-in, real pipeline
+    shape: entirely map-side, binary column never scanned.  The oracle
+    replays the caption SimHash in HUGEINT bit arithmetic (same
+    machinery as the `simhash` oracle) and the cosine in
+    bit_count(xor)."""
+    from colly_spark.operators.multimodal import caption_alignment
+
+    imgs = spark.read.parquet(os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return caption_alignment(imgs, threshold=0.0).orderBy("image_id")
+
+
+_Q_CAPTION_ALIGN_SQL = rf"""
+WITH img AS (SELECT image_id, phash, trim(caption) AS tt
+             FROM '{_REPO}/golden/images_meta.parquet'),
+tok AS (SELECT image_id, unnest(string_split_regex(tt, '\s+')) AS tok
+        FROM img WHERE tt <> ''),
+h AS (SELECT image_id, CAST(({_FNV_SQL.format(col='tok')}) AS UBIGINT) AS hv
+      FROM tok),
+v AS (SELECT image_id, bit,
+             sum(CASE WHEN (hv >> CAST(bit AS UBIGINT)) & 1::UBIGINT = 1::UBIGINT
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY image_id, bit),
+s AS (SELECT image_id,
+             sum(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(bit AS INT))::HUGEINT
+                      ELSE 0::HUGEINT END) AS u
+      FROM v GROUP BY image_id),
+sim AS (SELECT img.image_id, img.phash, img.tt,
+               CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                         THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                         ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS csim
+        FROM img LEFT JOIN s USING (image_id)),
+sc AS (SELECT image_id,
+              CAST(CASE WHEN tt = '' THEN 0
+                   ELSE len(string_split_regex(tt, '\s+')) END AS INT)
+                AS n_caption_tokens,
+              round((64 - 2 * bit_count(xor(phash, csim))) / 64.0, 6)
+                AS align_score
+       FROM sim)
+SELECT image_id, n_caption_tokens, align_score,
+       (n_caption_tokens >= 1 AND align_score >= 0.0) AS aligned
+FROM sc ORDER BY image_id
+"""
+
+
+def q_cross_modal_dedup(spark, sf_dir):
+    """Cross-modal exact dedup: identical images (same phash) scraped
+    with different captions are folded to one row keeping the BEST
+    caption (most tokens, ties → lowest image_id) and the copy count.
+    One uniform-key window shuffle; binary column untouched."""
+    from colly_spark.operators.multimodal import cross_modal_dedup
+
+    imgs = spark.read.parquet(os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return cross_modal_dedup(imgs).orderBy("image_id")
+
+
+_Q_CROSS_MODAL_SQL = rf"""
+WITH base AS (
+  SELECT image_id, phash,
+         CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(caption), '\s+')) END AS INT)
+           AS n_caption_tokens
+  FROM '{_REPO}/golden/images_meta.parquet'),
+d AS (SELECT *, count(*) OVER (PARTITION BY phash) AS cnt,
+             row_number() OVER (PARTITION BY phash
+                                ORDER BY n_caption_tokens DESC, image_id)
+               AS rn
+      FROM base)
+SELECT image_id, phash, n_caption_tokens, CAST(cnt AS INT) AS n_dups
+FROM d WHERE rn = 1 ORDER BY image_id
+"""
+
+
 def q_aspect_buckets(spark, sf_dir):
     """SDXL-style aspect-ratio bucket assignment over the image table:
     nearest log-aspect ladder bucket + resize scale. Pure map-side
@@ -2487,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata_scrub": q_image_metadata_scrub,
         "phash_near_dup": q_phash_near_dup,
         "image_corpus_filter": q_image_corpus_filter,
+        "caption_alignment": q_caption_alignment,
+        "cross_modal_dedup": q_cross_modal_dedup,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2557,6 +2637,8 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata_scrub": _Q_IMAGE_SCRUB_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
+        "caption_alignment": _Q_CAPTION_ALIGN_SQL,
+        "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

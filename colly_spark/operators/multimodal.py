@@ -351,3 +351,67 @@ def scrub_metadata(df, id_col: str = "image_id", bytes_col: str = "bytes",
             })
 
     return sel.mapInPandas(_scrub, schema=schema)
+
+
+def caption_alignment(df, threshold: float = 0.0, id_col: str = "image_id",
+                      caption_col: str = "caption",
+                      phash_col: str = "phash"):
+    """CLIP-score-style image-text alignment scoring + admission over
+    the image+caption table — the LAION-5B curation step (Schuhmann et
+    al. 2022: drop pairs whose image/text embedding cosine falls below
+    a threshold).
+
+    The container ships no vision-language model, so the two
+    embeddings are deterministic 64-bit stand-ins with the REAL
+    pipeline shape: the image side is the perceptual hash already in
+    the input_hint schema, the text side is the SimHash of the caption
+    (operators/text_dedup.simhash_udf) — each packs a 64-dim ±1 vector
+    into an int64, so cosine(img, txt) = (64 - 2·hamming)/64 computed
+    by ONE bit_count(xor) Catalyst expression.  Swapping in a real
+    model touches only the two embedding columns; the score + threshold
+    admission below — the part that must survive 100 TB — is unchanged
+    and stays entirely map-side (no shuffle, binary column never read).
+
+    Returns (image_id, n_caption_tokens, align_score, aligned);
+    captionless rows score against hash 0 but are never admitted.
+    """
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_dedup import simhash_udf
+
+    ntok = caption_token_count_expr(F.col(caption_col))
+    ham = F.bit_count(
+        F.col(phash_col).bitwiseXOR(simhash_udf()(F.col(caption_col))))
+    score = F.round((F.lit(64) - 2 * ham) / F.lit(64.0), 6)
+    return df.select(
+        F.col(id_col).alias("image_id"),
+        ntok.alias("n_caption_tokens"),
+        score.alias("align_score"),
+        ((ntok >= 1) & (score >= F.lit(threshold))).alias("aligned"))
+
+
+def cross_modal_dedup(df, id_col: str = "image_id",
+                      caption_col: str = "caption",
+                      phash_col: str = "phash"):
+    """Cross-modal exact dedup: the same image scraped from many pages
+    arrives with many captions; training wants it once, with its BEST
+    caption.  Keep, per identical phash, the row with the most caption
+    tokens (ties → lowest image_id), carrying how many copies were
+    folded.  ONE window shuffle on phash — the key is uniform by
+    construction (it's a hash), so no salting is needed at corpus
+    scale; the binary column is never touched.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ntok = caption_token_count_expr(F.col(caption_col))
+    by_phash = Window.partitionBy("phash")
+    best_first = by_phash.orderBy(F.col("n_caption_tokens").desc(),
+                                  F.col("image_id"))
+    return (df.select(F.col(id_col).alias("image_id"),
+                      F.col(phash_col).alias("phash"),
+                      ntok.alias("n_caption_tokens"))
+            .withColumn("n_dups", F.count("*").over(by_phash).cast("int"))
+            .withColumn("_rn", F.row_number().over(best_first))
+            .filter(F.col("_rn") == 1)
+            .select("image_id", "phash", "n_caption_tokens", "n_dups"))
