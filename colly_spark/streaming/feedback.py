@@ -50,8 +50,10 @@ already forces that exchange.  Hot-domain skew therefore parks one
 host's backlog on one state partition, which is semantically required;
 emission stays O(quota)/host/trigger so no micro-batch can exceed the
 politeness budget.  At 10^10-URL scale the state store must be RocksDB
-(seen-sets exceed heap) and the corpus join a real fetch — the batch
-drain's Bloom + anti-join + executor-side commit remains the
+(seen-sets exceed heap) — one session conf away via
+streaming/statestore.py (provider-equality + engagement pinned by
+tests/test_rocksdb_state.py) — and the corpus join a real fetch; the
+batch drain's Bloom + anti-join + executor-side commit remains the
 production bulk path; this operator is the always-on form.
 """
 
