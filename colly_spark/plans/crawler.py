@@ -76,6 +76,22 @@ def _parquet_rows(path: str) -> int:
                for f in _glob.glob(os.path.join(path, "*.parquet")))
 
 
+def _dir_lineage(path: str) -> dict:
+    """Per-partition lineage of one committed state dir: each parquet
+    part file (one file = one write partition) with its footer row
+    count, plus the batch that produced the dir (second field of the
+    ``batch_NNNNNN_tag`` / ``compact_NNNNNN_LN`` naming scheme).
+    Driver-side pyarrow footer reads — no Spark job."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = {os.path.basename(f): pq.ParquetFile(f).metadata.num_rows
+             for f in sorted(_glob.glob(os.path.join(path, "*.parquet")))}
+    return {"batch": int(os.path.basename(path).split("_")[1]),
+            "rows": sum(files.values()), "files": files}
+
+
 def _schemas():
     from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
                                    IntegerType, LongType, StringType, StructField,
@@ -320,6 +336,18 @@ class CrawlHandles:
                         latest[r["c_name"]] = (r["c_batch"], r["c_value"])
         return {k: v for k, (_, v) in latest.items()}
 
+    def lineage(self) -> dict:
+        """Per-partition lineage of the committed state stores from the
+        manifest: {relative dir: {"batch", "rows", "files": {part_file:
+        rows}}} — which batch produced every live part file and what it
+        must contain. Driver-side JSON read; {} for a pre-lineage
+        state dir."""
+        man = os.path.join(os.path.dirname(self.out_dir), "MANIFEST.json")
+        if not os.path.exists(man):
+            return {}
+        with open(man) as f:
+            return json.load(f).get("lineage", {})
+
     def summary(self) -> str:
         """Collector.String() (colly.go:831-841) from the committed
         per-batch metrics."""
@@ -460,6 +488,11 @@ class Crawler:
         self.compact_major_bases = max(2, compact_major_bases)
         self._gc_dirs: list = []
         self._tmpl_ready: set = set()
+        # per-partition lineage cache: abs state-store dir →
+        # {"batch", "rows", "files": {part_file: rows}} — computed once
+        # per new delta/base at its committing batch, carried in the
+        # manifest, verified against footers on resume
+        self._lineage: dict = {}
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
         self.live = fetch_source
@@ -1306,13 +1339,30 @@ class Crawler:
         def rel(ps):
             return [os.path.relpath(p, self.state) for p in ps]
 
+        # per-partition lineage (north rule: "checkpoints ... with
+        # per-partition lineage + metrics"): every live state-store dir
+        # carries its producing batch + per-part-file row counts, so a
+        # resume can prove the bytes it loads are the bytes that were
+        # committed. Incremental: only dirs new since the last commit
+        # are footer-scanned; dropped (compacted-away) dirs leave the
+        # cache. Driver-side pyarrow reads — no Spark jobs.
+        live_paths = (self._visited_paths + self._cache_paths
+                      + self._cookie_paths + self._robots_paths)
+        for p in live_paths:
+            if p not in self._lineage:
+                self._lineage[p] = _dir_lineage(p)
+        keep = set(live_paths)
+        self._lineage = {p: v for p, v in self._lineage.items() if p in keep}
+        lineage = {os.path.relpath(p, self.state): v
+                   for p, v in self._lineage.items()}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch": batch, "next_seq": next_seq,
                        "stores": {"visited": rel(self._visited_paths),
                                   "cache": rel(self._cache_paths),
                                   "cookies": rel(self._cookie_paths),
-                                  "robots": rel(self._robots_paths)}}, f)
+                                  "robots": rel(self._robots_paths)},
+                       "lineage": lineage}, f)
         os.replace(tmp, self._manifest_path())
 
     def _load_resume(self):
@@ -1343,6 +1393,21 @@ class Crawler:
                 for d in _glob.glob(os.path.join(self.state, "out", store, "*")):
                     if os.path.isdir(d) and os.path.abspath(d) not in keep:
                         shutil.rmtree(d, ignore_errors=True)
+            # verify per-partition lineage: the committed manifest says
+            # exactly which part files each live dir must contain and
+            # how many rows each holds — footer-check them so a resume
+            # that would silently diverge (truncated copy, lost part
+            # file, foreign overwrite) fails loudly instead
+            for relp, want in man.get("lineage", {}).items():
+                absp = os.path.join(self.state, relp)
+                got = _dir_lineage(absp)
+                if got["files"] != want["files"]:
+                    raise RuntimeError(
+                        f"state lineage mismatch in {relp}: committed "
+                        f"{want['rows']} rows across "
+                        f"{len(want['files'])} part files, found "
+                        f"{got['rows']} across {len(got['files'])}")
+                self._lineage[absp] = want
             if self._lazy_robots and self._robots_paths:
                 self.robots = self.spark.read.parquet(*self._robots_paths)
         else:
