@@ -2371,6 +2371,33 @@ FROM d WHERE rn = 1 ORDER BY image_id
 """
 
 
+def q_warc_scan(spark, sf_dir):
+    """Distributed WARC ingest (sources/warc.py): parse the golden
+    .warc.gz / .warc fixture files (gzip member-per-record, the Common
+    Crawl layout) with whole-file parallelism and recover every
+    response record.  The oracle is ground truth: the parquet was
+    written straight from the generated record tuples BEFORE
+    serialization (scripts/make_golden.make_warc_fixture), so the
+    parser is checked against what the archive must contain, not
+    against itself."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, os.path.join(_REPO, "golden", "warc", "*.warc*"))
+    return (recs.filter(F.col("warc_type") == "response")
+            .select("url", "status", "content_type",
+                    F.length("body").cast("int").alias("body_len"),
+                    F.sha2(F.col("body"), 256).alias("body_sha256"))
+            .orderBy("url"))
+
+
+_Q_WARC_SCAN_SQL = f"""
+SELECT url, status, content_type, body_len, body_sha256
+FROM '{_REPO}/golden/warc_scan.parquet' ORDER BY url
+"""
+
+
 def q_aspect_buckets(spark, sf_dir):
     """SDXL-style aspect-ratio bucket assignment over the image table:
     nearest log-aspect ladder bucket + resize scale. Pure map-side
@@ -2567,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": q_image_corpus_filter,
         "caption_alignment": q_caption_alignment,
         "cross_modal_dedup": q_cross_modal_dedup,
+        "warc_scan": q_warc_scan,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2639,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
         "caption_alignment": _Q_CAPTION_ALIGN_SQL,
         "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
+        "warc_scan": _Q_WARC_SCAN_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

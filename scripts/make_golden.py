@@ -267,6 +267,63 @@ def make_image_metadata_scrub(n: int = 64, seed: int = 42,
     print(f"image_metadata_scrub: {len(rows)} rows")
 
 
+def make_warc_fixture() -> None:
+    """golden/warc/: 2 member-per-record .warc.gz files + 1 plain
+    .warc, plus warc_scan.parquet — the ground-truth record list
+    (written straight from the generated tuples, BEFORE serialization,
+    so the parquet pins what the distributed parser must recover).
+    Bodies exercise the framing traps: empty, CRLFCRLF inside the
+    payload, raw non-ASCII bytes."""
+    import hashlib
+    import random
+
+    from colly_spark.sources import warc as W
+
+    rng = random.Random(4242)
+    recs = []
+    for i in range(40):
+        url = f"http://w{i % 5:02d}.test/doc/{i:03d}"
+        date = f"2026-01-{(i % 27) + 1:02d}T{i % 10:02d}:00:00Z"
+        status = [200, 200, 200, 301, 404, 500][i % 6]
+        ctype = ["text/html; charset=utf-8", "application/json",
+                 "image/png"][i % 3]
+        if i % 7 == 0:
+            body = b""
+        elif i % 7 == 1:
+            body = b"part1\r\n\r\npart2-" + bytes([i])  # CRLFCRLF inside
+        else:
+            body = (f"<html><body>doc {i} ".encode()
+                    + bytes(rng.randrange(256) for _ in range(
+                        rng.randrange(10, 200))))
+        recs.append((url, date, status, ctype, body))
+
+    wdir = os.path.join(GOLDEN, "warc")
+    os.makedirs(wdir, exist_ok=True)
+    for fname, chunk in (("part-00000.warc.gz", recs[:15]),
+                         ("part-00001.warc.gz", recs[15:30])):
+        blob = W.gzip_member(W.build_warcinfo("2026-01-01T00:00:00Z"))
+        blob += b"".join(W.gzip_member(W.build_response_record(*r))
+                         for r in chunk)
+        with open(os.path.join(wdir, fname), "wb") as f:
+            f.write(blob)
+    plain = (W.build_warcinfo("2026-01-01T00:00:00Z")
+             + b"".join(W.build_response_record(*r) for r in recs[30:]))
+    with open(os.path.join(wdir, "part-00002.warc"), "wb") as f:
+        f.write(plain)
+
+    rows = [dict(url=u, status=s, content_type=c, body_len=len(b),
+                 body_sha256=hashlib.sha256(b).hexdigest())
+            for (u, d, s, c, b) in recs]
+    schema = pa.schema([("url", pa.string()), ("status", pa.int32()),
+                        ("content_type", pa.string()),
+                        ("body_len", pa.int32()),
+                        ("body_sha256", pa.string())])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "warc_scan.parquet"))
+    print(f"warc fixture: {len(recs)} records across 3 files")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -275,3 +332,4 @@ if __name__ == "__main__":
     make_image_phash()
     make_images_meta()
     make_image_metadata_scrub()
+    make_warc_fixture()
