@@ -2371,6 +2371,51 @@ FROM d WHERE rn = 1 ORDER BY image_id
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (seeded IVF quantizer, constants inlined in both engines), then
+    within each cluster drop every vector with a lower-id cluster-mate
+    at cosine ≥ 0.25 (keep-first). The cluster-then-prune shape is the
+    LAION-5B-scale semantic dedup the LSH path can't express at low
+    thresholds. Returns survivors (vec_id, cell)."""
+    from colly_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup(emb, threshold=0.25, nlist=16).orderBy("vec_id")
+
+
+def _semdedup_sql(threshold: float = 0.25, nlist: int = 16,
+                  dim: int = 64, seed: int = 7) -> str:
+    from colly_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, nlist, seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in cents[j]))
+        for j in range(nlist))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH cents(j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.j, {dot.format(a='v', b='pv')} AS d
+      FROM e CROSS JOIN cents c),
+ranked AS (SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, j) AS rn
+           FROM d),
+m AS (SELECT e.vec_id AS id, v, j AS cell
+      FROM e JOIN ranked ON ranked.vec_id = e.vec_id AND rn = 1),
+dropped AS (SELECT DISTINCT a.id
+            FROM m a JOIN m b ON a.cell = b.cell AND b.id < a.id
+            WHERE round({dot.format(a='a.v', b='b.v')}
+                    / (sqrt({dot.format(a='a.v', b='a.v')})
+                       * sqrt({dot.format(a='b.v', b='b.v')})), 6)
+                  >= {threshold})
+SELECT id AS vec_id, CAST(cell AS INT) AS cell
+FROM m ANTI JOIN dropped USING (id) ORDER BY vec_id
+"""
+
+
 def q_warc_scan(spark, sf_dir):
     """Distributed WARC ingest (sources/warc.py): parse the golden
     .warc.gz / .warc fixture files (gzip member-per-record, the Common
@@ -2595,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_alignment": q_caption_alignment,
         "cross_modal_dedup": q_cross_modal_dedup,
         "warc_scan": q_warc_scan,
+        "semdedup": q_semdedup,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2668,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_alignment": _Q_CAPTION_ALIGN_SQL,
         "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
         "warc_scan": _Q_WARC_SCAN_SQL,
+        "semdedup": _semdedup_sql(),
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

@@ -495,3 +495,56 @@ def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def semdedup(emb_df, threshold: float, nlist: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, seed: int = 7, assign: str = "catalyst",
+             centroids: np.ndarray = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    pruning. Cluster the embeddings with the IVF coarse quantizer
+    (offline-trained ``centroids`` in production, the seeded harness
+    quantizer for the oracle), then inside each cluster drop every
+    point whose cosine to a LOWER-id cluster-mate is ≥ ``threshold``
+    (keep-first — the same deterministic survivor rule as
+    ``embedding_near_dup_pairs``' dedup policy and ``exact_dedup``).
+    Returns the survivors as (id_col, cell).
+
+    This is the missing middle between exact dedup (cos = 1) and the
+    LSH near-dup path: LSH buckets catch near-IDENTICAL vectors (tiny
+    Hamming radius), while SemDeDup's clusters catch semantic
+    redundancy at much lower thresholds (paper: 0.7-0.95 on LAION),
+    where sign-LSH recall collapses because far-apart-but-similar
+    pairs straddle bucket boundaries.
+
+    Scale shape (the paper runs this at LAION-5B scale): cell
+    assignment is one map-side pass (broadcast matmul under
+    ``assign="vectorized"``); the only shuffle is the equi-join on
+    ``cell``; the within-cluster comparison is all-pairs BY DESIGN but
+    bounded by cluster size ~ n/nlist (nlist ≈ √n keeps every cluster
+    ~√n rows — the paper's tractability argument). A degenerate fat
+    cluster is the skew risk; production mitigations are more
+    centroids or recursive re-clustering of oversized cells — the same
+    cap-and-report discipline as minhash_lsh's oversized_buckets.
+    ``assign="catalyst"`` inlines centroid literals (bit-exact DuckDB
+    oracling, toy nlist only); ``assign="vectorized"`` broadcasts the
+    matrix (production nlist)."""
+    from pyspark.sql import functions as F
+
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, nlist, seed)
+    cell_of = ivf_cell_vec if assign == "vectorized" else ivf_cell_expr
+    base = (emb_df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+            .withColumn("cell", cell_of(cents, F.col("v"))))
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
+    dropped = (a.join(b, "cell")
+               .where(F.col("b") < F.col("a"))
+               .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                      >= F.lit(threshold))
+               .select(F.col("a").alias("id")).distinct())
+    return (base.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col),
+                    F.col("cell").cast("int").alias("cell")))

@@ -1,0 +1,78 @@
+"""SemDeDup (operators/similarity.semdedup): k-means clusters +
+within-cluster cosine pruning, keep-lowest-id.
+
+Pins:
+- planted near-dup groups INSIDE one cluster collapse to their lowest
+  id; cross-cluster near-dups are (by design) not compared;
+- survivors match a brute-force numpy replica of the exact rule;
+- the vectorized (broadcast-matmul) assignment path returns the
+  identical survivor set as the literal-Catalyst path.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from colly_spark.operators.similarity import ivf_centroids, semdedup
+
+DIM, NLIST, SEED = 8, 4, 7
+
+
+def _mk(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute(vecs, cents, threshold):
+    v = np.asarray(vecs, dtype=np.float64)
+    cells = np.argmax(v @ cents.T, axis=1)
+    n = len(vecs)
+    cos = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None]
+                       * np.linalg.norm(v, axis=1)[None, :])
+    kept = []
+    for i in range(n):
+        dup = any(cells[j] == cells[i] and round(cos[i, j], 6) >= threshold
+                  for j in range(i))
+        if not dup:
+            kept.append((i, int(cells[i])))
+    return set(kept)
+
+
+def test_planted_groups_collapse(spark):
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, DIM))
+    vecs = []
+    for b in base:
+        vecs.append(b)                      # group leader
+        vecs.append(b + 0.01 * rng.standard_normal(DIM))  # near-dup
+        vecs.append(b + 0.02 * rng.standard_normal(DIM))  # near-dup
+    got = {(r.vec_id, r.cell)
+           for r in semdedup(_mk(spark, vecs), threshold=0.95, nlist=NLIST,
+                             dim=DIM, seed=SEED).collect()}
+    expected = _brute(vecs, cents, 0.95)
+    assert got == expected
+    # every planted triple shares a cell, so exactly the leaders survive
+    assert {i for i, _ in got} == {0, 3, 6, 9, 12, 15}
+
+
+def test_matches_brute_force_random(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, DIM))
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    for thr in (0.5, 0.8):
+        got = {(r.vec_id, r.cell)
+               for r in semdedup(_mk(spark, vecs), threshold=thr,
+                                 nlist=NLIST, dim=DIM, seed=SEED).collect()}
+        assert got == _brute(vecs, cents, thr), thr
+
+
+def test_vectorized_assignment_equals_catalyst(spark):
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((80, DIM))
+    df = _mk(spark, vecs)
+    lit = semdedup(df, threshold=0.6, nlist=NLIST, dim=DIM, seed=SEED,
+                   assign="catalyst")
+    vec = semdedup(df, threshold=0.6, nlist=NLIST, dim=DIM, seed=SEED,
+                   assign="vectorized")
+    assert ({tuple(r) for r in lit.collect()}
+            == {tuple(r) for r in vec.collect()})
