@@ -1664,6 +1664,69 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): importance-resample the
+    corpus toward the lang='en' target slice — hashed unigram+bigram
+    bucket models p̂/q̂, per-doc Σ log(p̂/q̂), deterministic Gumbel
+    top-k. Tiny broadcast log-ratio table + one groupBy(doc) + a
+    TakeOrderedAndProject top-k; operators/dsir.py documents the
+    100-TB shuffle shape and the DECIMAL float discipline that makes
+    the rank key engine-exact."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.dsir import dsir_select
+
+    d = _docs(spark, sf_dir).withColumn("is_t", F.col("lang") == "en")
+    return dsir_select(d, "is_t", k=100).orderBy("rank")
+
+
+def _dsir_sql(k: int = 100, buckets: int = 1024, alpha: float = 0.1,
+              seed: int = 17) -> str:
+    from colly_spark.operators.dsir import GUMBEL_MOD
+
+    m = GUMBEL_MOD
+    fnv_g = _fnv_signed("gram")
+    fnv_id = _fnv_signed(f"CAST(doc_id AS VARCHAR) || ':gumbel:{seed}'")
+    return rf"""
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+                  list_transform(string_split_regex(trim(text), '\s+'),
+                                 x -> lower(x)) AS tk
+           FROM documents),
+g AS (SELECT doc_id, is_t, tk[i] AS gram
+      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, is_t, tk[i] || ' ' || tk[i + 1] AS gram
+      FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+b AS (SELECT doc_id, is_t,
+             ((({fnv_g}) % {buckets}) + {buckets}) % {buckets} AS bkt
+      FROM g),
+cq AS (SELECT bkt, count(*) AS c_q FROM b GROUP BY 1),
+cp AS (SELECT bkt, count(*) AS c_p FROM b WHERE is_t GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_q) FROM cq) AS nq,
+               (SELECT coalesce(sum(c_p), 0) FROM cp) AS np),
+lr AS (SELECT cq.bkt,
+              round(ln(((coalesce(c_p, 0) + {alpha}) / (np + {alpha} * {buckets}))
+                       / ((c_q + {alpha}) / (nq + {alpha} * {buckets}))),
+                    9)::DECIMAL(24,10) AS lr
+       FROM cq LEFT JOIN cp USING (bkt), tot),
+w AS (SELECT doc_id, count(*)::BIGINT AS n_grams, sum(lr) AS logw_dec
+      FROM b JOIN lr USING (bkt) GROUP BY 1),
+gm AS (SELECT doc_id,
+              round(-ln(-ln((((({fnv_id}) % {m}) + {m}) % {m} + 0.5)
+                            / {float(m)})), 9)::DECIMAL(24,10) AS gk
+       FROM documents),
+key AS (SELECT w.doc_id, n_grams, logw_dec, logw_dec + gk AS key_dec
+        FROM w JOIN gm USING (doc_id))
+SELECT doc_id, n_grams,
+       CAST(logw_dec AS DOUBLE) AS logw,
+       CAST(key_dec AS DOUBLE) AS gumbel_key,
+       CAST(row_number() OVER (ORDER BY key_dec DESC, doc_id) AS INT) AS rank
+FROM key
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -2641,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_dedup": q_cross_modal_dedup,
         "warc_scan": q_warc_scan,
         "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2715,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
         "warc_scan": _Q_WARC_SCAN_SQL,
         "semdedup": _semdedup_sql(),
+        "dsir_select": _dsir_sql(),
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
