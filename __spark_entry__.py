@@ -1620,6 +1620,44 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): the
+    corpus collapses to a distinct-word count table, then 40 rounds of
+    pair-count → argmax → merge, each round one explode+groupBy plus a
+    1-row TakeOrderedAndProject (the only driver traffic — inherent to
+    the algorithm's sequential dependency). operators/bpe.py documents
+    the 100-TB shape. Golden-oracled against the independent pure-
+    Python reference (oracle/bpe_ref.py) at sf0.01."""
+    from colly_spark.operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir), n_merges=40,
+                     min_count=2).orderBy("rank")
+
+
+_Q_BPE_TRAIN_SQL = f"""
+SELECT rank, lhs, rhs, merged, pair_count
+FROM '{_REPO}/golden/bpe_merges.parquet' ORDER BY rank
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Encode every document with the merges `bpe_train` just learned
+    (train → broadcast the ≤40-row merge table into an Arrow UDF →
+    map-side encode with a per-batch word cache). Returns per-doc
+    learned-BPE token counts. Golden-oracled at sf0.01."""
+    from colly_spark.operators.bpe import encode_with_merges, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=40, min_count=2).collect()
+    return encode_with_merges(docs, merges).orderBy("doc_id")
+
+
+_Q_BPE_ENCODE_SQL = f"""
+SELECT doc_id, n_bpe_tokens, n_distinct_symbols
+FROM '{_REPO}/golden/bpe_encode.parquet' ORDER BY doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
     add-alpha bigram LM on a trusted reference slice (here the
@@ -2705,6 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": q_warc_scan,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2780,6 +2820,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_scan": _Q_WARC_SCAN_SQL,
         "semdedup": _semdedup_sql(),
         "dsir_select": _dsir_sql(),
+        "bpe_train": _Q_BPE_TRAIN_SQL,
+        "bpe_encode": _Q_BPE_ENCODE_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

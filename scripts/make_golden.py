@@ -324,6 +324,45 @@ def make_warc_fixture() -> None:
     print(f"warc fixture: {len(recs)} records across 3 files")
 
 
+def make_bpe() -> None:
+    """bpe_merges.parquet + bpe_encode.parquet: expected output of
+    `bpe_train` (40 merges, min_count=2) and `bpe_encode` over the
+    sf0.01 documents table, computed by the independent pure-Python
+    reference (oracle/bpe_ref.py) — BPE's iterate-argmax-rewrite loop
+    is not one SQL statement, so the golden discipline applies. The
+    driver's correctness gate runs at sf0.01; tests cover other
+    inputs via the same replica."""
+    import duckdb
+
+    from colly_spark.oracle import bpe_ref
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+    texts = [t for _i, t in rows]
+    merges = bpe_ref.train(texts, n_merges=40, min_count=2)
+    mt = pa.Table.from_pandas(
+        pd.DataFrame(merges,
+                     columns=["rank", "lhs", "rhs", "merged", "pair_count"]),
+        schema=pa.schema([("rank", pa.int32()), ("lhs", pa.string()),
+                          ("rhs", pa.string()), ("merged", pa.string()),
+                          ("pair_count", pa.int64())]),
+        preserve_index=False)
+    pq.write_table(mt, os.path.join(GOLDEN, "bpe_merges.parquet"))
+
+    enc = bpe_ref.encode_texts(texts, merges)
+    et = pa.Table.from_pandas(
+        pd.DataFrame([(i, n, d) for (i, _t), (n, d) in zip(rows, enc)],
+                     columns=["doc_id", "n_bpe_tokens",
+                              "n_distinct_symbols"]),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_bpe_tokens", pa.int64()),
+                          ("n_distinct_symbols", pa.int64())]),
+        preserve_index=False)
+    pq.write_table(et, os.path.join(GOLDEN, "bpe_encode.parquet"))
+    print(f"bpe: {len(merges)} merges, {len(enc)} encoded docs")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -333,3 +372,4 @@ if __name__ == "__main__":
     make_images_meta()
     make_image_metadata_scrub()
     make_warc_fixture()
+    make_bpe()
