@@ -1765,6 +1765,49 @@ ORDER BY rank
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Frontier-prioritization PageRank (Page et al. 1999) over a
+    deterministic link graph derived from the documents table
+    (i → 2i+1 mod N, 3i+7 mod N, and hub i mod 97; every 17th doc is
+    dangling): 8 power-iteration rounds, each one edge join + one
+    groupBy(dst), DECIMAL-exact contributions so the vector is
+    bit-equal to the oracle's unrolled recurrence. operators/graph.py
+    documents the 10^10-edge shuffle shape (AQE skew-join on hubs,
+    O(1) lineage via per-round localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    base = docs.filter(F.col("doc_id") % 17 != 0)
+    i = F.col("doc_id")
+    e = (base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+         .union(base.select(i.alias("src"), ((i * 3 + 7) % n).alias("dst")))
+         .union(base.select(i.alias("src"), (i % 97).alias("dst"))))
+    return (pagerank(e, n_iter=8)
+            .select(F.col("node").alias("doc_id"), "pr")
+            .orderBy("doc_id"))
+
+
+def _pagerank_sql() -> str:
+    from colly_spark.operators.graph import pagerank_sql
+
+    edges = """n0 AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % n AS dst
+  FROM documents, n0 WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n FROM documents, n0
+  WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id, doc_id % 97 FROM documents, n0
+  WHERE doc_id % 17 <> 0))"""
+    sql = pagerank_sql(edges, n_iter=8)
+    return sql.replace("SELECT node, CAST(p AS DOUBLE) AS pr",
+                       "SELECT node AS doc_id, CAST(p AS DOUBLE) AS pr")
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -2745,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "pagerank": q_pagerank,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2822,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "bpe_train": _Q_BPE_TRAIN_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
+        "pagerank": _pagerank_sql(),
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
