@@ -1808,6 +1808,36 @@ e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                        "SELECT node AS doc_id, CAST(p AS DOUBLE) AS pr")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality filter (the GPT-3 §A / fastText shape):
+    logistic regression TRAINED distributedly over hashed
+    unigram+bigram frequency features (label: lang='en'), then every
+    document scored by σ(w·x). 5 full-batch GD rounds, each two
+    shuffles (margin groupBy(doc), gradient groupBy(bucket)) with the
+    ≤64-row weight vector broadcast; DECIMAL-exact sums make weights
+    and scores bit-equal to the oracle's unrolled recurrence
+    (operators/classifier.py documents the 100-TB shape)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.classifier import quality_classifier
+
+    d = _docs(spark, sf_dir).withColumn("is_t", F.col("lang") == "en")
+    return quality_classifier(d, "is_t").orderBy("doc_id")
+
+
+def _quality_classifier_sql() -> str:
+    from colly_spark.operators.classifier import (DEFAULT_BUCKETS,
+                                                  classifier_sql)
+
+    b = DEFAULT_BUCKETS
+    docs = (r"t AS MATERIALIZED (SELECT doc_id AS id, "
+            r"CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+            r"list_transform(string_split_regex(trim(text), '\s+'), "
+            r"x -> lower(x)) AS tk FROM documents)")
+    bkt = f"((({_fnv_signed('gram')}) % {b}) + {b}) % {b}"
+    return classifier_sql(docs, bkt)
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -2789,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "pagerank": q_pagerank,
+        "quality_classifier": q_quality_classifier,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2867,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _Q_BPE_TRAIN_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "pagerank": _pagerank_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

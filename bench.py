@@ -71,8 +71,10 @@ QUERY_SKIP = {"crawl_trace", "crawl_events"}
 # minutes-long fixpoints timed ONCE: their wall time is dominated by
 # the quiescence-detection protocol (~16 idle engine ticks), not by
 # data volume, so repeats buy no precision — continuous_crawl runs the
-# two-query streaming feedback loop to convergence
-QUERY_ONCE = {"continuous_crawl"}
+# two-query streaming feedback loop to convergence. The BPE pair are
+# likewise bound by 40 sequential argmax rounds of fixed job latency
+# (bpe_encode re-trains to get its merges), not by corpus size.
+QUERY_ONCE = {"continuous_crawl", "bpe_train", "bpe_encode"}
 
 
 def bench_query_names(qs) -> list:

@@ -1,0 +1,109 @@
+"""Quality-classifier training (operators/classifier.py) vs an
+independent numpy replica of the exact DECIMAL-rounded recurrence,
+plus a learning check on a separable corpus.
+
+Pins:
+- per-doc (label, score, predicted) equality with the replica;
+- a linearly separable corpus trains to accuracy 1.0 (the operator
+  actually LEARNS, not just runs);
+- determinism across runs.
+"""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from colly_spark.functions.urlnorm import fnv64a_bytes
+from colly_spark.operators.classifier import quality_classifier
+
+B = 64
+_Q12 = Decimal("1e-12")
+
+
+def _r12(x: float) -> Decimal:
+    # Spark round(double, 12): HALF_UP on the shortest decimal repr
+    return Decimal(repr(float(x))).quantize(_Q12, rounding=ROUND_HALF_UP)
+
+
+SEP = [  # separable: spam vocabulary vs prose vocabulary
+    (0, "buy spam click now buy spam", 0),
+    (1, "click buy now spam click buy now", 0),
+    (2, "spam now click buy spam now", 0),
+    (3, "good clean prose reads well today", 1),
+    (4, "clean prose flows well good reads", 1),
+    (5, "prose reads good clean flows today", 1),
+    (6, "buy now spam click spam", 0),
+    (7, "well good prose clean reads", 1),
+]
+
+
+def _feats(rows):
+    out = []
+    for i, t, y in rows:
+        toks = [w.lower() for w in t.split()] or [""]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        cnt = {}
+        for g in grams:
+            cnt[fnv64a_bytes(g.encode()) % B] = \
+                cnt.get(fnv64a_bytes(g.encode()) % B, 0) + 1
+        out.append((i, float(y),
+                    {b: c / len(grams) for b, c in cnt.items()}))
+    return out
+
+
+def _replica(rows, n_iter, lr):
+    feats = _feats(rows)
+    n = len(feats)
+    w = {}
+    for _ in range(n_iter):
+        resid = {}
+        for i, y, x in feats:
+            m = sum((_r12(xb * float(w.get(b, Decimal(0))))
+                     for b, xb in x.items()), Decimal(0))
+            resid[i] = float(_r12(y - 1.0 / (1.0 + np.exp(-float(m)))))
+        grad = {}
+        for i, _y, x in feats:
+            for b, xb in x.items():
+                grad[b] = grad.get(b, Decimal(0)) + _r12(xb * resid[i])
+        w = {b: _r12(float(w.get(b, Decimal(0)))
+                     + (lr / n) * float(grad.get(b, Decimal(0))))
+             for b in set(w) | set(grad)}
+    out = {}
+    for i, y, x in feats:
+        m = sum((_r12(xb * float(w.get(b, Decimal(0))))
+                 for b, xb in x.items()), Decimal(0))
+        s = round(1.0 / (1.0 + np.exp(-float(m))), 6)
+        out[i] = (y > 0.5, s, s > 0.5)
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, bool(y)) for i, t, y in rows],
+        "doc_id long, text string, is_t boolean")
+
+
+def test_matches_replica(spark):
+    got = {r.doc_id: (r.label, r.score, r.predicted)
+           for r in quality_classifier(_df(spark, SEP), "is_t",
+                                       n_iter=4, lr=150.0).collect()}
+    assert got == _replica(SEP, 4, 150.0)
+
+
+def test_learns_separable_corpus(spark):
+    res = quality_classifier(_df(spark, SEP), "is_t",
+                             n_iter=10, lr=200.0).collect()
+    assert all(r.predicted == r.label for r in res)
+    # and scores actually separate
+    pos = min(r.score for r in res if r.label)
+    neg = max(r.score for r in res if not r.label)
+    assert pos > 0.5 > neg
+
+
+def test_deterministic(spark):
+    df = _df(spark, SEP)
+    a = sorted(tuple(r) for r in
+               quality_classifier(df, "is_t", n_iter=3).collect())
+    b = sorted(tuple(r) for r in
+               quality_classifier(df, "is_t", n_iter=3).collect())
+    assert a == b
