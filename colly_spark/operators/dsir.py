@@ -135,9 +135,14 @@ def dsir_select(docs, target_col: str, k: int = 100,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # one Arrow FNV pass: the bucketed gram stream feeds THREE
+    # consumers (q̂ fit, p̂ fit, per-doc scoring) — localCheckpoint so
+    # Catalyst doesn't re-run the hash UDF per consumer (at 10^11-gram
+    # scale swap for persist(MEMORY_AND_DISK) or recompute; the
+    # trade-off is one hash pass vs the gram stream's footprint)
     g = _bucketed(
         gram_stream(docs, id_col, text_col, extra_cols=(target_col,)),
-        buckets)
+        buckets).localCheckpoint()
     lr = log_ratio_table(g, target_col, buckets, alpha)
     w = (g.join(F.broadcast(lr), "bkt")
          .groupBy("id")
