@@ -58,14 +58,25 @@ def quota_udf(cfg: CrawlConfig):
     return _udf
 
 
-def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_now"):
+def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_now",
+                        priority_col: str | None = None):
     """Append ``flag_col``: True = within this batch's per-domain FIFO
     quota. One window shuffle by host; the crawler fuses this into the
-    admission checkpoint so the quota decision costs no extra job."""
+    admission checkpoint so the quota decision costs no extra job.
+
+    ``priority_col``: optional frontier-prioritization seam (the
+    PageRank/OPIC scheduling family, operators/graph.py) — when set,
+    each domain's quota admits its HIGHEST-priority pending URLs
+    first (NULLs last, seq as the tie-break), instead of strict FIFO.
+    Reference parity holds for the default: the reference queue is
+    FIFO-only (queue/queue.go), so priority is opt-in and absent
+    priorities degrade to exact FIFO."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("host").orderBy("seq")
+    order = [F.col(priority_col).desc_nulls_last(), F.col("seq").asc()] \
+        if priority_col else [F.col("seq").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
     return pending_df.withColumn(
         flag_col, F.row_number().over(w) <= quota_udf(cfg)(F.col("host")))
 

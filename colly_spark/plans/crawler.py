@@ -435,7 +435,8 @@ class Crawler:
                  bloom_threshold_rows: int = 20_000_000,
                  fetch_source=None,
                  compact_every: int = 16,
-                 compact_major_bases: int = 8):
+                 compact_major_bases: int = 8,
+                 priority_df=None):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
         see plans/util.to_spark_corpus.
 
@@ -480,7 +481,18 @@ class Crawler:
         expire_snapshots, compaction expires pre-compaction time-travel
         reads of the STATE stores (as_of older than a base's fold
         point); the sink stores (trace/errors/images) are never
-        compacted and keep full history."""
+        compacted and keep full history.
+
+        ``priority_df``: optional frontier prioritization — a
+        (url_hash, priority) DataFrame (e.g. PageRank scores,
+        operators/graph.py); each domain's politeness quota then
+        admits its highest-priority pending URLs first (NULLs last,
+        FIFO tie-break) instead of strict FIFO. Opt-in: the default
+        preserves the reference's FIFO queue semantics exactly
+        (queue/queue.go), which is what the parity suite pins. The
+        join is broadcast below the auto-broadcast threshold and a
+        hash join on url_hash above it (score tables pre-partition by
+        the same key at 10^10-frontier scale)."""
         self.spark = spark
         self.cfg = cfg
         self.state = state_dir
@@ -496,6 +508,7 @@ class Crawler:
         os.makedirs(state_dir, exist_ok=True)
         self.sch = _schemas()
         self.live = fetch_source
+        self.priority = priority_df
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from pyspark.sql import functions as F
         if self.live is None:
@@ -902,7 +915,19 @@ class Crawler:
             "url_hash", F.lit(False).alias("needs_mark"), "referer", "ctx",
             "tries", F.lit(False).alias("_new")))
         if self.cfg.limit_rules:
-            pool = politeness.with_fetch_now_flag(pool, self.cfg)
+            if self.priority is not None:
+                # opt-in priority scheduling: quota admits highest
+                # scores first (NULL = unscored = after scored, FIFO
+                # tie-break); the score column never enters the
+                # checkpoint schema
+                pool = pool.join(
+                    self.priority.select("url_hash",
+                                         F.col("priority").alias("_prio")),
+                    "url_hash", "left")
+                pool = politeness.with_fetch_now_flag(
+                    pool, self.cfg, priority_col="_prio").drop("_prio")
+            else:
+                pool = politeness.with_fetch_now_flag(pool, self.cfg)
         else:
             pool = pool.withColumn("_fetch_now", F.lit(True))
         # one checkpoint for every output: union on a widened schema,
