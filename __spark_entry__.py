@@ -2347,6 +2347,46 @@ def q_crawl_events(spark, sf_dir):
     return out.orderBy("batch", "seq", "event_type", "url", "status", "kind")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio curation features over an opaque-binary WAV column:
+    synthesize 60 deterministic PCM16 WAVs distributed (real
+    from-scratch RIFF codec, functions/audio.py), extract duration/
+    RMS/peak/ZCR via one mapInPandas pass — map-side only, poison-
+    tolerant. Golden-oracled: expectations computed from the raw
+    samples WITHOUT the WAV container, so the round-trip is pinned."""
+    from colly_spark.operators.av import audio_features, synthesize_audio
+
+    return (audio_features(synthesize_audio(spark, 60))
+            .orderBy("audio_id"))
+
+
+_Q_AUDIO_SQL = f"""
+SELECT audio_id, rate, channels, n_frames, duration_ms, rms, peak, zcr,
+       decode_ok
+FROM '{_REPO}/golden/audio_features.parquet' ORDER BY audio_id
+"""
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling over an opaque-binary MJPEG-AVI column:
+    synthesize 24 deterministic containers (frames JPEG-encoded by the
+    from-scratch T.81 codec, packed by the from-scratch RIFF writer,
+    functions/avi.py), then sample every 2nd frame → decode → phash
+    inside one mapInPandas pass (the full frame set is never
+    materialized as a column). Golden-oracled via a plain-Python
+    replica that never runs the container code path's Spark side."""
+    from colly_spark.operators.av import synthesize_videos, video_frame_sample
+
+    return (video_frame_sample(synthesize_videos(spark, 24), every=2)
+            .orderBy("video_id", "frame_idx"))
+
+
+_Q_VIDEO_SQL = f"""
+SELECT video_id, frame_idx, w, h, phash, decode_ok
+FROM '{_REPO}/golden/video_frames.parquet' ORDER BY video_id, frame_idx
+"""
+
+
 def q_image_decode(spark, sf_dir):
     """Multimodal plumbing: synthesize a binary image column spanning
     all five corpus codecs (from-scratch png/jpeg/VP8L plus native
@@ -2820,6 +2860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2899,6 +2941,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "pagerank": _pagerank_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "audio_features": _Q_AUDIO_SQL,
+        "video_frames": _Q_VIDEO_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

@@ -363,6 +363,55 @@ def make_bpe() -> None:
     print(f"bpe: {len(merges)} merges, {len(enc)} encoded docs")
 
 
+def make_av() -> None:
+    """audio_features.parquet + video_frames.parquet: expected output
+    of `audio_features` / `video_frames`, computed WITHOUT the
+    containers — audio stats straight from the synthesized samples
+    (never through WAV bytes, so the golden pins the RIFF round-trip)
+    and video phashes from plain-Python decode of the same
+    deterministic JPEG frames (pins the AVI walk + sampling + Arrow
+    plumbing; the JPEG codec itself is KAT'd against libjpeg)."""
+    from colly_spark.functions.audio import audio_stats, synth_samples
+    from colly_spark.functions.images import phash64
+    from colly_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from colly_spark.operators.av import synth_video_frames
+
+    arows = []
+    for i in range(60):
+        rate, samples = synth_samples(i)
+        arows.append(dict({"audio_id": f"aud{i:08d}", "decode_ok": True},
+                          **audio_stats(samples, rate)))
+    at = pa.Table.from_pandas(
+        pd.DataFrame(arows), preserve_index=False,
+        schema=pa.schema([("audio_id", pa.string()),
+                          ("decode_ok", pa.bool_()),
+                          ("rate", pa.int32()), ("channels", pa.int32()),
+                          ("n_frames", pa.int32()),
+                          ("duration_ms", pa.int32()),
+                          ("rms", pa.float64()), ("peak", pa.float64()),
+                          ("zcr", pa.float64())]))
+    pq.write_table(at, os.path.join(GOLDEN, "audio_features.parquet"))
+
+    vrows = []
+    for i in range(24):
+        for idx, px in enumerate(synth_video_frames(i)):
+            if idx % 2:
+                continue
+            dec = decode_jpeg(encode_jpeg(px, quality=95))
+            vrows.append(dict(video_id=f"vid{i:08d}", frame_idx=idx,
+                              w=dec.shape[1], h=dec.shape[0],
+                              phash=phash64(dec), decode_ok=True))
+    vt = pa.Table.from_pandas(
+        pd.DataFrame(vrows), preserve_index=False,
+        schema=pa.schema([("video_id", pa.string()),
+                          ("frame_idx", pa.int32()),
+                          ("w", pa.int32()), ("h", pa.int32()),
+                          ("phash", pa.int64()),
+                          ("decode_ok", pa.bool_())]))
+    pq.write_table(vt, os.path.join(GOLDEN, "video_frames.parquet"))
+    print(f"av: {len(arows)} audio rows, {len(vrows)} video frame rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -373,3 +422,4 @@ if __name__ == "__main__":
     make_image_metadata_scrub()
     make_warc_fixture()
     make_bpe()
+    make_av()
