@@ -2492,6 +2492,70 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup_pairs(meta, k=3).orderBy("id_a", "id_b")
 
 
+def q_image_dup_clusters(spark, sf_dir):
+    """Canonical image groups — the keep-one curation decision over
+    the phash near-dup graph: banded Hamming pairs (k≤3, provably
+    complete) → connected components (min-label propagation) →
+    every image labeled with its canonical (min-id) group member,
+    group size, and whether IT is the keeper. Composition of two
+    already-oracled operators; the oracle recomputes components
+    independently with a RECURSIVE CTE over the brute-force pair
+    graph."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import (decode_meta,
+                                                  phash_near_dup_pairs,
+                                                  synthesize_images)
+    from colly_spark.operators.text_dedup import connected_components
+
+    meta = decode_meta(synthesize_images(spark, 96, n_variants=32),
+                       repartition_to=8).persist()
+    # CC's label arithmetic needs numeric ids; image ids are
+    # "img%08d", so the numeric suffix is an order-preserving
+    # surrogate (min label ↔ min image_id)
+    num = F.substring("image_id", 4, 8).cast("long")
+    pairs = (phash_near_dup_pairs(meta, k=3, id_col="image_id")
+             .select(F.substring("id_a", 4, 8).cast("long").alias("id_a"),
+                     F.substring("id_b", 4, 8).cast("long").alias("id_b")))
+    cc = connected_components(meta.select(num.alias("nid")), pairs,
+                              id_col="nid")
+    meta.unpersist()
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select(F.format_string("img%08d", F.col("nid"))
+                    .alias("image_id"),
+                    F.format_string("img%08d", F.col("cluster_id"))
+                    .alias("canon_id"),
+                    "cluster_size",
+                    (F.col("nid") == F.col("cluster_id"))
+                    .alias("is_canonical"))
+            .orderBy("image_id"))
+
+
+_Q_IMAGE_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE g AS (
+    SELECT image_id FROM '{_REPO}/golden/image_phash.parquet'),
+p AS (SELECT a.image_id AS id_a, b.image_id AS id_b
+      FROM '{_REPO}/golden/image_phash.parquet' a
+      JOIN '{_REPO}/golden/image_phash.parquet' b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(id, lbl) AS (
+    SELECT image_id, image_id FROM g
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+comp AS (SELECT id AS image_id, min(lbl) AS canon_id FROM reach GROUP BY id),
+sz AS (SELECT canon_id, count(*)::BIGINT AS cluster_size
+       FROM comp GROUP BY canon_id)
+SELECT c.image_id, c.canon_id, sz.cluster_size,
+       c.image_id = c.canon_id AS is_canonical
+FROM comp c JOIN sz USING (canon_id)
+ORDER BY c.image_id
+"""
+
+
 def q_image_corpus_filter(spark, sf_dir):
     """Training-corpus admission over the image+caption table (the
     input_hint schema): fmt allowlist ∩ min side 64 px ∩ aspect ≤ 3 ∩
@@ -2862,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "image_dup_clusters": q_image_dup_clusters,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -2943,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
+        "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,
