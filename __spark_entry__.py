@@ -2492,6 +2492,27 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup_pairs(meta, k=3).orderBy("id_a", "id_b")
 
 
+def q_mp4_probe(spark, sf_dir):
+    """ISO BMFF (MP4) metadata probe — the admission gate for video
+    whose codecs (H.264/H.265/AV1) are outside honest from-scratch
+    decode reach: box-walk ftyp/mvhd/tkhd/hdlr/stsd for brand, codec
+    fourcc, dimensions, duration, track counts WITHOUT touching any
+    bitstream (functions/mp4.py). Map-side, poison-tolerant.
+    Golden-oracled from the parameter draw directly (never through
+    bytes), so the writer↔prober round-trip is the thing pinned."""
+    from colly_spark.operators.av import mp4_probe_features, synthesize_mp4s
+
+    return (mp4_probe_features(synthesize_mp4s(spark, 48))
+            .orderBy("video_id"))
+
+
+_Q_MP4_PROBE_SQL = f"""
+SELECT video_id, brand, codec, w, h, duration_ms, n_tracks, video_tracks,
+       probe_ok
+FROM '{_REPO}/golden/mp4_probe.parquet' ORDER BY video_id
+"""
+
+
 def q_image_dup_clusters(spark, sf_dir):
     """Canonical image groups — the keep-one curation decision over
     the phash near-dup graph: banded Hamming pairs (k≤3, provably
@@ -2927,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
+        "mp4_probe": q_mp4_probe,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
@@ -3009,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
+        "mp4_probe": _Q_MP4_PROBE_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

@@ -185,3 +185,92 @@ def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col).mapInPandas(_sample, schema=schema)
+
+
+def synthesize_mp4s(spark, n: int, seed: int = 42):
+    """Deterministic MP4 metadata table (video_id, bytes): per-id
+    dims/duration/codec/brand stubs (functions/mp4.encode_mp4_stub) —
+    structurally valid ISO BMFF with no decodable bitstream, which is
+    exactly what a metadata-admission stage consumes."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("video_id", StringType()),
+        StructField("bytes", BinaryType()),
+    ])
+
+    def _gen(iterator):
+        from colly_spark.functions.mp4 import encode_mp4_stub
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = mp4_params(i, seed)
+                rows.append(dict(
+                    video_id=f"mp4{i:08d}",
+                    bytes=encode_mp4_stub(p["w"], p["h"], p["duration_ms"],
+                                          codec=p["codec"], brand=p["brand"],
+                                          timescale=p["timescale"],
+                                          mdat=b"\x00" * (64 + i % 512))))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, schema=schema)
+
+
+def mp4_params(i: int, seed: int = 42) -> dict:
+    """The deterministic per-id parameter draw shared by synthesis and
+    the golden-oracle generator (which never touches the bytes)."""
+    return dict(
+        w=(320, 640, 1280, 1920)[i % 4],
+        h=(240, 360, 720, 1080)[i % 4],
+        duration_ms=1000 + (i * 731) % 600_000,
+        codec=("avc1", "hvc1", "av01", "mp4v")[(i // 4) % 4],
+        brand=("isom", "mp42")[(i // 16) % 2],
+        timescale=(600, 1000, 90000)[i % 3])
+
+
+def mp4_probe_features(df, id_col: str = "video_id",
+                       bytes_col: str = "bytes"):
+    """(id, brand, codec, w, h, duration_ms, n_tracks, video_tracks,
+    probe_ok): container metadata WITHOUT decoding — the admission
+    gate for codecs (H.264+) outside honest from-scratch decode reach.
+    Map-side, poison-tolerant; at an object store this is a range GET
+    of the moov box per file."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField(id_col, StringType()),
+        StructField("brand", StringType()),
+        StructField("codec", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("video_tracks", IntegerType()),
+        StructField("probe_ok", BooleanType()),
+    ])
+
+    def _probe(iterator):
+        from colly_spark.functions.mp4 import probe_mp4
+        for pdf in iterator:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    info = probe_mp4(bytes(data))
+                    rows.append({id_col: rid, "probe_ok": True,
+                                 "brand": info["brand"],
+                                 "codec": info["codec"],
+                                 "w": info["w"], "h": info["h"],
+                                 "duration_ms": info["duration_ms"],
+                                 "n_tracks": info["n_tracks"],
+                                 "video_tracks": info["video_tracks"]})
+                except Exception:
+                    rows.append({id_col: rid, "probe_ok": False,
+                                 "brand": None, "codec": None, "w": None,
+                                 "h": None, "duration_ms": None,
+                                 "n_tracks": None, "video_tracks": None})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(_probe, schema=schema)

@@ -401,6 +401,29 @@ def make_av() -> None:
             vrows.append(dict(video_id=f"vid{i:08d}", frame_idx=idx,
                               w=dec.shape[1], h=dec.shape[0],
                               phash=phash64(dec), decode_ok=True))
+    from colly_spark.operators.av import mp4_params
+
+    prows = []
+    for i in range(48):
+        p = mp4_params(i)
+        # duration round-trips through media units: ms → ts units →
+        # ms (floor twice), replicated here WITHOUT touching bytes
+        units = p["duration_ms"] * p["timescale"] // 1000
+        prows.append(dict(video_id=f"mp4{i:08d}", brand=p["brand"],
+                          codec=p["codec"], w=p["w"], h=p["h"],
+                          duration_ms=int(units * 1000 // p["timescale"]),
+                          n_tracks=1, video_tracks=1, probe_ok=True))
+    pt = pa.Table.from_pandas(
+        pd.DataFrame(prows), preserve_index=False,
+        schema=pa.schema([("video_id", pa.string()),
+                          ("brand", pa.string()), ("codec", pa.string()),
+                          ("w", pa.int32()), ("h", pa.int32()),
+                          ("duration_ms", pa.int32()),
+                          ("n_tracks", pa.int32()),
+                          ("video_tracks", pa.int32()),
+                          ("probe_ok", pa.bool_())]))
+    pq.write_table(pt, os.path.join(GOLDEN, "mp4_probe.parquet"))
+
     vt = pa.Table.from_pandas(
         pd.DataFrame(vrows), preserve_index=False,
         schema=pa.schema([("video_id", pa.string()),
@@ -409,7 +432,8 @@ def make_av() -> None:
                           ("phash", pa.int64()),
                           ("decode_ok", pa.bool_())]))
     pq.write_table(vt, os.path.join(GOLDEN, "video_frames.parquet"))
-    print(f"av: {len(arows)} audio rows, {len(vrows)} video frame rows")
+    print(f"av: {len(arows)} audio rows, {len(vrows)} video frame rows, "
+          f"{len(prows)} mp4 probe rows")
 
 
 if __name__ == "__main__":

@@ -118,3 +118,33 @@ def test_video_frame_sample_operator_and_poison(spark):
     for r in good:
         px = decode_jpeg(encode_jpeg(exp_frames[r.frame_idx], quality=95))
         assert r.phash == phash64(px) and (r.w, r.h) == (16, 16)
+
+
+def test_mp4_probe_roundtrip_and_poison(spark):
+    from colly_spark.functions.mp4 import encode_mp4_stub, probe_mp4
+    from colly_spark.operators.av import (mp4_params, mp4_probe_features,
+                                          synthesize_mp4s)
+
+    # scalar round-trip incl. 90kHz timescale duration floor behavior
+    b = encode_mp4_stub(1920, 1080, 99_999, codec="av01", brand="mp42",
+                        timescale=90000)
+    info = probe_mp4(b)
+    assert (info["w"], info["h"], info["codec"], info["brand"]) == \
+        (1920, 1080, "av01", "mp42")
+    assert info["duration_ms"] == (99_999 * 90000 // 1000) * 1000 // 90000
+    # unknown top-level boxes are skipped, 64-bit largesize tolerated
+    import struct
+    big = (b[:0] + b"\x00\x00\x00\x01free" + struct.pack(">Q", 16)
+           + b + b"\x00\x00\x00\x08skip")
+    assert probe_mp4(big)["codec"] == "av01"
+
+    out = {r.video_id: r for r in mp4_probe_features(
+        synthesize_mp4s(spark, 8).unionByName(spark.createDataFrame(
+            [("mp4POISON", bytearray(b"RIFF not bmff"))],
+            "video_id string, bytes binary"))).collect()}
+    assert out["mp4POISON"].probe_ok is False
+    for i in (0, 5, 7):
+        p = mp4_params(i)
+        r = out[f"mp4{i:08d}"]
+        assert (r.w, r.h, r.codec, r.brand, r.n_tracks, r.video_tracks) \
+            == (p["w"], p["h"], p["codec"], p["brand"], 1, 1)
