@@ -72,3 +72,61 @@ def test_null_priority_sorts_last_with_fifo_tiebreak(spark, fifo_batch1):
 def test_uniform_priority_equals_fifo(spark, fifo_batch1):
     got = _batch1(spark, [(_hash(u), 1.0) for u in SEEDS])
     assert got == fifo_batch1
+
+
+def test_pagerank_priority_crawl_end_to_end(spark):
+    """The OPIC loop: crawl once FIFO, PageRank the observed link
+    graph (trace referer→url edges), re-crawl with the scores as
+    priority_df. Pins: (a) the fetched SET is unchanged — priority
+    only reschedules within the politeness budget; (b) high-rank pages
+    are fetched no later on average, with at least one strictly
+    earlier."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.operators.graph import pagerank
+
+    def crawl(priority_df):
+        corpus = bench_corpus(spark, 200, n_domains=2)
+        state = tempfile.mkdtemp(prefix="colly_prio_e2e_")
+        try:
+            h = Crawler(spark, corpus, CFG, state,
+                        priority_df=priority_df).run(
+                ["http://d0.bench/p/0", "http://d1.bench/p/1"],
+                max_batches=10)
+            return h.trace().select("batch", "url").toPandas()
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+            corpus["pages"].unpersist()
+
+    t1 = crawl(None)
+    edges = spark.createDataFrame(t1, "batch long, url string")
+    # the observed graph: every fetched page links its children; use
+    # the trace itself as node set and its fetch order as edges via
+    # referer is not carried here, so rank the HUB pattern instead:
+    # re-derive edges from the deterministic corpus arithmetic
+    ids = edges.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("i"))
+    e = (ids.select(F.col("i").alias("src"), (F.col("i") * 2 + 1).alias("dst"))
+         .union(ids.select(F.col("i"), F.col("i") * 2 + 2))
+         .union(ids.select(F.col("i"), F.pmod(F.col("i"), F.lit(1000))))
+         .filter(F.col("dst") < 200))
+    pr = pagerank(e, n_iter=4)
+    urls = pr.select(
+        F.concat(F.lit("http://d"), F.pmod("node", F.lit(2)).cast("string"),
+                 F.lit(".bench/p/"), F.col("node").cast("string")).alias("u"),
+        F.col("pr").alias("priority"))
+    priority = urls.select(fnv64a_udf(F.col("u")).alias("url_hash"),
+                           "priority")
+    t2 = crawl(priority)
+
+    assert set(t1.url) == set(t2.url)          # same politeness closure
+    b1 = dict(zip(t1.url, t1.batch))
+    b2 = dict(zip(t2.url, t2.batch))
+    scored = {r.u: r.priority for r in urls.collect()}
+    top = sorted((u for u in b1 if u in scored),
+                 key=lambda u: -scored[u])[:10]
+    mean1 = sum(b1[u] for u in top) / len(top)
+    mean2 = sum(b2[u] for u in top) / len(top)
+    assert mean2 <= mean1
+    assert any(b2[u] < b1[u] for u in top)
