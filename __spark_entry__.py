@@ -1838,6 +1838,90 @@ def _quality_classifier_sql() -> str:
     return classifier_sql(docs, bkt)
 
 
+# planted-register fixture for classifier_planted: two disjoint
+# 8-word register vocabularies (formal vs informal). Markers are
+# planted by doc_id arithmetic only — fully deterministic, replayable
+# verbatim in the DuckDB oracle.
+_REG_POS = ("hereby", "pursuant", "whereas", "aforesaid",
+            "notwithstanding", "heretofore", "thereof", "forthwith")
+_REG_NEG = ("lol", "gonna", "wanna", "dunno",
+            "kinda", "sorta", "yeah", "nah")
+
+
+def q_classifier_planted(spark, sf_dir):
+    """The learned quality filter on a corpus whose label signal is
+    STRONG: each document (doc_id < 1000 — a deterministic cap that
+    bounds bench cost; a no-op at the sf0.01 correctness gate) gets
+    ~20% of its token mass replaced by 3 register-marker runs from
+    its class vocabulary (formal for even doc_ids, informal for odd),
+    and every 7th doc carries one cross-register token as irreducible
+    noise. The same 5-round GD classifier that plateaus at ~0.65 on
+    the weak lang signal reaches >0.9 accuracy here
+    (tests/test_classifier.py pins it) — the operator learns; the
+    corpus was the ceiling. ROADMAP round-4 #1c."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.classifier import quality_classifier
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    pos = F.array(*[F.lit(w) for w in _REG_POS])
+    neg = F.array(*[F.lit(w) for w in _REG_NEG])
+    even = F.col("doc_id") % 2 == 0
+    own = F.when(even, pos).otherwise(neg)
+    other = F.when(even, neg).otherwise(pos)
+    ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    nrep = F.greatest(F.lit(1), F.floor(ntok / 15)).cast("int")
+
+    def pick(arr, m, o):
+        return F.element_at(
+            arr, (F.pmod(F.col("doc_id") * m + o, F.lit(8)) + 1).cast("int"))
+
+    run = lambda m, o: F.trim(F.repeat(F.concat(pick(own, m, o),
+                                                F.lit(" ")), nrep))
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" "), run(3, 1), F.lit(" "), run(5, 2), F.lit(" "), run(7, 3),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" "), pick(other, 11, 4)))
+        .otherwise(F.lit("")))
+    docs = d.select("doc_id", planted.alias("text"), even.alias("is_t"))
+    return quality_classifier(docs, "is_t").orderBy("doc_id")
+
+
+def _classifier_planted_sql() -> str:
+    from colly_spark.operators.classifier import (DEFAULT_BUCKETS,
+                                                  classifier_sql)
+
+    b = DEFAULT_BUCKETS
+    pos = "[" + ", ".join(f"'{w}'" for w in _REG_POS) + "]"
+    neg = "[" + ", ".join(f"'{w}'" for w in _REG_NEG) + "]"
+    docs = (
+        "t AS MATERIALIZED (SELECT doc_id AS id,\n"
+        "  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,\n"
+        r"  list_transform(string_split_regex(trim(ptext), '\s+'),"
+        " x -> lower(x)) AS tk\n"
+        "FROM (SELECT doc_id,\n"
+        "        text || ' ' || trim(repeat(own[(doc_id*3+1) % 8 + 1]"
+        " || ' ', nrep))\n"
+        "             || ' ' || trim(repeat(own[(doc_id*5+2) % 8 + 1]"
+        " || ' ', nrep))\n"
+        "             || ' ' || trim(repeat(own[(doc_id*7+3) % 8 + 1]"
+        " || ' ', nrep))\n"
+        "             || CASE WHEN doc_id % 7 = 0 THEN ' ' ||"
+        " oth[(doc_id*11+4) % 8 + 1] ELSE '' END AS ptext\n"
+        "      FROM (SELECT doc_id, text,\n"
+        "              greatest(1, len(string_split_regex(trim(text),"
+        r" '\s+')) // 15) AS nrep,"
+        "\n"
+        f"              CASE WHEN doc_id % 2 = 0 THEN {pos}"
+        f" ELSE {neg} END AS own,\n"
+        f"              CASE WHEN doc_id % 2 = 0 THEN {neg}"
+        f" ELSE {pos} END AS oth\n"
+        "            FROM documents WHERE doc_id < 1000)))")
+    bkt = f"((({_fnv_signed('gram')}) % {b}) + {b}) % {b}"
+    return classifier_sql(docs, bkt)
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -2945,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
+        "classifier_planted": q_classifier_planted,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3028,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "pagerank": _pagerank_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "classifier_planted": _classifier_planted_sql(),
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

@@ -107,3 +107,18 @@ def test_deterministic(spark):
     b = sorted(tuple(r) for r in
                quality_classifier(df, "is_t", n_iter=3).collect())
     assert a == b
+
+
+def test_planted_register_flagship_accuracy(spark):
+    """ROADMAP round-4 #1c: on the planted-register corpus (strong,
+    deterministic label signal; 1-in-7 cross-register noise) the SAME
+    operator that plateaus at ~0.65 on the weak lang label exceeds
+    0.9 accuracy — the corpus, not the classifier, was the ceiling."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    res = entry.queries()["classifier_planted"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(res) > 0
+    acc = sum(r.predicted == r.label for r in res) / len(res)
+    assert acc > 0.9
