@@ -20,8 +20,10 @@ still exercises the full admission/dedup/fetch/commit path.
 
 Usage: python scripts/long_drain.py
 Env: LD_BATCHES (200), LD_PAGES (60000), LD_SEEDS (4000),
-     SPARK_GRAFT_CPUS (bench default).
-Prints one JSON line.
+     LD_ARMS ("on,off" — run a subset, e.g. LD_ARMS=on for the
+     flatness arm alone at big LD_PAGES), SPARK_GRAFT_CPUS (bench
+     default).
+Prints one JSON line (per-arm results as each arm lands on stderr).
 """
 
 from __future__ import annotations
@@ -94,16 +96,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entry_mod
     entry_mod._ensure_pkg(spark)
+    arms = [a.strip() for a in
+            os.environ.get("LD_ARMS", "on,off").split(",") if a.strip()]
     one_drain(spark, 10_000, 500, 8, 16)  # warm-up
-    on = one_drain(spark, pages, seeds, batches, 16)
-    off = one_drain(spark, pages, seeds, batches, 0)
     out = {
         "metric": "long politeness-bounded drain, per-batch wall flatness",
-        "compaction_on": {k: v for k, v in on.items() if k != "batch_seconds"},
-        "compaction_off": {k: v for k, v in off.items() if k != "batch_seconds"},
-        "batch_seconds_on": on["batch_seconds"],
-        "batch_seconds_off": off["batch_seconds"],
     }
+    for arm in arms:
+        res = one_drain(spark, pages, seeds, batches,
+                        16 if arm == "on" else 0)
+        out[f"compaction_{arm}"] = {k: v for k, v in res.items()
+                                    if k != "batch_seconds"}
+        out[f"batch_seconds_{arm}"] = res["batch_seconds"]
+        print(json.dumps({f"compaction_{arm}":
+                          out[f"compaction_{arm}"]}), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 
