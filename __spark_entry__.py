@@ -1719,17 +1719,19 @@ def q_dsir_select(spark, sf_dir):
 
 
 def _dsir_sql(k: int = 100, buckets: int = 1024, alpha: float = 0.1,
-              seed: int = 17) -> str:
+              seed: int = 17, t_cte: str | None = None) -> str:
     from colly_spark.operators.dsir import GUMBEL_MOD
 
     m = GUMBEL_MOD
     fnv_g = _fnv_signed("gram")
     fnv_id = _fnv_signed(f"CAST(doc_id AS VARCHAR) || ':gumbel:{seed}'")
-    return rf"""
-WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+    if t_cte is None:
+        t_cte = r"""t AS (SELECT doc_id, lang = 'en' AS is_t,
                   list_transform(string_split_regex(trim(text), '\s+'),
                                  x -> lower(x)) AS tk
-           FROM documents),
+           FROM documents)"""
+    return rf"""
+WITH {t_cte},
 g AS (SELECT doc_id, is_t, tk[i] AS gram
       FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
       UNION ALL
@@ -1848,20 +1850,15 @@ _REG_NEG = ("lol", "gonna", "wanna", "dunno",
             "kinda", "sorta", "yeah", "nah")
 
 
-def q_classifier_planted(spark, sf_dir):
-    """The learned quality filter on a corpus whose label signal is
-    STRONG: each document (doc_id < 1000 — a deterministic cap that
-    bounds bench cost; a no-op at the sf0.01 correctness gate) gets
-    ~20% of its token mass replaced by 3 register-marker runs from
-    its class vocabulary (formal for even doc_ids, informal for odd),
-    and every 7th doc carries one cross-register token as irreducible
-    noise. The same 5-round GD classifier that plateaus at ~0.65 on
-    the weak lang signal reaches >0.9 accuracy here
-    (tests/test_classifier.py pins it) — the operator learns; the
-    corpus was the ceiling. ROADMAP round-4 #1c."""
+def _planted_register_docs(spark, sf_dir):
+    """(doc_id, text, is_t): the planted-register corpus — documents
+    (doc_id < 1000, a deterministic cap that bounds bench cost; a
+    no-op at the sf0.01 correctness gate) where each doc gets ~20% of
+    its token mass replaced by 3 register-marker runs from its class
+    vocabulary (formal for even doc_ids, informal for odd), and every
+    7th doc carries one cross-register token as irreducible noise.
+    SQL mirror: _planted_register_subquery."""
     from pyspark.sql import functions as F
-
-    from colly_spark.operators.classifier import quality_classifier
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
     pos = F.array(*[F.lit(w) for w in _REG_POS])
@@ -1884,23 +1881,28 @@ def q_classifier_planted(spark, sf_dir):
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.lit(" "), pick(other, 11, 4)))
         .otherwise(F.lit("")))
-    docs = d.select("doc_id", planted.alias("text"), even.alias("is_t"))
+    return d.select("doc_id", planted.alias("text"), even.alias("is_t"))
+
+
+def q_classifier_planted(spark, sf_dir):
+    """The learned quality filter on a corpus whose label signal is
+    STRONG (_planted_register_docs). The same 5-round GD classifier
+    that plateaus at ~0.65 on the weak lang signal reaches >0.9
+    accuracy here (tests/test_classifier.py pins it) — the operator
+    learns; the corpus was the ceiling. ROADMAP round-4 #1c."""
+    from colly_spark.operators.classifier import quality_classifier
+
+    docs = _planted_register_docs(spark, sf_dir)
     return quality_classifier(docs, "is_t").orderBy("doc_id")
 
 
-def _classifier_planted_sql() -> str:
-    from colly_spark.operators.classifier import (DEFAULT_BUCKETS,
-                                                  classifier_sql)
-
-    b = DEFAULT_BUCKETS
+def _planted_register_subquery() -> str:
+    """SQL mirror of _planted_register_docs: a relation
+    (doc_id, ptext) over the capped documents table."""
     pos = "[" + ", ".join(f"'{w}'" for w in _REG_POS) + "]"
     neg = "[" + ", ".join(f"'{w}'" for w in _REG_NEG) + "]"
-    docs = (
-        "t AS MATERIALIZED (SELECT doc_id AS id,\n"
-        "  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,\n"
-        r"  list_transform(string_split_regex(trim(ptext), '\s+'),"
-        " x -> lower(x)) AS tk\n"
-        "FROM (SELECT doc_id,\n"
+    return (
+        "(SELECT doc_id,\n"
         "        text || ' ' || trim(repeat(own[(doc_id*3+1) % 8 + 1]"
         " || ' ', nrep))\n"
         "             || ' ' || trim(repeat(own[(doc_id*5+2) % 8 + 1]"
@@ -1917,9 +1919,44 @@ def _classifier_planted_sql() -> str:
         f" ELSE {neg} END AS own,\n"
         f"              CASE WHEN doc_id % 2 = 0 THEN {neg}"
         f" ELSE {pos} END AS oth\n"
-        "            FROM documents WHERE doc_id < 1000)))")
+        "            FROM documents WHERE doc_id < 1000))")
+
+
+def _classifier_planted_sql() -> str:
+    from colly_spark.operators.classifier import (DEFAULT_BUCKETS,
+                                                  classifier_sql)
+
+    b = DEFAULT_BUCKETS
+    docs = (
+        "t AS MATERIALIZED (SELECT doc_id AS id,\n"
+        "  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,\n"
+        r"  list_transform(string_split_regex(trim(ptext), '\s+'),"
+        " x -> lower(x)) AS tk\n"
+        f"FROM {_planted_register_subquery()})")
     bkt = f"((({_fnv_signed('gram')}) % {b}) + {b}) % {b}"
     return classifier_sql(docs, bkt)
+
+
+def q_dsir_planted(spark, sf_dir):
+    """DSIR importance resampling targeting the planted formal
+    register (_planted_register_docs): with a strong target signal
+    the selected top-k should be overwhelmingly formal-register docs
+    — the enrichment demo the weak lang label can't show
+    (tests/test_dsir.py pins enrichment ≥0.9 vs the 0.5 base rate).
+    Same operator, same DECIMAL-exact rank discipline as
+    `dsir_select`."""
+    from colly_spark.operators.dsir import dsir_select
+
+    d = _planted_register_docs(spark, sf_dir)
+    return dsir_select(d, "is_t", k=100).orderBy("rank")
+
+
+def _dsir_planted_sql() -> str:
+    t = ("t AS (SELECT doc_id, doc_id % 2 = 0 AS is_t,\n"
+         r"  list_transform(string_split_regex(trim(ptext), '\s+'),"
+         " x -> lower(x)) AS tk\n"
+         f"FROM {_planted_register_subquery()})")
+    return _dsir_sql(t_cte=t)
 
 
 def q_caption_dedup(spark, sf_dir):
@@ -3030,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
         "classifier_planted": q_classifier_planted,
+        "dsir_planted": q_dsir_planted,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3114,6 +3152,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "classifier_planted": _classifier_planted_sql(),
+        "dsir_planted": _dsir_planted_sql(),
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

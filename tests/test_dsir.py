@@ -100,3 +100,18 @@ def test_deterministic(spark):
     b = [tuple(r) for r in dsir_select(df, "is_t", k=7, buckets=B,
                                        seed=SEED).orderBy("rank").collect()]
     assert a == b
+
+
+def test_planted_register_enrichment(spark):
+    """ROADMAP round-4 #1c (DSIR half): targeting the planted formal
+    register, the selected top-100 is overwhelmingly formal-register
+    docs (even doc_ids) — enrichment >=0.9 against the 0.5 base rate
+    the weak lang label could never separate."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    res = entry.queries()["dsir_planted"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(res) == 100
+    enrich = sum(r.doc_id % 2 == 0 for r in res) / len(res)
+    assert enrich >= 0.9
