@@ -1959,6 +1959,81 @@ def _dsir_planted_sql() -> str:
     return _dsir_sql(t_cte=t)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level corrections (Raffel et al. 2020 §2.2): the
+    standard first-pass web cleanup — keep lines with terminal
+    punctuation, >=3 words, no 'javascript'; drop whole pages on
+    'lorem ipsum'/curly braces or too few surviving lines. The
+    documents table is single-line bag-of-words, so the query first
+    synthesizes deterministic page text (8-token content lines plus
+    doc_id-keyed boilerplate injections — the same synthesize-then-
+    operate discipline as the image corpus), then applies the pure-
+    Catalyst operator (operators/text_quality.c4_line_filter: split/
+    filter/rlike, zero shuffle — scan-speed at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.text_quality import c4_line_filter
+
+    d = _docs(spark, sf_dir).withColumn(
+        "tk", F.split(F.trim("text"), r"\s+"))
+    content = F.expr(
+        "transform(sequence(0, greatest(1, cast(ceil(size(tk)/8.0) as int))"
+        " - 1), i -> concat(array_join(slice(tk, i*8+1, 8), ' '), '.'))")
+    i = F.col("doc_id")
+    extras = F.filter(
+        F.array(
+            F.when(i % 3 == 0,
+                   F.lit("please enable javascript to continue.")),
+            F.when(i % 4 == 1, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(i % 5 == 2, F.lit("function() { return cookies }")),
+            F.when(i % 2 == 0, F.lit("read more below")),
+            F.lit("home about.")),
+        lambda x: x.isNotNull())
+    page = d.select(
+        "doc_id",
+        F.array_join(F.concat(content, extras), "\n").alias("text"))
+    return c4_line_filter(page).orderBy("doc_id")
+
+
+_Q_C4_LINE_FILTER_SQL = r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+p AS (SELECT doc_id,
+        list_concat(
+          list_transform(
+            range(0, greatest(1, CAST(ceil(len(tk)/8.0) AS BIGINT))),
+            i -> array_to_string(list_slice(tk, i*8+1, i*8+8), ' ') || '.'),
+          list_filter([
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'please enable javascript to continue.' END,
+            CASE WHEN doc_id % 4 = 1
+                 THEN 'lorem ipsum dolor sit amet.' END,
+            CASE WHEN doc_id % 5 = 2
+                 THEN 'function() { return cookies }' END,
+            CASE WHEN doc_id % 2 = 0 THEN 'read more below' END,
+            'home about.'], x -> x IS NOT NULL)) AS lines
+      FROM d),
+k AS (SELECT doc_id, lines,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(string_split(trim(l), ' ')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             array_to_string(lines, chr(10)) AS page_text
+      FROM p),
+f AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+             len(kept)::BIGINT AS n_kept,
+             (NOT contains(lower(page_text), 'lorem ipsum')
+              AND NOT contains(page_text, '{')
+              AND len(kept) >= 5) AS page_kept,
+             kept
+      FROM k)
+SELECT doc_id, n_lines, n_kept, page_kept,
+       CASE WHEN page_kept THEN array_to_string(kept, chr(10)) END
+         AS kept_text
+FROM f ORDER BY doc_id
+"""
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -3068,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "classifier_planted": q_classifier_planted,
         "dsir_planted": q_dsir_planted,
+        "c4_line_filter": q_c4_line_filter,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3153,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "classifier_planted": _classifier_planted_sql(),
         "dsir_planted": _dsir_planted_sql(),
+        "c4_line_filter": _Q_C4_LINE_FILTER_SQL,
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

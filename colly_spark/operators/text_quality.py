@@ -260,3 +260,53 @@ def pii_scrub(df, text_col="text", id_col="doc_id"):
     from pyspark.sql import functions as F
 
     return df.select(F.col(id_col), *pii_scrub_cols(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level corrections (Raffel et al. 2020 §2.2 — the
+# "Colossal Clean Crawled Corpus" rule set, the standard first-pass
+# cleanup of every web-LLM pipeline since):
+#   line rules  — keep only lines that end in terminal punctuation,
+#                 have >= 3 words, and do not mention "javascript";
+#   page rules  — drop the whole page if it contains "lorem ipsum" or
+#                 a curly brace, or if fewer than MIN_KEPT lines
+#                 survive the line rules (the paper's 5-sentence
+#                 minimum re-expressed at line granularity).
+# Pure Catalyst (split / filter / rlike / array_join) — map-side,
+# whole-stage-codegen'd, scan-speed at 100 TB; no shuffle at all.
+
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_WORDS = 3
+C4_MIN_KEPT = 5
+
+
+def c4_line_filter_cols(text_col, min_kept: int = C4_MIN_KEPT):
+    """(n_lines, n_kept, page_kept, kept_text) for newline-separated
+    page text under the C4 rules above. kept_text is NULL for dropped
+    pages (they carry no usable text downstream)."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(text_col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(l), " ")) >= C4_MIN_WORDS)
+        & ~F.lower(l).contains("javascript"))
+    page_kept = (~F.lower(text_col).contains("lorem ipsum")
+                 & ~text_col.contains("{")
+                 & (F.size(kept) >= min_kept))
+    return (F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            page_kept.alias("page_kept"),
+            F.when(page_kept, F.array_join(kept, "\n"))
+            .otherwise(F.lit(None)).alias("kept_text"))
+
+
+def c4_line_filter(df, text_col="text", id_col="doc_id",
+                   min_kept: int = C4_MIN_KEPT):
+    """Per-page C4 cleanup: (id, n_lines, n_kept, page_kept,
+    kept_text)."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.col(id_col),
+                     *c4_line_filter_cols(F.col(text_col), min_kept))

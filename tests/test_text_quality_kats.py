@@ -226,3 +226,45 @@ class TestPIIScrubKATs:
         r = self._scrub(spark, "plain words only here")
         assert r["clean_text"] == "plain words only here"
         assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (0, 0, 0)
+
+
+class TestC4LineFilterKATs:
+    """C4 §2.2 rules pinned by hand on tiny pages (the oracle gate
+    proves Spark==DuckDB; these pin both to the paper's semantics)."""
+
+    def _run(self, spark, text, min_kept=5):
+        from colly_spark.operators.text_quality import c4_line_filter
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return c4_line_filter(df, min_kept=min_kept).collect()[0].asDict()
+
+    def test_line_rules(self, spark):
+        # line 1 kept; line 2 no terminal punct; line 3 two words;
+        # line 4 mentions javascript; line 5 kept (quote terminal)
+        text = "\n".join([
+            "the quick brown fox jumps.",
+            "read more below",
+            "home about.",
+            "please enable javascript to continue.",
+            'she said "hello there world"',
+        ])
+        r = self._run(spark, text, min_kept=2)
+        assert r["n_lines"] == 5 and r["n_kept"] == 2
+        assert r["page_kept"] is True
+        assert r["kept_text"] == (
+            'the quick brown fox jumps.\nshe said "hello there world"')
+
+    def test_page_drop_lorem_ipsum(self, spark):
+        text = "good long line number one.\nLorem Ipsum dolor sit amet."
+        r = self._run(spark, text, min_kept=1)
+        assert r["page_kept"] is False and r["kept_text"] is None
+
+    def test_page_drop_curly_brace(self, spark):
+        text = "good long line number one.\nvar x = { a: 1 }"
+        r = self._run(spark, text, min_kept=1)
+        assert r["page_kept"] is False and r["kept_text"] is None
+
+    def test_page_drop_min_kept(self, spark):
+        text = "one good terminal line here.\nanother good line survives."
+        assert self._run(spark, text, min_kept=3)["page_kept"] is False
+        assert self._run(spark, text, min_kept=2)["page_kept"] is True
