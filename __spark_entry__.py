@@ -2034,6 +2034,40 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_extract_main_text(spark, sf_dir):
+    """Boilerplate removal / main-content extraction (jusText-lite,
+    Pomikálek 2011 — the text-extraction pass between raw HTML and
+    the line/quality filters in every web-LLM pipeline): classify
+    leaf block elements by link density / stopword density / length,
+    keep the good ones. Pages are synthesized deterministically from
+    the documents table (operators/boilerplate.synth_page_html: nav +
+    stopword-injected content paragraphs + link lists + footer);
+    extraction runs the from-scratch DOM engine inside mapInPandas —
+    per-document work, zero shuffle. Golden-oracled against a replica
+    that derives the expected blocks from the construction arithmetic
+    WITHOUT an HTML parser (scripts/make_golden.make_boilerplate)."""
+    from colly_spark.operators.boilerplate import (extract_main_text,
+                                                   synth_page_html)
+
+    def mk(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "html": [synth_page_html(int(i), t)
+                          for i, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    pages = (_docs(spark, sf_dir).select("doc_id", "text")
+             .mapInPandas(mk, "doc_id long, html string"))
+    return extract_main_text(pages).orderBy("doc_id")
+
+
+_Q_EXTRACT_MAIN_TEXT_SQL = f"""
+SELECT doc_id, n_blocks, n_good, main_text
+FROM '{_REPO}/golden/boilerplate.parquet' ORDER BY doc_id
+"""
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -3144,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_planted": q_classifier_planted,
         "dsir_planted": q_dsir_planted,
         "c4_line_filter": q_c4_line_filter,
+        "extract_main_text": q_extract_main_text,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3230,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_planted": _classifier_planted_sql(),
         "dsir_planted": _dsir_planted_sql(),
         "c4_line_filter": _Q_C4_LINE_FILTER_SQL,
+        "extract_main_text": _Q_EXTRACT_MAIN_TEXT_SQL,
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

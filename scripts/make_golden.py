@@ -324,6 +324,63 @@ def make_warc_fixture() -> None:
     print(f"warc fixture: {len(recs)} records across 3 files")
 
 
+def make_boilerplate() -> None:
+    """boilerplate.parquet: expected (doc_id, n_blocks, n_good,
+    main_text) of `extract_main_text` over synth_page_html pages of
+    the sf0.01 documents table. The synthesis function is shared (so
+    engine and replica agree on the input); the replica below derives
+    the expected blocks from the construction arithmetic directly —
+    it never parses HTML, so the DOM engine + mapInPandas extraction
+    path is what the golden pins."""
+    import duckdb
+
+    from colly_spark.operators.boilerplate import (MAX_LINK_DENSITY,
+                                                   MIN_STOPWORD_DENSITY,
+                                                   MIN_WORDS, STOPWORDS,
+                                                   SYNTH_STOPS)
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+
+    def good(text: str, link_chars: int) -> bool:
+        words = text.split(" ")
+        nw = len(words)
+        sd = sum(w.lower() in STOPWORDS for w in words) / nw
+        return (nw >= MIN_WORDS and link_chars / len(text) < MAX_LINK_DENSITY
+                and sd >= MIN_STOPWORD_DENSITY)
+
+    out = []
+    for doc_id, text in rows:
+        toks = text.split()
+        blocks = [("home about contact", 16)]  # nav: 3 link texts
+        for j in range(0, len(toks), 9):
+            words = []
+            for idx, t in enumerate(toks[j:j + 9]):
+                words.append(t)
+                if idx % 2 == 1:
+                    words.append(SYNTH_STOPS[(doc_id + j + idx)
+                                             % len(SYNTH_STOPS)])
+            blocks.append((" ".join(words) + ".", 0))
+        if doc_id % 3 == 0:
+            for k in range(3):
+                t = toks[k % len(toks)]
+                blocks.append((t, len(t)))
+        blocks.append(("copyright example site", 0))
+        kept = [t for t, lc in blocks if good(t, lc)]
+        out.append((doc_id, len(blocks), len(kept),
+                    "\n".join(kept) if kept else None))
+
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(out, columns=["doc_id", "n_blocks", "n_good",
+                                   "main_text"]),
+        schema=pa.schema([("doc_id", pa.int64()), ("n_blocks", pa.int64()),
+                          ("n_good", pa.int64()), ("main_text", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "boilerplate.parquet"))
+    print("boilerplate.parquet:", len(out), "rows")
+
+
 def make_bpe() -> None:
     """bpe_merges.parquet + bpe_encode.parquet: expected output of
     `bpe_train` (40 merges, min_count=2) and `bpe_encode` over the
@@ -439,6 +496,7 @@ def make_av() -> None:
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
+    make_boilerplate()
     make_crawl_events()
     make_image_decode()
     make_image_phash()

@@ -52,7 +52,8 @@ ORACLES = sorted(entry_mod.oracle_sql())
 # this mirrors it exactly; replica equality at other inputs is
 # covered by tests/test_bpe.py.
 GOLDEN_SF = {"bpe_train": "/root/testdata/sf0.01",
-             "bpe_encode": "/root/testdata/sf0.01"}
+             "bpe_encode": "/root/testdata/sf0.01",
+             "extract_main_text": "/root/testdata/sf0.01"}
 
 
 @pytest.mark.parametrize("name", ORACLES)
