@@ -2068,6 +2068,47 @@ FROM '{_REPO}/golden/boilerplate.parquet' ORDER BY doc_id
 """
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina 2003):
+    per-page Poisson change-rate estimation over deterministic fetch
+    histories derived from the documents table (3 + doc_id%5
+    observations, change at obs k iff (doc_id*7 + k) % 3 == 0), then
+    revisit intervals proportional to 1/lambda_hat.
+    operators/politeness.recrawl_schedule documents the 100-TB shape
+    (one uniform-key groupBy)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.politeness import recrawl_schedule
+
+    h = (_docs(spark, sf_dir)
+         .select("doc_id",
+                 F.explode(F.sequence(
+                     F.lit(0), (F.col("doc_id") % 5 + 2).cast("int")))
+                 .alias("k"))
+         .select("doc_id",
+                 ((F.col("doc_id") * 7 + F.col("k")) % 3 == 0)
+                 .alias("changed")))
+    return recrawl_schedule(h, id_col="doc_id").orderBy("doc_id")
+
+
+_Q_RECRAWL_SCHEDULE_SQL = """
+WITH h AS (SELECT doc_id, (doc_id * 7 + k) % 3 = 0 AS changed
+           FROM documents,
+                UNNEST(range(0, doc_id % 5 + 3)) AS u(k)),
+g AS (SELECT doc_id, count(*)::BIGINT AS n_obs,
+             sum(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT AS n_changed
+      FROM h GROUP BY 1),
+l AS (SELECT doc_id, n_obs, n_changed,
+             round(-ln((n_obs - n_changed + 0.5) / (n_obs + 0.5)), 9)
+               AS lambda_hat
+      FROM g)
+SELECT doc_id, n_obs, n_changed, lambda_hat,
+       CASE WHEN n_changed > 0 THEN round(1.0 / lambda_hat, 6) END
+         AS revisit_interval
+FROM l ORDER BY doc_id
+"""
+
+
 def q_caption_dedup(spark, sf_dir):
     """Duplicate-caption collapse over the image+caption table (the
     LAION-style curation step: identical alt-text across many images
@@ -3179,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_planted": q_dsir_planted,
         "c4_line_filter": q_c4_line_filter,
         "extract_main_text": q_extract_main_text,
+        "recrawl_schedule": q_recrawl_schedule,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3266,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_planted": _dsir_planted_sql(),
         "c4_line_filter": _Q_C4_LINE_FILTER_SQL,
         "extract_main_text": _Q_EXTRACT_MAIN_TEXT_SQL,
+        "recrawl_schedule": _Q_RECRAWL_SCHEDULE_SQL,
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

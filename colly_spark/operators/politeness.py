@@ -92,3 +92,44 @@ def admit_batch(pending_df, cfg: CrawlConfig):
     fetch_now = flagged.filter(F.col("_fetch_now")).select(cols)
     deferred = flagged.filter(~F.col("_fetch_now")).select(cols)
     return fetch_now, deferred
+
+
+def recrawl_schedule(history_df, id_col: str = "url_hash",
+                     changed_col: str = "changed"):
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina 2003,
+    "Effective page refresh policies for web crawlers"): estimate each
+    page's Poisson change rate from its binary change history with the
+    paper's consistent estimator
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5))
+
+    (n observations at unit interval, X observed changes; the +0.5
+    terms are the paper's bias correction that also keeps the log
+    finite at X = n), and schedule the next revisit proportionally at
+    interval 1/lambda_hat (NULL for never-changed pages — they fall to
+    the uniform-policy floor the caller picks). The reference crawls
+    once and exposes max_revisits (storage.go visited counts); at a
+    10^10-URL frontier the revisit BUDGET is the scarce resource and
+    this is the standard allocator.
+
+    Pure Catalyst: one groupBy(id) — uniform key, map-side partials;
+    rounding discipline per operators/graph.py so the DuckDB oracle is
+    bit-equal (ln on identical doubles, same IEEE-libm parity as
+    lm_perplexity).
+
+    Returns (id_col, n_obs, n_changed, lambda_hat, revisit_interval).
+    """
+    from pyspark.sql import functions as F
+
+    g = (history_df.groupBy(id_col)
+         .agg(F.count("*").cast("long").alias("n_obs"),
+              F.sum(F.col(changed_col).cast("long")).cast("long")
+              .alias("n_changed")))
+    lam = F.round(
+        -F.log((F.col("n_obs") - F.col("n_changed") + F.lit(0.5))
+               / (F.col("n_obs") + F.lit(0.5))), 9)
+    return (g.withColumn("lambda_hat", lam)
+            .withColumn(
+                "revisit_interval",
+                F.when(F.col("n_changed") > 0,
+                       F.round(F.lit(1.0) / F.col("lambda_hat"), 6))))
