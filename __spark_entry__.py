@@ -1123,6 +1123,60 @@ SELECT doc_id,
 FROM t
 """
 
+def q_domain_priority(spark, sf_dir):
+    """Per-domain crawl-budget priorities from curation signals (the
+    focused-crawling loop, Chakrabarti et al. 1999 shape): average the
+    quality score of each domain's fetched documents, broadcast the
+    tiny per-domain weight table onto the frontier, and emit exactly
+    the (url_hash, priority) relation Crawler(priority_df=...)
+    consumes — high-quality domains get their quota slots first.
+    DECIMAL-summed average so the oracle is bit-equal; one uniform
+    groupBy(domain) + a broadcast join, zero large shuffles."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.functions.udfs import fnv64a_udf
+    from colly_spark.operators.text_quality import quality_score_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score_expr(F.col("text")).alias("q"))
+    w = (d.groupBy("source")
+         .agg(F.round(F.sum(F.col("q").cast("decimal(18,6)"))
+                      .cast("double") / F.count("*"), 9).alias("priority")))
+    urls = d.select(
+        "source",
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".test/doc/"),
+                 F.col("doc_id")).alias("url"))
+    return (urls.join(F.broadcast(w), "source")
+            .select(fnv64a_udf(F.col("url")).alias("url_hash"),
+                    F.col("source").alias("domain"), "priority")
+            .orderBy("url_hash"))
+
+
+def _domain_priority_sql() -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, source,
+                  string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+q AS (SELECT doc_id, source,
+  round(least(len(toks)::DOUBLE / 256.0, 1.0) * 0.5
+        + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.3
+        + least((list_reduce(list_transform(toks, x -> len(x)),
+                             (a, b) -> a + b)::DOUBLE
+                 / len(toks)) / 8.0, 1.0) * 0.2, 6) AS qs
+      FROM t),
+w AS (SELECT source,
+             round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 9) AS priority
+      FROM q GROUP BY 1),
+u AS (SELECT doc_id, source,
+             'http://' || source || '.test/doc/' || doc_id AS url
+      FROM documents)
+SELECT {_fnv_signed('url')} AS url_hash, u.source AS domain, priority
+FROM u JOIN w USING (source)
+ORDER BY url_hash
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021 App. A) over
     token n-grams: top-2/3-gram character coverage and duplicated-
@@ -3221,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "extract_main_text": q_extract_main_text,
         "recrawl_schedule": q_recrawl_schedule,
+        "domain_priority": q_domain_priority,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
@@ -3309,6 +3364,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _Q_C4_LINE_FILTER_SQL,
         "extract_main_text": _Q_EXTRACT_MAIN_TEXT_SQL,
         "recrawl_schedule": _Q_RECRAWL_SCHEDULE_SQL,
+        "domain_priority": _domain_priority_sql(),
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,

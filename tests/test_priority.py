@@ -130,3 +130,17 @@ def test_pagerank_priority_crawl_end_to_end(spark):
     mean2 = sum(b2[u] for u in top) / len(top)
     assert mean2 <= mean1
     assert any(b2[u] < b1[u] for u in top)
+
+
+def test_domain_priority_feeds_crawler_schema(spark):
+    """domain_priority emits exactly the (url_hash, priority) relation
+    Crawler(priority_df=...) consumes (plus the domain label)."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    df = entry.queries()["domain_priority"](spark, "/root/testdata/sf0.001")
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert fields["url_hash"] == "bigint"
+    assert fields["priority"] == "double"
+    rows = df.limit(50).collect()
+    assert rows and all(r.priority > 0 for r in rows)
