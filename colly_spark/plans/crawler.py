@@ -59,7 +59,7 @@ import pandas as pd
 from colly_spark import config as cfgmod
 from colly_spark.config import CrawlConfig
 from colly_spark.functions.udfs import canon_host_hash_udf, hostname_udf
-from colly_spark.operators import politeness, seen
+from colly_spark.operators import cuckoo, politeness, seen
 from colly_spark.operators.robots import robots_allowed_udf
 from colly_spark.plans.util import dense_seq
 
@@ -436,7 +436,9 @@ class Crawler:
                  fetch_source=None,
                  compact_every: int = 16,
                  compact_major_bases: int = 8,
-                 priority_df=None):
+                 priority_df=None,
+                 seen_filter: str = "bloom",
+                 cuckoo_buckets: int = cuckoo.DEFAULT_BUCKETS):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
         see plans/util.to_spark_corpus.
 
@@ -492,7 +494,16 @@ class Crawler:
         (queue/queue.go), which is what the parity suite pins. The
         join is broadcast below the auto-broadcast threshold and a
         hash join on url_hash above it (score tables pre-partition by
-        the same key at 10^10-frontier scale)."""
+        the same key at 10^10-frontier scale).
+
+        ``seen_filter``: which probabilistic layer fronts the exact
+        visited anti-join — "bloom" (operators/seen.py, default) or
+        "cuckoo" (operators/cuckoo.py). Same partitioning, same probe
+        contract, same exactness (the anti-join backstop absorbs false
+        positives either way); cuckoo additionally supports O(k)
+        deletion, which is what makes ``forget_visited`` — revisit
+        re-admission — cheap at 10^10 keys (Bloom must rebuild its
+        segments from the exact table)."""
         self.spark = spark
         self.cfg = cfg
         self.state = state_dir
@@ -537,8 +548,16 @@ class Crawler:
         self._lazy_robots = (self.live is not None and corpus is None
                              and not cfg.ignore_robots)
         self._robots_paths: list = []
-        self.bloom = seen.BloomSegments(
-            os.path.join(state_dir, "bloom"), bloom_partitions, bloom_bits)
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
+        self.seen_filter = seen_filter
+        if seen_filter == "cuckoo":
+            self.bloom = cuckoo.CuckooSegments(
+                os.path.join(state_dir, "cuckoo"), bloom_partitions,
+                cuckoo_buckets)
+        else:
+            self.bloom = seen.BloomSegments(
+                os.path.join(state_dir, "bloom"), bloom_partitions, bloom_bits)
         # exact visited set = the union of per-batch parquet deltas; kept
         # as a path list and scanned lazily (no driver-side state, no
         # checkpoint job per batch; at deployment this is one bucketed
@@ -637,6 +656,17 @@ class Crawler:
         return (df.withColumn("robots_ok", (F.col("method") == "HEAD") | ok)
                   .drop("_rhost", "_rbody", "_rerr"))
 
+    # ---- seen-filter dispatch (Bloom | cuckoo segments) ------------------
+    def _seen_probe(self, df, claim: bool = False):
+        if self.seen_filter == "cuckoo":
+            return cuckoo.cuckoo_probe(df, self.bloom, claim=claim)
+        return seen.bloom_probe(df, self.bloom, claim=claim)
+
+    def _seen_update(self, hashes_df) -> list:
+        if self.seen_filter == "cuckoo":
+            return cuckoo.cuckoo_update(self.spark, self.bloom, hashes_df)
+        return seen.bloom_update(self.spark, self.bloom, hashes_df)
+
     # ---- check-and-mark (D1) -------------------------------------------
     def _check_and_mark(self, df, batch: int, delta_tag: str):
         """df: candidate rows with url_hash, seq, needs_mark. Returns
@@ -661,7 +691,7 @@ class Crawler:
             # wins) is computed inside the co-partitioned probe task —
             # pid is a function of url_hash, so duplicates co-locate.
             # Definitely-new rows skip the exact join entirely.
-            probed = seen.bloom_probe(cand, self.bloom, claim=True).persist()
+            probed = self._seen_probe(cand, claim=True).persist()
             self._batch_persists.append(probed)
             dup_in_batch = probed.filter(F.col("_claim") > 1) \
                                  .drop("_claim", "maybe_seen", "pid")
@@ -754,12 +784,11 @@ class Crawler:
         self._visited_paths.append(delta_dir)
         self._visited_rows += _parquet_rows(delta_dir)
         if self._bloom_active:
-            seen.bloom_update(self.spark, self.bloom,
-                              self.spark.read.parquet(delta_dir))
+            self._seen_update(self.spark.read.parquet(delta_dir))
         elif self._visited_rows >= self._bloom_threshold:
             # threshold crossed: build the segments once from the exact
             # table; from now on every batch probes/updates them
-            seen.bloom_update(self.spark, self.bloom, self._visited_df())
+            self._seen_update(self._visited_df())
             self._bloom_active = True
 
     def _visited_df(self):
@@ -767,6 +796,89 @@ class Crawler:
         if not self._visited_paths:
             return self.spark.createDataFrame([], self.sch["visited"])
         return self.spark.read.parquet(*self._visited_paths)
+
+    def forget_visited(self, hashes) -> int:
+        """Revisit re-admission: remove URL hashes from the seen state
+        so their next sighting crawls again — the write half of
+        freshness-driven recrawl (operators/politeness.recrawl_schedule
+        decides WHICH hashes are due; this makes them crawlable).
+
+        ``hashes``: iterable of int64 url_hash values or a DataFrame
+        with a ``url_hash`` column. Returns the number of visited rows
+        actually removed (hashes never crawled are ignored).
+
+        Shape at scale (the Iceberg MERGE-DELETE analogue): ONE
+        anti-join pass rewrites the exact visited store into a bucketed
+        base — the same cost a compaction cycle already pays — ordered
+        write → manifest commit → GC, so a crash at any point resumes
+        consistently. The probabilistic layer is where the filters
+        differ: cuckoo segments delete exactly the k due fingerprints
+        in their own co-partitioned tasks (O(k)); Bloom cannot delete,
+        so its segments rebuild from the rewritten exact table (O(n) —
+        the reason ``seen_filter="cuckoo"`` exists).
+
+        Membership mode only: with ``max_revisits`` counting or
+        ``allow_url_revisit`` the visited rows ARE the counters and
+        removal would change unrelated semantics."""
+        from pyspark.sql import functions as F
+
+        if self.cfg.allow_url_revisit or self.cfg.max_revisits > 0:
+            raise ValueError(
+                "forget_visited requires membership dedup mode "
+                "(allow_url_revisit=False, max_revisits=0)")
+        self._join_marks()
+        if not self._visited_paths:
+            return 0
+        if isinstance(hashes, (list, tuple, set)):
+            due = self.spark.createDataFrame(
+                [(int(h),) for h in hashes], self.sch["visited"])
+        else:
+            due = hashes.select("url_hash")
+        # deletion soundness (operators/cuckoo.py): only hashes that
+        # were actually inserted may be deleted from the filter
+        due = (due.distinct()
+                  .join(self._visited_df(), "url_hash", "left_semi")
+                  .persist())
+        n_due = due.count()
+        if n_due == 0:
+            due.unpersist()
+            return 0
+        # 1) rewrite the exact store minus the due set into one
+        #    key-bucketed base (named compact_* so the compactor treats
+        #    it as a base; resume prunes it only if uncommitted)
+        self._forget_count = getattr(self, "_forget_count", 0) + 1
+        man_batch, man_seq = 0, getattr(self, "_next_seq", 0)
+        if os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as f:
+                man = json.load(f)
+            man_batch, man_seq = man["batch"], man["next_seq"]
+        out_dir = os.path.join(
+            self.state, "out", "visited",
+            f"compact_{man_batch:06d}_F{self._forget_count}")
+        rows = self._visited_rows
+        n_buckets = max(1, min(self._n_shuffle, rows // 2_000_000 + 1))
+        (self._visited_df().join(due, "url_hash", "left_anti")
+             .repartition(n_buckets, F.col("url_hash"))
+             .write.mode("overwrite").parquet(out_dir))
+        replaced = list(self._visited_paths)
+        self._visited_paths = [out_dir]
+        self._visited_rows = _parquet_rows(out_dir)
+        removed = rows - self._visited_rows
+        # 2) probabilistic layer
+        if self._bloom_active:
+            if self.seen_filter == "cuckoo":
+                cuckoo.cuckoo_delete(self.spark, self.bloom, due)
+            else:
+                shutil.rmtree(self.bloom.dir, ignore_errors=True)
+                os.makedirs(self.bloom.dir, exist_ok=True)
+                if self._visited_rows:
+                    self._seen_update(self._visited_df())
+        # 3) commit point, then GC the replaced dirs
+        self._gc_dirs.extend(replaced)
+        self._commit(man_batch, man_seq)
+        self._gc_replaced()
+        due.unpersist()
+        return removed
 
     def _cache_latest(self, batch: int):
         """X4 response-cache probe table: latest valid entry per request
@@ -1445,14 +1557,14 @@ class Crawler:
             self._cookie_paths = sorted(
                 _glob.glob(os.path.join(self.state, "out", "cookies", "batch_*")))
         self._visited_rows = sum(_parquet_rows(p) for p in self._visited_paths)
-        # Bloom = pure function of the visited set → rebuild (deployment:
-        # Iceberg-snapshot the segments instead)
+        # seen segments (Bloom or cuckoo) = pure function of the visited
+        # set → rebuild (deployment: Iceberg-snapshot the segments instead)
         shutil.rmtree(self.bloom.dir, ignore_errors=True)
         os.makedirs(self.bloom.dir, exist_ok=True)
         self._bloom_active = (self._bloom_threshold <= 0
                               or self._visited_rows >= self._bloom_threshold)
         if self._bloom_active and self._visited_paths:
-            seen.bloom_update(self.spark, self.bloom, self._visited_df())
+            self._seen_update(self._visited_df())
         frontier = self.spark.read.parquet(os.path.join(self.state, "snap", f"frontier_{b:06d}"))
         pending = self.spark.read.parquet(os.path.join(self.state, "snap", f"pending_{b:06d}"))
         return b + 1, man["next_seq"], frontier, pending
@@ -1467,22 +1579,7 @@ class Crawler:
         (url, method, body, depth, ctx) form seeds a generic request
         Context — dict or functions.context.Context — inherited by
         every descendant request, context.go:22-88)."""
-        from colly_spark.functions.context import ctx_json
-
-        rows, next_seq = [], 0
-        for s in seeds or []:
-            depth, ctx = 1, None
-            if isinstance(s, str):
-                url, method, body = s, "GET", None
-            elif len(s) == 5:
-                url, method, body, depth, ctx = s
-            elif len(s) == 4:
-                url, method, body, depth = s
-            else:
-                url, method, body = s
-            rows.append((next_seq, url, int(depth), method, body, None,
-                         ctx_json(ctx), False, 0))
-            next_seq += 1
+        rows, next_seq = self._seed_rows(seeds, 0)
         self._frontier = self.spark.createDataFrame(rows, self.sch["frontier"])
         self._pending = self.spark.createDataFrame([], self.sch["pending"])
         if self.live is not None and any(r[4] is not None for r in rows):
@@ -1503,6 +1600,53 @@ class Crawler:
                 "c_host string, c_name string, c_value string, c_batch int"
             ).coalesce(1).write.mode("overwrite").parquet(ck_dir)
             self._cookie_paths.append(ck_dir)
+
+    @staticmethod
+    def _seed_rows(seeds, start_seq: int):
+        from colly_spark.functions.context import ctx_json
+
+        rows, next_seq = [], start_seq
+        for s in seeds or []:
+            depth, ctx = 1, None
+            if isinstance(s, str):
+                url, method, body = s, "GET", None
+            elif len(s) == 5:
+                url, method, body, depth, ctx = s
+            elif len(s) == 4:
+                url, method, body, depth = s
+            else:
+                url, method, body = s
+            rows.append((next_seq, url, int(depth), method, body, None,
+                         ctx_json(ctx), False, 0))
+            next_seq += 1
+        return rows, next_seq
+
+    def submit(self, seeds) -> int:
+        """Queue additional requests onto already-initialized state —
+        the reference's repeated ``Visit`` / ``queue.Add`` analogue
+        (colly.go Visit re-entrancy; queue/queue.go:84-109 Add*). Seeds
+        take the same forms bootstrap accepts and get dense seqs after
+        the current ``next_seq``, so per-domain FIFO ordering extends
+        across submissions exactly like the reference's shared queue.
+
+        This is also the revisit half of recrawl scheduling:
+        ``load_state() → forget_visited(due) → submit(due_urls) →
+        run(resume=True)`` re-crawls exactly the due set under normal
+        dedup/politeness. Returns the number of queued requests."""
+        rows, next_seq = self._seed_rows(seeds, self._next_seq)
+        if not rows:
+            return 0
+        new = self.spark.createDataFrame(rows, self.sch["frontier"])
+        self._frontier = (new if self._n_frontier == 0
+                          else self._frontier.unionByName(new))
+        self._n_frontier += len(rows)
+        self._next_seq = next_seq
+        if self.live is not None:
+            from pyspark.sql import functions as F
+            bodies = self._frontier.filter(
+                F.col("body_req").isNotNull()).select("seq", "body_req")
+            self._live_bodies = bodies if not bodies.isEmpty() else None
+        return len(rows)
 
     def load_state(self) -> None:
         """Load crawl state from the last committed manifest (resume)."""
@@ -1532,10 +1676,13 @@ class Crawler:
 
     def run(self, seeds=None, max_batches: int = 10_000, resume: bool = False) -> CrawlHandles:
         """Drain the frontier to empty (or max_batches). With
-        ``resume=True``, continues from the last committed batch
-        (seeds ignored)."""
+        ``resume=True``, continues from the last committed batch;
+        seeds passed alongside resume are submit()-ed on top of the
+        restored frontier (the repeated-Visit form)."""
         if resume:
             self.load_state()
+            if seeds:
+                self.submit(seeds)
         else:
             self.bootstrap(seeds)
         while self._batch < max_batches:

@@ -1,0 +1,216 @@
+"""Cuckoo URL-seen layer (operators/cuckoo.py) + revisit re-admission
+(Crawler.forget_visited / submit).
+
+The north-star names a "partitioned bloom/cuckoo URL-seen filter";
+operators/seen.py is the Bloom half, this pins the cuckoo half:
+
+- data-structure laws: no false negatives, deletion removes exactly one
+  inserted copy and never false-negatives other inserted keys, stash
+  spill + overflow honesty, batch-split equivalence, save/load;
+- engine equality: a drain with seen_filter="cuckoo" produces the same
+  trace/seen-set as the Bloom path (both forced on via
+  bloom_threshold_rows=0) — semantics live in the exact backstop, the
+  filter only prunes it;
+- the recrawl loop: forget_visited (cuckoo O(k) delete + visited
+  rewrite) → submit(due) → drain refetches exactly the due set, and
+  the whole thing survives kill/resume across the forget boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from colly_spark.config import CrawlConfig
+from colly_spark.functions.urlnorm import (canonicalize, request_hash,
+                                           to_signed64)
+from colly_spark.operators import cuckoo
+from colly_spark.plans.crawler import Crawler
+
+from tests.test_crawler_parity import _engine_seen
+
+
+def _url_hash(url: str) -> int:
+    return to_signed64(request_hash(canonicalize(url)))
+
+
+# ---------- data-structure laws ----------------------------------------
+
+def _keys(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return np.unique(rng.integers(-2**63, 2**63 - 1, size=n, dtype=np.int64))
+
+
+def test_no_false_negatives_at_high_load():
+    keys = _keys(60_000)  # 91.5% of 2^14 * 4 slots
+    t, s = cuckoo.new_table(), cuckoo.new_stash()
+    t, s = cuckoo.add_table(t, s, keys)
+    assert cuckoo.probe_table(t, s, keys).all()
+    absent = np.setdiff1d(
+        np.random.default_rng(9).integers(-2**63, 2**63 - 1, size=20_000,
+                                          dtype=np.int64), keys)
+    # ~0.03% expected at 16-bit fingerprints / 4 slots; generous bound
+    assert cuckoo.probe_table(t, s, absent).mean() < 0.005
+
+
+def test_delete_is_exact_and_safe_for_other_keys():
+    keys = _keys(50_000)
+    t, s = cuckoo.new_table(), cuckoo.new_stash()
+    t, s = cuckoo.add_table(t, s, keys)
+    dele, keep = keys[::2], keys[1::2]
+    t, s, nd = cuckoo.delete_table(t, s, dele)
+    assert nd == len(dele)
+    # every kept (inserted) key still probes positive — deletion of
+    # inserted keys can never false-negative another inserted key
+    assert cuckoo.probe_table(t, s, keep).all()
+    # deleted keys drop to collision-FP level
+    assert cuckoo.probe_table(t, s, dele).mean() < 0.005
+    # freed slots are reusable
+    t, s = cuckoo.add_table(t, s, dele[:500])
+    assert cuckoo.probe_table(t, s, dele[:500]).all()
+
+
+def test_batch_split_equivalence():
+    keys = _keys(10_000)
+    t1, s1 = cuckoo.add_table(cuckoo.new_table(), cuckoo.new_stash(), keys)
+    t2, s2 = cuckoo.new_table(), cuckoo.new_stash()
+    for chunk in np.array_split(keys, 7):
+        t2, s2 = cuckoo.add_table(t2, s2, chunk)
+    assert cuckoo.probe_table(t1, s1, keys).all()
+    assert cuckoo.probe_table(t2, s2, keys).all()
+
+
+def test_duplicate_inserts_hold_two_copies():
+    # same key twice -> two fingerprint copies -> one delete leaves one
+    t, s = cuckoo.new_table(), cuckoo.new_stash()
+    k = np.array([12345, 12345], dtype=np.int64)
+    t, s = cuckoo.add_table(t, s, k)
+    t, s, nd = cuckoo.delete_table(t, s, k[:1])
+    assert nd == 1
+    assert cuckoo.probe_table(t, s, k[:1]).all()
+
+
+def test_stash_spill_and_overflow_raise():
+    # tiny table: 4 buckets * 4 slots = 16 slots; push way past capacity
+    t = cuckoo.new_table(4)
+    s = cuckoo.new_stash()
+    keys = _keys(300, seed=3)
+    with pytest.raises(RuntimeError, match="over capacity"):
+        cuckoo.add_table(t, s, keys)
+    # below the raise point spills are probed correctly
+    t = cuckoo.new_table(4)
+    sub = keys[:40]
+    t, s = cuckoo.add_table(t, cuckoo.new_stash(), sub)
+    assert len(s) > 0  # actually spilled
+    assert cuckoo.probe_table(t, s, sub).all()
+    # stash entries delete too
+    t, s, nd = cuckoo.delete_table(t, s, sub)
+    assert nd == len(sub)
+
+
+def test_segments_save_load_roundtrip(tmp_path):
+    seg = cuckoo.CuckooSegments(str(tmp_path / "ck"), n_partitions=4,
+                                n_buckets=1 << 8)
+    keys = _keys(500, seed=11)
+    t, s = cuckoo.add_table(cuckoo.new_table(1 << 8), cuckoo.new_stash(),
+                            keys[:300])
+    seg.save(2, t, s)
+    t2, s2 = seg.load(2)
+    assert np.array_equal(t, t2) and np.array_equal(s, s2)
+    t3, s3 = seg.load(3)  # absent pid -> empty
+    assert (t3 == 0).all() and len(s3) == 0
+
+
+# ---------- engine equality + recrawl loop ------------------------------
+
+CFG = dict(max_depth=3, ignore_robots=True)
+SEEDS = ["http://d00.test/", "http://d01.test/"]
+
+
+def _sig(handles):
+    trace = sorted((r["batch"], r["seq"], r["url"], r["final_url"],
+                    r["status"]) for r in handles.trace().collect())
+    return trace, sorted(_engine_seen(handles))
+
+
+def test_drain_equality_bloom_vs_cuckoo(spark, corpus_spark, tmp_state):
+    import tempfile
+
+    sb = tempfile.mkdtemp(prefix="colly_bloom_")
+    hb = Crawler(spark, corpus_spark, CrawlConfig(**CFG), sb,
+                 bloom_threshold_rows=0).run(list(SEEDS))
+    hc = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                 bloom_threshold_rows=0, seen_filter="cuckoo").run(list(SEEDS))
+    assert _sig(hc) == _sig(hb)
+    # the cuckoo state dir actually carries cuckoo segments
+    assert glob.glob(os.path.join(tmp_state, "cuckoo", "seg_*.npz"))
+    import shutil
+    shutil.rmtree(sb, ignore_errors=True)
+
+
+@pytest.mark.parametrize("filt", ["cuckoo", "bloom"])
+def test_forget_then_submit_refetches_exactly_due_set(
+        spark, corpus_spark, tmp_state, filt):
+    cr = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                 bloom_threshold_rows=0, seen_filter=filt)
+    h1 = cr.run(list(SEEDS))
+    seen1 = _engine_seen(h1)
+    # pick two crawled URLs as "due for revisit" (no-redirect rows so
+    # the request hash is the visited mark)
+    t1 = sorted(r["url"] for r in h1.trace().collect()
+                if r["url"] == r["final_url"] and r["url"] not in SEEDS)
+    due_urls = t1[:2]
+    due_hashes = [_url_hash(u) for u in due_urls]
+    assert set(due_hashes) <= seen1
+    removed = cr.forget_visited(due_hashes)
+    assert removed == len(due_urls)
+    assert _engine_seen(cr.handles()) == seen1 - set(due_hashes)
+    # never-crawled hashes are ignored (cuckoo deletion-soundness guard)
+    assert cr.forget_visited([999_999_999_999]) == 0
+    # resubmit the due URLs: they refetch exactly once; nothing else does
+    cr.submit([*due_urls, SEEDS[0]])  # a still-marked URL must NOT refetch
+    while cr.step():
+        pass
+    h2 = cr.handles()
+    import collections
+    counts = collections.Counter(r["url"] for r in h2.trace().collect())
+    for u in due_urls:
+        assert counts[u] == 2, f"{u} should have exactly 2 fetches"
+    assert counts[SEEDS[0]] == 1, "still-marked seed must stay deduped"
+    # seen-set is restored (due URLs re-marked; links they re-discover
+    # were already marked)
+    assert _engine_seen(h2) == seen1
+
+
+def test_forget_requires_membership_mode(spark, corpus_spark, tmp_state):
+    cr = Crawler(spark, corpus_spark,
+                 CrawlConfig(max_depth=2, ignore_robots=True, max_revisits=1),
+                 tmp_state, bloom_threshold_rows=0)
+    cr.run([SEEDS[0]], max_batches=2)
+    with pytest.raises(ValueError, match="membership"):
+        cr.forget_visited([1])
+
+
+def test_forget_survives_kill_and_resume(spark, corpus_spark, tmp_state):
+    cr = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                 bloom_threshold_rows=0, seen_filter="cuckoo")
+    h1 = cr.run(list(SEEDS))
+    seen1 = _engine_seen(h1)
+    urls = sorted(r["url"] for r in h1.trace().collect()
+                  if r["url"] == r["final_url"])[:3]
+    due = [_url_hash(u) for u in urls]
+    cr.forget_visited(due)
+    # "kill": drop the object; a fresh Crawler resumes from the manifest
+    cr2 = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                  bloom_threshold_rows=0, seen_filter="cuckoo")
+    cr2.load_state()  # lineage footers verify here
+    assert _engine_seen(cr2.handles()) == seen1 - set(due)
+    assert cr2._visited_rows == len(seen1) - 3
+    # resumed segments admit the forgotten URLs again: re-crawl them
+    cr2.submit(urls)
+    while cr2.step():
+        pass
+    assert _engine_seen(cr2.handles()) == seen1
