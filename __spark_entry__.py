@@ -1712,6 +1712,45 @@ FROM '{_REPO}/golden/bpe_encode.parquet' ORDER BY doc_id
 """
 
 
+def q_unigram_train(spark, sf_dir):
+    """Distributed unigram-LM tokenizer TRAINING (Kudo 2018 — the
+    SentencePiece family, hard-EM/Viterbi variant): substring seeding
+    is one Catalyst explode+groupBy capped by TakeOrderedAndProject;
+    each EM round is map-side Viterbi (Arrow UDF, broadcast vocab) +
+    one groupBy(piece) integer sum, vocab-sized driver traffic only.
+    operators/unigram.py documents the 100-TB shape. Golden-oracled
+    against the independent pure-Python reference
+    (oracle/unigram_ref.py) at sf0.01 — bit-exact incl. logp."""
+    from colly_spark.operators.unigram import train_unigram
+
+    return train_unigram(_docs(spark, sf_dir)).orderBy("piece")
+
+
+_Q_UNIGRAM_TRAIN_SQL = f"""
+SELECT piece, count, logp
+FROM '{_REPO}/golden/unigram_vocab.parquet' ORDER BY piece
+"""
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Encode every document with the vocab `unigram_train` just
+    learned (train → broadcast the vocab-sized piece table into an
+    Arrow UDF → map-side Viterbi with a per-batch word cache).
+    Golden-oracled at sf0.01."""
+    from colly_spark.operators.unigram import (encode_with_vocab,
+                                               train_unigram)
+
+    docs = _docs(spark, sf_dir)
+    vocab = train_unigram(docs).collect()
+    return encode_with_vocab(docs, vocab).orderBy("doc_id")
+
+
+_Q_UNIGRAM_ENCODE_SQL = f"""
+SELECT doc_id, n_pieces, n_distinct_pieces
+FROM '{_REPO}/golden/unigram_encode.parquet' ORDER BY doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
     add-alpha bigram LM on a trusted reference slice (here the
@@ -3268,6 +3307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
         "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
         "classifier_planted": q_classifier_planted,
@@ -3357,6 +3398,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_sql(),
         "bpe_train": _Q_BPE_TRAIN_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
+        "unigram_train": _Q_UNIGRAM_TRAIN_SQL,
+        "unigram_encode": _Q_UNIGRAM_ENCODE_SQL,
         "pagerank": _pagerank_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "classifier_planted": _classifier_planted_sql(),

@@ -74,7 +74,8 @@ QUERY_SKIP = {"crawl_trace", "crawl_events"}
 # two-query streaming feedback loop to convergence. The BPE pair are
 # likewise bound by 40 sequential argmax rounds of fixed job latency
 # (bpe_encode re-trains to get its merges), not by corpus size.
-QUERY_ONCE = {"continuous_crawl", "bpe_train", "bpe_encode"}
+QUERY_ONCE = {"continuous_crawl", "bpe_train", "bpe_encode",
+              "unigram_train", "unigram_encode"}
 
 
 def bench_query_names(qs) -> list:

@@ -420,6 +420,42 @@ def make_bpe() -> None:
     print(f"bpe: {len(merges)} merges, {len(enc)} encoded docs")
 
 
+def make_unigram() -> None:
+    """unigram_vocab.parquet + unigram_encode.parquet: expected output
+    of `unigram_train` (vocab_size=150, seed_size=300, max_piece_len=5,
+    n_rounds=4) and `unigram_encode` over the sf0.01 documents table,
+    computed by the independent pure-Python reference
+    (oracle/unigram_ref.py) — the iterate-segment-prune loop is not one
+    SQL statement, so the golden discipline applies (same as bpe)."""
+    import duckdb
+
+    from colly_spark.oracle import unigram_ref
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+    texts = [t for _i, t in rows]
+    vocab = unigram_ref.train(texts, vocab_size=150, seed_size=300,
+                              max_piece_len=5, n_rounds=4)
+    vt = pa.Table.from_pandas(
+        pd.DataFrame(vocab, columns=["piece", "count", "logp"]),
+        schema=pa.schema([("piece", pa.string()), ("count", pa.int64()),
+                          ("logp", pa.float64())]),
+        preserve_index=False)
+    pq.write_table(vt, os.path.join(GOLDEN, "unigram_vocab.parquet"))
+
+    enc = unigram_ref.encode_texts(texts, vocab, max_piece_len=5)
+    et = pa.Table.from_pandas(
+        pd.DataFrame([(i, n, d) for (i, _t), (n, d) in zip(rows, enc)],
+                     columns=["doc_id", "n_pieces", "n_distinct_pieces"]),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_pieces", pa.int64()),
+                          ("n_distinct_pieces", pa.int64())]),
+        preserve_index=False)
+    pq.write_table(et, os.path.join(GOLDEN, "unigram_encode.parquet"))
+    print(f"unigram: {len(vocab)} vocab pieces, {len(enc)} encoded docs")
+
+
 def make_av() -> None:
     """audio_features.parquet + video_frames.parquet: expected output
     of `audio_features` / `video_frames`, computed WITHOUT the
@@ -504,4 +540,5 @@ if __name__ == "__main__":
     make_image_metadata_scrub()
     make_warc_fixture()
     make_bpe()
+    make_unigram()
     make_av()

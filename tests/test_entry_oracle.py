@@ -53,6 +53,8 @@ ORACLES = sorted(entry_mod.oracle_sql())
 # covered by tests/test_bpe.py.
 GOLDEN_SF = {"bpe_train": "/root/testdata/sf0.01",
              "bpe_encode": "/root/testdata/sf0.01",
+             "unigram_train": "/root/testdata/sf0.01",
+             "unigram_encode": "/root/testdata/sf0.01",
              "extract_main_text": "/root/testdata/sf0.01"}
 
 
