@@ -612,6 +612,70 @@ ORDER BY doc_id
 """
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-weighted domain mixture sampling (T5/mT5 §3.1
+    α-sampling, α=0.5) with exact water-filling caps: small domains
+    saturate (take everything), the rest split the remaining budget by
+    n^α weight — the data-mixing step of every multi-source training
+    corpus. Domains here are the naturally skewed bit-length buckets
+    of doc_id (sizes 1, 2, 4, …); budget = 40% of the corpus. All
+    arithmetic is integer/DECIMAL-exact (operators/sampling.
+    domain_mixture_quotas), so the DuckDB oracle matches bit-for-bit;
+    within-domain picks are content-stable FNV ranks (the
+    dataset_split discipline)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.sampling import domain_mixture_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("b"),
+                 F.length(F.conv(F.col("doc_id") + 1, 10, 2))
+                 .cast("string")).alias("dom"))
+    budget = d.count() * 2 // 5
+    return (domain_mixture_sample(d, budget, alpha=0.5,
+                                  domain_col="dom", key_col="doc_id")
+            .select("doc_id", "dom").orderBy("doc_id"))
+
+
+_Q_DOMAIN_MIXTURE_SQL = f"""
+WITH d AS (SELECT doc_id, 'b' || length(bin(doc_id + 1)) AS dom
+           FROM documents),
+b AS (SELECT (count(*) * 2) // 5 AS budget FROM documents),
+c AS (SELECT dom, count(*)::BIGINT AS n FROM d GROUP BY dom),
+w AS (SELECT dom, n,
+             CAST(floor(sqrt(n::DOUBLE) * 1e12) AS HUGEINT) AS s12,
+             COALESCE(SUM(n) OVER (ORDER BY n ASC, dom ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_n_prev,
+             SUM(CAST(floor(sqrt(n::DOUBLE) * 1e12) AS HUGEINT)) OVER (
+               ORDER BY n ASC, dom ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_s
+      FROM c),
+s AS (SELECT w.*,
+             (n::HUGEINT * suf_s)
+               <= (GREATEST(budget - cum_n_prev, 0)::HUGEINT * s12) AS sat
+      FROM w, b),
+tot AS (SELECT (SELECT budget FROM b)
+                 - COALESCE(SUM(CASE WHEN sat THEN n END), 0) AS r_rem,
+               COALESCE(SUM(CASE WHEN NOT sat THEN s12 END),
+                        1::HUGEINT) AS s_unsat
+        FROM s),
+q AS (SELECT dom, n,
+             CASE WHEN sat THEN n
+                  ELSE GREATEST(0, LEAST(n,
+                    (r_rem::HUGEINT * s12) // s_unsat)) END AS quota
+      FROM s, tot),
+r AS (SELECT doc_id, dom,
+             row_number() OVER (PARTITION BY dom ORDER BY
+               (({_fnv_signed('CAST(doc_id AS VARCHAR)')} % 1000000000)
+                 + 1000000000) % 1000000000 ASC, doc_id ASC) AS rk
+      FROM d)
+SELECT r.doc_id, r.dom FROM r JOIN q USING (dom)
+WHERE rk <= quota ORDER BY doc_id
+"""
+
+
 def q_token_shards(spark, sf_dir):
     """Greedy token-budget shard packing (the training-data layout
     step): within each source, documents in doc_id order accumulate
@@ -3259,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "domain_mixture": q_domain_mixture,
         "token_shards": q_token_shards,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -3347,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _Q_DOMAIN_CAP_SQL,
         "dataset_split": _Q_DATASET_SPLIT_SQL,
         "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
+        "domain_mixture": _Q_DOMAIN_MIXTURE_SQL,
         "token_shards": _Q_TOKEN_SHARDS_SQL,
         "cosine_topk": _Q_COSINE_SQL,
         "ann_lsh": _ann_lsh_sql(),

@@ -31,6 +31,95 @@ from pyspark.sql import Window, functions as F
 from colly_spark.functions.udfs import fnv64a_udf
 
 
+def domain_mixture_quotas(dom_counts, budget: int, alpha: float = 0.5):
+    """Temperature-weighted domain quotas with exact water-filling caps
+    (the T5/mT5 §3.1 α-sampling rule, Raffel et al. 2020 / Xue et al.
+    2021): sample domain d proportionally to n_d^α — α < 1 upweights
+    small domains — but never more than the domain HAS. The
+    proportional allocation min(n_d, τ·n_d^α) with Σ = budget is the
+    classic water-filling problem; small domains saturate (take all
+    n_d), the remainder splits by weight.
+
+    Exact arithmetic end to end so the DuckDB oracle matches bit-for-
+    bit: weights are scaled to integers (s12 = ⌊n^α · 10^12⌋ — for the
+    oracled α=0.5 the double sqrt is IEEE-exact, so both engines floor
+    the same double), the saturation test is the cross-multiplied
+    integer comparison n·S ≤ R·s (no division), and the final quota is
+    the integral quotient (R·s12) DIV S12 — floor of an exact
+    rational, never a rounded float. Σ quotas ≤ budget with at most
+    one lost row per unsaturated domain (flooring), the standard
+    mixture-sampling contract.
+
+    ``dom_counts``: (dom, n) — the per-domain count table. It is
+    vocabulary-small by construction (data sources / languages /
+    buckets), so single-partition window aggregation over it is free;
+    the corpus itself never enters this function. α ∈ (0, 1] (the
+    upweight-small regime; r_d = n_d/s_d must be monotone in n_d for
+    the saturated set to be a sorted prefix).
+
+    Returns (dom, n, quota).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    d38 = "decimal(38,0)"
+    w = Window.orderBy(F.asc("n"), F.asc("dom"))
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    ws = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g = (dom_counts
+         .withColumn("s12", F.floor(
+             F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+             * F.lit(1e12)).cast(d38))
+         .withColumn("cum_n_prev",
+                     F.coalesce(F.sum("n").over(wp), F.lit(0)))
+         .withColumn("suf_s", F.sum("s12").over(ws))
+         .withColumn("rem", F.lit(budget) - F.col("cum_n_prev"))
+         .withColumn("sat",
+                     (F.col("n").cast(d38) * F.col("suf_s"))
+                     <= (F.greatest(F.col("rem"), F.lit(0)).cast(d38)
+                         * F.col("s12"))))
+    # R = budget - Σ_sat n, S = Σ_unsat s12 (1-row broadcast)
+    tot = g.agg(
+        (F.lit(budget)
+         - F.coalesce(F.sum(F.when(F.col("sat"), F.col("n"))), F.lit(0))
+         ).cast(d38).alias("R"),
+        F.coalesce(F.sum(F.when(~F.col("sat"), F.col("s12"))),
+                   F.lit(1).cast(d38)).alias("S"))
+    return (g.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "quota",
+                F.when(F.col("sat"), F.col("n"))
+                 .otherwise(F.greatest(F.lit(0).cast("bigint"), F.least(
+                     F.col("n"),
+                     F.expr("(R * s12) DIV S").cast("bigint")))))
+            .select("dom", "n", "quota"))
+
+
+def domain_mixture_sample(df, budget: int, alpha: float = 0.5,
+                          domain_col: str = "source",
+                          key_col: str = "doc_id"):
+    """Select ``quota_d`` rows per domain under the α-temperature
+    mixture (domain_mixture_quotas above). Within a domain the picks
+    are content-stable: rank by (pmod(FNV-64a(key), 10^9), key) — the
+    ``dataset_split`` discipline, so the sample never flips under
+    recomputation and only grows monotonically-by-rank under corpus
+    growth. One count groupBy + one per-domain window; the quota table
+    broadcasts back onto the corpus."""
+    dom_counts = (df.groupBy(F.col(domain_col).alias("dom"))
+                  .agg(F.count("*").alias("n")))
+    quotas = (domain_mixture_quotas(dom_counts, budget, alpha)
+              .select(F.col("dom").alias("_mix_dom"),
+                      F.col("quota").alias("_mix_quota")))
+    rank_w = Window.partitionBy(domain_col).orderBy(
+        F.pmod(fnv64a_udf(F.col(key_col).cast("string")),
+               F.lit(1_000_000_000)).asc(),
+        F.col(key_col).asc())
+    return (df.withColumn("_rank", F.row_number().over(rank_w))
+            .join(F.broadcast(quotas),
+                  F.col(domain_col) == F.col("_mix_dom"), "inner")
+            .filter(F.col("_rank") <= F.col("_mix_quota"))
+            .drop("_rank", "_mix_dom", "_mix_quota"))
+
+
 def stratified_sample(df, thresholds: dict[str, int], default_permille: int,
                       key_col: str = "doc_id", strata_col: str = "source"):
     """Rows admitted at per-stratum rates (permille of the keyspace).
