@@ -31,8 +31,11 @@ buckets (power of two) × 4 slots of 16-bit fingerprints, 0 = empty.
 For key hash h:
 
     fp  = splitmix64(h) & 0xFFFF      (0 remapped to 0xFFFF)
-    i1  = h mod n_buckets
+    i1  = (splitmix64(h) >> 16) mod n_buckets
     i2  = i1 XOR (splitmix64(fp) mod n_buckets)
+
+(i1 uses the mix's high bits, disjoint from the fingerprint's low 16
+and uncorrelated with the pid partitioning — see _buckets.)
 
 ``i2`` depends on (i1, fp) only and the XOR is self-inverse, so any
 resident fingerprint can be kicked to its alternate bucket — and any
@@ -82,9 +85,16 @@ def _fingerprint(h_u64: np.ndarray) -> np.ndarray:
 
 
 def _buckets(h_u64: np.ndarray, fp: np.ndarray, n_buckets: int):
-    """(i1, i2) bucket indices, both uint64 < n_buckets (power of 2)."""
+    """(i1, i2) bucket indices, both uint64 < n_buckets (power of 2).
+
+    i1 comes from the HIGH bits of the splitmix-mixed hash, never the
+    raw hash: the caller partitions keys by ``pmod(hash, P)`` (P a
+    power of two), so every key in a segment shares its low log2(P)
+    bits — a raw ``h mod n_buckets`` would alias onto every P-th
+    bucket and overload them P-fold. The fingerprint uses the mix's
+    low 16 bits, disjoint from the bucket bits."""
     nb = np.uint64(n_buckets)
-    i1 = h_u64 % nb
+    i1 = (_splitmix64(h_u64) >> np.uint64(16)) % nb
     alt = _splitmix64(fp.astype(np.uint64)) % nb
     return i1, i1 ^ alt
 
@@ -204,35 +214,62 @@ def add_table(table: np.ndarray, stash: np.ndarray,
     return table, np.array(stash_list, dtype=np.uint64)
 
 
+def _delete_one(table, stash_list, i1, i2, fp) -> int:
+    """Per-item fallback: remove one copy at i1/i2/stash."""
+    for b in (i1, i2):
+        hit = np.flatnonzero(table[b] == fp)
+        if len(hit):
+            table[b, hit[0]] = 0
+            return 1
+    for p in (_stash_pack(i1, fp), _stash_pack(i2, fp)):
+        if p in stash_list:
+            stash_list.remove(p)
+            return 1
+    return 0
+
+
 def delete_table(table: np.ndarray, stash: np.ndarray,
                  hashes_i64: np.ndarray):
     """Remove ONE fingerprint copy per hash (caller guarantees each
     hash was inserted — sound per the module docstring). Returns
     (table, stash, n_deleted); hashes not found are counted out (the
-    caller treats that as a bug upstream, not here)."""
+    caller treats that as a bug upstream, not here).
+
+    Vectorized bulk path mirroring add_table: keys whose fingerprint
+    matches a UNIQUE (bucket, slot) target in bucket i1 or i2 clear in
+    two numpy scatter rounds; keys colliding on the same target (two
+    due keys sharing a bucket+fingerprint — each owns one copy) and
+    stash residents fall back to the per-item walk, which re-reads the
+    post-scatter table so every copy is accounted once."""
     n_buckets = table.shape[0]
+    h_all = np.asarray(hashes_i64, dtype=np.int64).view(np.uint64)
     stash_list = list(stash)
+    if len(h_all) == 0:
+        return table, np.array(stash_list, dtype=np.uint64), 0
+    fp = _fingerprint(h_all)
+    i1, i2 = _buckets(h_all, fp, n_buckets)
     n_del = 0
-    for h in np.asarray(hashes_i64, dtype=np.int64).view(np.uint64):
-        arr = np.array([h], dtype=np.uint64)
-        fp = np.uint16(_fingerprint(arr)[0])
-        i1, i2 = _buckets(arr, np.array([fp], dtype=np.uint16), n_buckets)
-        done = False
-        for b in (int(i1[0]), int(i2[0])):
-            hit = np.flatnonzero(table[b] == fp)
-            if len(hit):
-                table[b, hit[0]] = 0
-                n_del += 1
-                done = True
-                break
-        if done:
-            continue
-        for p in (_stash_pack(int(i1[0]), int(fp)),
-                  _stash_pack(int(i2[0]), int(fp))):
-            if p in stash_list:
-                stash_list.remove(p)
-                n_del += 1
-                break
+    pending = np.arange(len(h_all))
+    for tgt in (i1.astype(np.int64), i2.astype(np.int64)):
+        if not len(pending):
+            break
+        b = tgt[pending]
+        match = table[b] == fp[pending, None]          # (m, SLOTS) bool
+        has = match.any(axis=1)
+        slot = match.argmax(axis=1)
+        packed = b * SLOTS + slot                      # candidate targets
+        # clear only targets claimed by exactly one pending key
+        _u, first_idx, counts = np.unique(packed[has], return_index=True,
+                                          return_counts=True)
+        uniq_rows = np.flatnonzero(has)[first_idx[counts == 1]]
+        table[b[uniq_rows], slot[uniq_rows]] = 0
+        n_del += len(uniq_rows)
+        done = np.zeros(len(pending), dtype=bool)
+        done[uniq_rows] = True
+        pending = pending[~done]
+    for j in pending:
+        n_del += _delete_one(table, stash_list, int(i1[j]), int(i2[j]),
+                             np.uint16(fp[j]))
     return table, np.array(stash_list, dtype=np.uint64), n_del
 
 
