@@ -86,3 +86,34 @@ def test_crawl_requests_jsonl(tmp_path):
     d00 = tbl[tbl.url.str.startswith("http://d00.test")]
     assert (d00.depth == 2).all() and len(d00) == 1
     assert (tbl[tbl.url.str.contains("d01.test")].method == "POST").all()
+
+
+def test_crawl_forget_campaign_cli(tmp_path):
+    """--seen-filter cuckoo crawl, then a --forget revisit campaign
+    over the same state dir: the due URL refetches (fetched ≥ 1),
+    already-marked seeds stay deduped."""
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    state = str(tmp_path / "state")
+    base = [sys.executable, "-m", "colly_spark", "crawl",
+            "--fixture-corpus", "--state-dir", state,
+            "--max-depth", "2", "--cpus", "4",
+            "--shuffle-partitions", "8", "--seen-filter", "cuckoo"]
+    out = subprocess.run(base + ["http://d00.test/"],
+                         capture_output=True, text=True,
+                         cwd=str(tmp_path), env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    first = json.loads(out.stdout.strip().splitlines()[-1])
+    due = str(tmp_path / "due.txt")
+    with open(due, "w") as f:
+        f.write("http://d00.test/\n")
+    out2 = subprocess.run(base + ["http://d00.test/", "--forget", due],
+                          capture_output=True, text=True,
+                          cwd=str(tmp_path), env=env, timeout=600)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "forgot 1 visited marks" in out2.stderr
+    second = json.loads(out2.stdout.strip().splitlines()[-1])
+    # the metrics history restores across resume, so the campaign's
+    # summary is the first crawl plus EXACTLY the one forgotten URL —
+    # its links are still marked and stay deduped
+    assert first["fetched"] > 1
+    assert second["fetched"] == first["fetched"] + 1
