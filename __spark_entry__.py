@@ -2830,6 +2830,28 @@ def q_image_decode(spark, sf_dir):
         repartition_to=8)
 
 
+def q_image_stats(spark, sf_dir):
+    """Pixel-quality admission signals (the LAION-style image filter
+    shape): decode every image across the five corpus codecs and
+    compute BT.601-luma mean / contrast / histogram entropy / mean
+    |Laplacian| sharpness — map-side mapInPandas, binary column never
+    shuffles. Golden-oracled (plain-Python replica of the same
+    generate→encode→decode→stats pipeline); the stat math itself is
+    KAT'd by hand in tests/test_image_stats.py."""
+    from colly_spark.operators.multimodal import image_stats, synthesize_images
+
+    return image_stats(
+        synthesize_images(spark, 64, fmt_cycle=(
+            "png", "jpeg", "webp", "avif", "webp_lossy"))
+    ).orderBy("image_id")
+
+
+_Q_IMAGE_STATS_SQL = f"""
+SELECT image_id, fmt, mean_luma, contrast, entropy, sharpness, decode_ok
+FROM '{_REPO}/golden/image_stats.parquet' ORDER BY image_id
+"""
+
+
 def q_image_metadata_scrub(spark, sf_dir):
     """EXIF/comment scrubbing over the five-codec image table — the
     privacy pass of an image pipeline.  The synthetic images are born
@@ -3362,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace": q_crawl_trace,
         "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
+        "image_stats": q_image_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
         "phash_near_dup": q_phash_near_dup,
         "image_corpus_filter": q_image_corpus_filter,
@@ -3454,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "crawl_events": _Q_CRAWL_EVENTS_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
+        "image_stats": _Q_IMAGE_STATS_SQL,
         "image_metadata_scrub": _Q_IMAGE_SCRUB_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,

@@ -71,6 +71,77 @@ def decode_meta(df, id_col: str = "image_id", bytes_col: str = "bytes",
     return sel.mapInPandas(_decode, schema=_meta_schema())
 
 
+def luma_stats(px: np.ndarray):
+    """Pixel-quality statistics over the ITU-R BT.601 integer luma
+    (exactly ⌊(299R + 587G + 114B)/1000⌋, so the value set is 0..255
+    and replica-exact): mean, population std (contrast), Shannon
+    entropy of the 256-bin histogram in bits, and mean |4-neighbor
+    Laplacian| over interior pixels (the classic variance-of-Laplacian
+    blur proxy's L1 sibling — 0 for flat images, large for noise).
+    All rounded to 6 dp. Pure numpy — shared by the operator and the
+    golden replica; the stat MATH is pinned by hand-computed KATs
+    (tests/test_image_stats.py), the golden pins the decode round-trip
+    + Arrow plumbing (the audio_features discipline)."""
+    lum = ((299 * px[..., 0].astype(np.int64)
+            + 587 * px[..., 1].astype(np.int64)
+            + 114 * px[..., 2].astype(np.int64)) // 1000)
+    mean = round(float(lum.mean()), 6)
+    contrast = round(float(lum.std()), 6)
+    hist = np.bincount(lum.ravel(), minlength=256)
+    p = hist[hist > 0] / lum.size
+    entropy = round(float(-(p * np.log2(p)).sum()), 6)
+    if lum.shape[0] >= 3 and lum.shape[1] >= 3:
+        lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+               - lum[1:-1, :-2] - lum[1:-1, 2:])
+        sharpness = round(float(np.abs(lap).mean()), 6)
+    else:
+        sharpness = None
+    return mean, contrast, entropy, sharpness
+
+
+def image_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
+                fmt_col: str = "fmt"):
+    """LAION-style pixel-quality admission signals: decode each image
+    and compute luma_stats — the flat/low-entropy/blurred screens a
+    web image corpus filters before training. Arrow-batched
+    mapInPandas, map-side only (the binary column never shuffles);
+    poison rows yield decode_ok=false + NULL stats instead of failing
+    the job. Downstream: filter on the columns (e.g. entropy ≥ 1 bit,
+    contrast ≥ 5) exactly like image_corpus_filter's metadata gates."""
+    from pyspark.sql.types import (BooleanType, DoubleType, StringType,
+                                   StructField, StructType)
+
+    sel = df.select(df[id_col].alias("image_id"),
+                    df[bytes_col].alias("bytes"), df[fmt_col].alias("fmt"))
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("contrast", DoubleType()),
+        StructField("entropy", DoubleType()),
+        StructField("sharpness", DoubleType()),
+        StructField("decode_ok", BooleanType()),
+    ])
+
+    def _stats(iterator):
+        from colly_spark.functions.images import decode_image
+        for pdf in iterator:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                    m, c, e, s = luma_stats(px)
+                    out.append((iid, fmt, m, c, e, s, True))
+                except Exception:
+                    out.append((iid, fmt, None, None, None, None, False))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "fmt", "mean_luma", "contrast", "entropy",
+                "sharpness", "decode_ok"])
+
+    return sel.mapInPandas(_stats, schema=schema)
+
+
 def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
                       n_variants: int = 0,
                       fmt_cycle: tuple = ("png", "jpeg", "webp"),

@@ -149,6 +149,35 @@ def make_image_decode(n: int = 64, seed: int = 42, size: int = 16) -> None:
     print(f"image_decode: {len(rows)} rows")
 
 
+def make_image_stats(n: int = 64, seed: int = 42, size: int = 16) -> None:
+    # plain-Python replica of synthesize_images → image_stats over the
+    # five-codec cycle; pins the decode round-trip + Arrow plumbing
+    # (the stat math itself is KAT'd in tests/test_image_stats.py)
+    from colly_spark.functions.images import decode_image, synth_encode
+    from colly_spark.operators.multimodal import luma_stats
+
+    cycle = ("png", "jpeg", "webp", "avif", "webp_lossy")
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        fmt, data, _ = synth_encode(px, cycle[i % len(cycle)])
+        m, c, e, s = luma_stats(decode_image(data, fmt))
+        rows.append(dict(image_id=f"img{i:08d}", fmt=fmt, mean_luma=m,
+                         contrast=c, entropy=e, sharpness=s,
+                         decode_ok=True))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("fmt", pa.string()),
+        ("mean_luma", pa.float64()), ("contrast", pa.float64()),
+        ("entropy", pa.float64()), ("sharpness", pa.float64()),
+        ("decode_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_stats.parquet"))
+    print(f"image_stats: {len(rows)} rows")
+
+
 def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
                      size: int = 16) -> None:
     # plain-Python replica of synthesize_images(n, n_variants) → phash;
@@ -535,6 +564,7 @@ if __name__ == "__main__":
     make_boilerplate()
     make_crawl_events()
     make_image_decode()
+    make_image_stats()
     make_image_phash()
     make_images_meta()
     make_image_metadata_scrub()
