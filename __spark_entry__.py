@@ -2963,6 +2963,55 @@ FROM '{_REPO}/golden/mp4_probe.parquet' ORDER BY video_id
 """
 
 
+def q_image_curation(spark, sf_dir):
+    """The composed image curation pipeline — the image twin of
+    `curation_pipeline`: ONE decode pass emits quality stats AND the
+    near-dup phash (image_stats(with_phash=True) — decoding twice
+    would double the dominant cost), an entropy gate drops the
+    low-information half, and the admitted set collapses to canonical
+    phash groups (banded Hamming pairs → connected components →
+    keep-min). Oracled against golden/image_curation.parquet — a
+    plain-Python replica with BRUTE-FORCE pairs + union-find, so the
+    banded join's completeness is re-proven inside the composition."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import (image_stats,
+                                                  phash_near_dup_pairs,
+                                                  synthesize_images)
+    from colly_spark.operators.text_dedup import connected_components
+
+    stats = image_stats(synthesize_images(spark, 96, n_variants=32),
+                        with_phash=True)
+    admitted = (stats.filter(F.col("decode_ok")
+                             & (F.col("entropy") >= F.lit(6.95)))
+                .persist())
+    num = F.substring("image_id", 4, 8).cast("long")
+    pairs = (phash_near_dup_pairs(admitted, k=3, id_col="image_id")
+             .select(F.substring("id_a", 4, 8).cast("long").alias("id_a"),
+                     F.substring("id_b", 4, 8).cast("long").alias("id_b")))
+    cc = connected_components(admitted.select(num.alias("nid")), pairs,
+                              id_col="nid")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    out = (admitted.select(num.alias("nid"), "fmt", "entropy")
+           .join(cc, "nid").join(sizes, "cluster_id")
+           .select(F.format_string("img%08d", F.col("nid")).alias("image_id"),
+                   "fmt", "entropy",
+                   F.format_string("img%08d", F.col("cluster_id"))
+                   .alias("canon_id"),
+                   "cluster_size",
+                   (F.col("nid") == F.col("cluster_id")).alias("is_canonical"))
+           .orderBy("image_id"))
+    admitted.unpersist()
+    return out
+
+
+_Q_IMAGE_CURATION_SQL = f"""
+SELECT image_id, fmt, entropy, canon_id, cluster_size, is_canonical
+FROM '{_REPO}/golden/image_curation.parquet' ORDER BY image_id
+"""
+
+
 def q_image_dup_clusters(spark, sf_dir):
     """Canonical image groups — the keep-one curation decision over
     the phash near-dup graph: banded Hamming pairs (k≤3, provably
@@ -3408,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "image_dup_clusters": q_image_dup_clusters,
+        "image_curation": q_image_curation,
         "mp4_probe": q_mp4_probe,
         "aspect_buckets": q_aspect_buckets,
         "unmarshal_fields": q_unmarshal_fields,
@@ -3501,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
+        "image_curation": _Q_IMAGE_CURATION_SQL,
         "mp4_probe": _Q_MP4_PROBE_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,

@@ -100,20 +100,25 @@ def luma_stats(px: np.ndarray):
 
 
 def image_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
-                fmt_col: str = "fmt"):
+                fmt_col: str = "fmt", with_phash: bool = False):
     """LAION-style pixel-quality admission signals: decode each image
     and compute luma_stats — the flat/low-entropy/blurred screens a
     web image corpus filters before training. Arrow-batched
     mapInPandas, map-side only (the binary column never shuffles);
     poison rows yield decode_ok=false + NULL stats instead of failing
     the job. Downstream: filter on the columns (e.g. entropy ≥ 1 bit,
-    contrast ≥ 5) exactly like image_corpus_filter's metadata gates."""
-    from pyspark.sql.types import (BooleanType, DoubleType, StringType,
-                                   StructField, StructType)
+    contrast ≥ 5) exactly like image_corpus_filter's metadata gates.
+
+    ``with_phash`` additionally emits the decoded-pixel phash64 from
+    the SAME decode — quality gates and near-dup candidates out of one
+    pass over the binary column (the composed curation pipeline's
+    shape; decoding twice would double the dominant cost)."""
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
 
     sel = df.select(df[id_col].alias("image_id"),
                     df[bytes_col].alias("bytes"), df[fmt_col].alias("fmt"))
-    schema = StructType([
+    fields = [
         StructField("image_id", StringType()),
         StructField("fmt", StringType()),
         StructField("mean_luma", DoubleType()),
@@ -121,10 +126,14 @@ def image_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
         StructField("entropy", DoubleType()),
         StructField("sharpness", DoubleType()),
         StructField("decode_ok", BooleanType()),
-    ])
+    ]
+    if with_phash:
+        fields.append(StructField("phash", LongType()))
+    schema = StructType(fields)
+    cols = [f.name for f in fields]
 
     def _stats(iterator):
-        from colly_spark.functions.images import decode_image
+        from colly_spark.functions.images import decode_image, phash64
         for pdf in iterator:
             out = []
             for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
@@ -132,12 +141,15 @@ def image_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
                 try:
                     px = decode_image(bytes(data), fmt)
                     m, c, e, s = luma_stats(px)
-                    out.append((iid, fmt, m, c, e, s, True))
+                    row = (iid, fmt, m, c, e, s, True)
+                    if with_phash:
+                        row += (phash64(px),)
                 except Exception:
-                    out.append((iid, fmt, None, None, None, None, False))
-            yield pd.DataFrame(out, columns=[
-                "image_id", "fmt", "mean_luma", "contrast", "entropy",
-                "sharpness", "decode_ok"])
+                    row = (iid, fmt, None, None, None, None, False)
+                    if with_phash:
+                        row += (0,)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
 
     return sel.mapInPandas(_stats, schema=schema)
 

@@ -199,6 +199,67 @@ def make_image_phash(n: int = 96, n_variants: int = 32, seed: int = 42,
     print(f"image_phash: {len(rows)} rows")
 
 
+def make_image_curation(n: int = 96, n_variants: int = 32, seed: int = 42,
+                        size: int = 16, min_entropy: float = 6.95,
+                        k: int = 3) -> None:
+    """image_curation.parquet: expected output of the composed image
+    curation pipeline (ONE decode pass → entropy gate → phash near-dup
+    keep-min groups) — plain-Python replica with brute-force Hamming
+    pairs + union-find components over the ADMITTED set."""
+    from colly_spark.functions.images import decode_image, phash64, synth_encode
+    from colly_spark.operators.multimodal import luma_stats
+
+    rows = []
+    for i in range(n + n_variants):
+        base = i if i < n else i - n
+        rng = np.random.default_rng(seed * 1_000_003 + base)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        enc = ("png", "jpeg", "webp")[i % 3] if i < n else "jpeg"
+        fmt, data, _ = synth_encode(px, enc)
+        decoded = decode_image(data, fmt)
+        _m, _c, e, _s = luma_stats(decoded)
+        rows.append((i, fmt, e, phash64(decoded)))
+    admitted = [(i, fmt, e, ph) for i, fmt, e, ph in rows
+                if e >= min_entropy]
+    ids = [i for i, *_ in admitted]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(admitted)):
+        for b in range(a + 1, len(admitted)):
+            ia, pha = admitted[a][0], admitted[a][3]
+            ib, phb = admitted[b][0], admitted[b][3]
+            if bin((pha ^ phb) & ((1 << 64) - 1)).count("1") <= k:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    canon = {i: find(i) for i in ids}
+    sizes = {}
+    for i in ids:
+        sizes[canon[i]] = sizes.get(canon[i], 0) + 1
+    out = [dict(image_id=f"img{i:08d}", fmt=fmt, entropy=e,
+                canon_id=f"img{canon[i]:08d}",
+                cluster_size=sizes[canon[i]],
+                is_canonical=(canon[i] == i))
+           for i, fmt, e, _ph in admitted]
+    schema = pa.schema([
+        ("image_id", pa.string()), ("fmt", pa.string()),
+        ("entropy", pa.float64()), ("canon_id", pa.string()),
+        ("cluster_size", pa.int64()), ("is_canonical", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(out), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_curation.parquet"))
+    n_groups = len(set(canon.values()))
+    print(f"image_curation: {len(out)} admitted of {len(rows)}, "
+          f"{n_groups} groups")
+
+
 def make_images_meta(n: int = 512, seed: int = 99) -> None:
     """Deterministic image-metadata INPUT table for the
     `image_corpus_filter` query (NOT an expected-output golden): varied
@@ -565,6 +626,7 @@ if __name__ == "__main__":
     make_crawl_events()
     make_image_decode()
     make_image_stats()
+    make_image_curation()
     make_image_phash()
     make_images_meta()
     make_image_metadata_scrub()

@@ -80,3 +80,27 @@ def test_entropy_matches_closed_form_on_uniform_hist():
     assert e == 8.0
     assert m == round(float(np.arange(256).mean()), 6)
     assert c == round(float(np.arange(256).std()), 6)
+
+
+def test_image_curation_pipeline_laws(spark):
+    """Composition laws of q_image_curation (the oracle gate pins the
+    values; this pins the structure): admitted ⊆ decode_ok ∧
+    entropy≥τ, every admitted image in exactly one group, canon is the
+    group min, exactly one canonical member per group, cluster sizes
+    consistent."""
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    rows = [r.asDict() for r in
+            mod.queries()["image_curation"](spark, "").collect()]
+    assert rows
+    groups = {}
+    for r in rows:
+        assert r["entropy"] >= 6.95
+        assert r["canon_id"] <= r["image_id"]  # min-id canonical
+        groups.setdefault(r["canon_id"], []).append(r)
+    for canon, members in groups.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert min(m["image_id"] for m in members) == canon
