@@ -29,6 +29,8 @@ AUDIT = [
     "unmarshal_fields", "xpath_links",
     "domain_cap", "dataset_split", "phash_near_dup", "image_corpus_filter",
     "callback_fires", "stratified_sample", "token_shards",
+    "domain_mixture", "image_stats", "image_curation", "recrawl_schedule",
+    "c4_line_filter", "repetition_stats", "caption_alignment",
 ]
 
 
