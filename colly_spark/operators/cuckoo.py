@@ -273,6 +273,26 @@ def delete_table(table: np.ndarray, stash: np.ndarray,
     return table, np.array(stash_list, dtype=np.uint64), n_del
 
 
+def _load_seg(seg_dir: str, pid: int, n_buckets: int):
+    """Load one segment file (fresh empty segment when absent) — a
+    module function so executor closures ship it without pickling a
+    CuckooSegments instance."""
+    path = os.path.join(seg_dir, f"seg_{pid:04d}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["table"].copy(), z["stash"].copy()
+    return new_table(n_buckets), new_stash()
+
+
+def _save_seg(seg_dir: str, pid: int, table, stash) -> None:
+    """Write one segment via atomic rename."""
+    path = os.path.join(seg_dir, f"seg_{pid:04d}.npz")
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, table=table, stash=stash)
+    os.replace(tmp, path)
+
+
 class CuckooSegments:
     """Per-partition cuckoo segment files under ``dir_path``.
 
@@ -291,33 +311,10 @@ class CuckooSegments:
         return os.path.join(self.dir, f"seg_{pid:04d}.npz")
 
     def load(self, pid: int):
-        path = self.seg_path(pid)
-        if os.path.exists(path):
-            with np.load(path) as z:
-                return z["table"].copy(), z["stash"].copy()
-        return new_table(self.n_buckets), new_stash()
+        return _load_seg(self.dir, pid, self.n_buckets)
 
     def save(self, pid: int, table: np.ndarray, stash: np.ndarray) -> None:
-        tmp = self.seg_path(pid) + f".{os.getpid()}.tmp.npz"
-        with open(tmp, "wb") as f:
-            np.savez(f, table=table, stash=stash)
-        os.replace(tmp, self.seg_path(pid))
-
-
-def _load_seg(seg_dir: str, pid: int, n_buckets: int):
-    path = os.path.join(seg_dir, f"seg_{pid:04d}.npz")
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return z["table"].copy(), z["stash"].copy()
-    return new_table(n_buckets), new_stash()
-
-
-def _save_seg(seg_dir: str, pid: int, table, stash) -> None:
-    path = os.path.join(seg_dir, f"seg_{pid:04d}.npz")
-    tmp = f"{path}.{os.getpid()}.tmp.npz"
-    with open(tmp, "wb") as f:
-        np.savez(f, table=table, stash=stash)
-    os.replace(tmp, path)
+        _save_seg(self.dir, pid, table, stash)
 
 
 def cuckoo_probe(df, segments: CuckooSegments, hash_col: str = "url_hash",

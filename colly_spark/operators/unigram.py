@@ -34,8 +34,42 @@ discipline as `bpe_train`/`crawl_trace`.
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
+
+# ASCII whitespace exactly as tokens_expr's Java-regex \s splits —
+# Python str.split() would also split Unicode whitespace (NBSP, NEL)
+# and diverge from the Spark-side word table on non-ASCII text
+_WS = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+
+def _viterbi(word: str, logp: dict, max_piece_len: int) -> list:
+    """Best segmentation per the shared spec (oracle/unigram_ref.py):
+    DP left to right, strict improvement with j ascending, so ties
+    prefer the smallest split point (longest final piece). ONE
+    implementation closed over by both the training E-step UDF and
+    encode — the tie-break rule the oracle parity depends on must not
+    exist twice."""
+    n = len(word)
+    best = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or best[j] == -math.inf:
+                continue
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    pieces, i = [], n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
 
 
 def word_table(docs, id_col: str = "doc_id", text_col: str = "text"):
@@ -80,28 +114,9 @@ def _viterbi_udf(logp: dict, max_piece_len: int):
 
         def vit(w):
             got = cache.get(w)
-            if got is not None:
-                return got
-            n = len(w)
-            best = [0.0] + [-math.inf] * n
-            back = [0] * (n + 1)
-            for i in range(1, n + 1):
-                for j in range(max(0, i - max_piece_len), i):
-                    lp = logp.get(w[j:i])
-                    if lp is None or best[j] == -math.inf:
-                        continue
-                    cand = best[j] + lp
-                    if cand > best[i]:
-                        best[i] = cand
-                        back[i] = j
-            pieces, i = [], n
-            while i > 0:
-                j = back[i]
-                pieces.append(w[j:i])
-                i = j
-            pieces.reverse()
-            cache[w] = pieces
-            return pieces
+            if got is None:
+                got = cache[w] = _viterbi(w, logp, max_piece_len)
+            return got
 
         return word.map(vit)
 
@@ -181,33 +196,14 @@ def encode_with_vocab(docs, vocab_rows, max_piece_len: int = 5,
 
         def vit(w):
             got = cache.get(w)
-            if got is not None:
-                return got
-            n = len(w)
-            best = [0.0] + [-math.inf] * n
-            back = [0] * (n + 1)
-            for i in range(1, n + 1):
-                for j in range(max(0, i - max_piece_len), i):
-                    lp = logp.get(w[j:i])
-                    if lp is None or best[j] == -math.inf:
-                        continue
-                    cand = best[j] + lp
-                    if cand > best[i]:
-                        best[i] = cand
-                        back[i] = j
-            pieces, i = [], n
-            while i > 0:
-                j = back[i]
-                pieces.append(w[j:i])
-                i = j
-            pieces.reverse()
-            cache[w] = pieces
-            return pieces
+            if got is None:
+                got = cache[w] = _viterbi(w, logp, max_piece_len)
+            return got
 
         ns, ds = [], []
         for t in text.fillna(""):
             n, seen = 0, set()
-            for w in t.split():
+            for w in _WS.split(t):
                 w = w.lower()
                 if not w:
                     continue

@@ -16,13 +16,22 @@ Rule (shared spec):
 
 from __future__ import annotations
 
+import re
+
 END = "</w>"
+
+# ASCII whitespace exactly as the engine's tokens_expr (Java regex \s)
+# splits it — Python str.split() also splits Unicode whitespace (NBSP,
+# NEL) and would silently diverge on non-ASCII documents
+_WS = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
 
 def word_counts(texts) -> dict:
     wc: dict = {}
     for t in texts:
-        for w in (t or "").split():
+        for w in _WS.split(t or ""):
+            if not w:
+                continue
             w = w.lower()
             wc[w] = wc.get(w, 0) + 1
     return wc
@@ -88,7 +97,9 @@ def encode_texts(texts, merges):
     out = []
     for t in texts:
         n, seen = 0, set()
-        for w in (t or "").split():
+        for w in _WS.split(t or ""):
+            if not w:
+                continue
             sym = encode_word(w.lower(), ranks)
             n += len(sym)
             seen.update(sym)

@@ -7,7 +7,9 @@ like oracle/bpe_ref.py.
 Shared spec (the Spark operator in operators/unigram.py implements the
 SAME rule; hard-EM/Viterbi variant so every quantity is deterministic):
 
-- words: lowercased whitespace tokens (empty dropped), corpus counts;
+- words: lowercased ASCII-whitespace tokens (split on [ \\t\\n\\x0b\\f\\r]+
+  — the Java-regex \\s set the engine's tokens_expr uses; empty
+  dropped), corpus counts;
 - seed vocabulary: every substring of a word with length ≤ max_piece_len,
   scored Σ word_count × occurrences (all start positions, overlapping);
   keep the top ``seed_size`` multi-char pieces by (score desc, piece
@@ -33,15 +35,25 @@ math.log(total) in this exact order by both implementations.
 from __future__ import annotations
 
 import math
+import re
+
+# ASCII whitespace EXACTLY as the engine's tokens_expr splits it (Java
+# regex \s = [ \t\n\x0B\f\r]): Python str.split() would additionally
+# split on Unicode whitespace (NBSP, NEL, …) and silently diverge from
+# the Spark word table on non-ASCII documents
+_WS = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+
+def split_words(text: str) -> list:
+    return [w for w in _WS.split(text or "") if w]
 
 
 def word_counts(texts) -> dict:
     wc: dict = {}
     for t in texts:
-        for w in (t or "").split():
+        for w in split_words(t):
             w = w.lower()
-            if w:
-                wc[w] = wc.get(w, 0) + 1
+            wc[w] = wc.get(w, 0) + 1
     return wc
 
 
@@ -131,10 +143,8 @@ def encode_texts(texts, vocab_rows, max_piece_len: int = 5):
     out = []
     for t in texts:
         n, seen = 0, set()
-        for w in (t or "").split():
+        for w in split_words(t):
             w = w.lower()
-            if not w:
-                continue
             pieces = cache.get(w)
             if pieces is None:
                 pieces = cache[w] = viterbi(w, logp, max_piece_len)

@@ -664,6 +664,14 @@ class Crawler:
 
     def _seen_update(self, hashes_df) -> list:
         if self.seen_filter == "cuckoo":
+            if self.cfg.max_revisits > 0 or self.cfg.allow_url_revisit:
+                # revisit-counting / revisit-allowed modes mark the SAME
+                # hash repeatedly; Bloom's OR is idempotent but a cuckoo
+                # insert adds a fingerprint copy per mark until the
+                # segment overflows — and the probe path never consults
+                # the segments in these modes anyway (the exact count
+                # join is the gate), so skip the fold entirely
+                return []
             return cuckoo.cuckoo_update(self.spark, self.bloom, hashes_df)
         return seen.bloom_update(self.spark, self.bloom, hashes_df)
 
@@ -846,15 +854,22 @@ class Crawler:
         # 1) rewrite the exact store minus the due set into one
         #    key-bucketed base (named compact_* so the compactor treats
         #    it as a base; resume prunes it only if uncommitted)
-        self._forget_count = getattr(self, "_forget_count", 0) + 1
         man_batch, man_seq = 0, getattr(self, "_next_seq", 0)
         if os.path.exists(self._manifest_path()):
             with open(self._manifest_path()) as f:
                 man = json.load(f)
             man_batch, man_seq = man["batch"], man["next_seq"]
-        out_dir = os.path.join(
-            self.state, "out", "visited",
-            f"compact_{man_batch:06d}_F{self._forget_count}")
+        # pick an unused dir name: a previous process's forget at the
+        # same committed batch may have left compact_B_F1 as the live
+        # base — overwriting a path Spark is reading from fails
+        k = getattr(self, "_forget_count", 0)
+        while True:
+            k += 1
+            out_dir = os.path.join(self.state, "out", "visited",
+                                   f"compact_{man_batch:06d}_F{k}")
+            if not os.path.exists(out_dir):
+                break
+        self._forget_count = k
         rows = self._visited_rows
         n_buckets = max(1, min(self._n_shuffle, rows // 2_000_000 + 1))
         (self._visited_df().join(due, "url_hash", "left_anti")
@@ -864,6 +879,29 @@ class Crawler:
         self._visited_paths = [out_dir]
         self._visited_rows = _parquet_rows(out_dir)
         removed = rows - self._visited_rows
+        # 1b) purge the due set from the response cache too — a
+        #     re-admitted URL must be re-FETCHED, not replayed from its
+        #     stale cached body (the freshness signal the recrawl
+        #     exists to observe; cache key c_hash = fnv64(url‖body) =
+        #     the same url_hash being forgotten)
+        if self._cache_paths:
+            j = 0
+            while True:
+                j += 1
+                cache_dir = os.path.join(self.state, "out", "cache",
+                                         f"compact_{man_batch:06d}_F{j}")
+                if not os.path.exists(cache_dir):
+                    break
+            n_cbuckets = max(1, min(
+                self._n_shuffle, self._cache_rows // 2_000_000 + 1))
+            (self.spark.read.parquet(*self._cache_paths)
+                 .join(due.select(F.col("url_hash").alias("c_hash")),
+                       "c_hash", "left_anti")
+                 .repartition(n_cbuckets, F.col("c_hash"))
+                 .write.mode("overwrite").parquet(cache_dir))
+            replaced += self._cache_paths
+            self._cache_paths = [cache_dir]
+            self._cache_rows = _parquet_rows(cache_dir)
         # 2) probabilistic layer
         if self._bloom_active:
             if self.seen_filter == "cuckoo":
@@ -1631,8 +1669,12 @@ class Crawler:
 
         This is also the revisit half of recrawl scheduling:
         ``load_state() → forget_visited(due) → submit(due_urls) →
-        run(resume=True)`` re-crawls exactly the due set under normal
-        dedup/politeness. Returns the number of queued requests."""
+        while step(): pass`` re-crawls exactly the due set under
+        normal dedup/politeness. NOTE: ``run(resume=True)`` re-loads
+        the committed frontier snapshot and would DISCARD rows queued
+        by an earlier submit() — for the one-call form pass the seeds
+        to run itself (``run(due_urls, resume=True)``), which loads
+        state first and submits after. Returns the number queued."""
         rows, next_seq = self._seed_rows(seeds, self._next_seq)
         if not rows:
             return 0

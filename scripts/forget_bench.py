@@ -76,14 +76,18 @@ def main():
     # measured per repeat on a fresh copy of the touched segments
     ck_times, bl_times = [], []
     for _ in range(REPEATS):
+        # pristine copies: delete_table mutates its table IN PLACE, so
+        # restoring the same arrays would persist the deleted state and
+        # repeats 2+ would time a different (not-found) workload
         snap = {p: ck.load(p) for p in range(PARTS)}
+        work = {p: (t.copy(), s.copy()) for p, (t, s) in snap.items()}
         t0 = time.time()
         for p in np.unique(due_pid):
-            t, s = snap[int(p)]
+            t, s = work[int(p)]
             t, s, _n = cuckoo.delete_table(t, s, due[due_pid == p])
             ck.save(int(p), t, s)
         ck_times.append(time.time() - t0)
-        # restore
+        # restore the pristine pre-delete segments
         for p, (t, s) in snap.items():
             ck.save(p, t, s)
 

@@ -214,3 +214,66 @@ def test_forget_survives_kill_and_resume(spark, corpus_spark, tmp_state):
     while cr2.step():
         pass
     assert _engine_seen(cr2.handles()) == seen1
+
+
+def test_cuckoo_with_max_revisits_no_overflow_and_equal(spark, corpus_spark,
+                                                        tmp_state):
+    """Revisit-count mode marks the same hash repeatedly; the cuckoo
+    fold must skip (a copy per mark would overflow the segment) and
+    the drain must still equal the Bloom path bit-for-bit."""
+    import tempfile, shutil
+
+    cfg = CrawlConfig(max_depth=2, ignore_robots=True, max_revisits=1)
+    sb = tempfile.mkdtemp(prefix="colly_mr_bloom_")
+    hb = Crawler(spark, corpus_spark, cfg, sb,
+                 bloom_threshold_rows=0).run([SEEDS[0]], max_batches=4)
+    hc = Crawler(spark, corpus_spark, cfg, tmp_state,
+                 bloom_threshold_rows=0,
+                 seen_filter="cuckoo").run([SEEDS[0]], max_batches=4)
+    assert _sig(hc) == _sig(hb)
+    shutil.rmtree(sb, ignore_errors=True)
+
+
+def test_two_forget_campaigns_without_intervening_batch(spark, corpus_spark,
+                                                        tmp_state):
+    """Two processes forgetting at the same committed batch must not
+    collide on the rewritten base dir name (Spark cannot overwrite a
+    path it is reading from)."""
+    cr = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                 bloom_threshold_rows=0, seen_filter="cuckoo")
+    h1 = cr.run(list(SEEDS))
+    urls = sorted(r["url"] for r in h1.trace().collect()
+                  if r["url"] == r["final_url"] and r["url"] not in SEEDS)
+    seen1 = _engine_seen(h1)
+    assert cr.forget_visited([_url_hash(urls[0])]) == 1
+    # fresh process: _forget_count resets, manifest batch unchanged
+    cr2 = Crawler(spark, corpus_spark, CrawlConfig(**CFG), tmp_state,
+                  bloom_threshold_rows=0, seen_filter="cuckoo")
+    cr2.load_state()
+    assert cr2.forget_visited([_url_hash(urls[1])]) == 1
+    assert _engine_seen(cr2.handles()) == seen1 - {
+        _url_hash(urls[0]), _url_hash(urls[1])}
+
+
+def test_forget_purges_response_cache(spark, corpus_spark, tmp_state):
+    """A re-admitted URL must be re-FETCHED, not replayed from its
+    stale cache entry — the freshness signal recrawl exists to see."""
+    cfg = CrawlConfig(max_depth=2, ignore_robots=True, cache_enabled=True,
+                      cache_expiry_policy="never")
+    cr = Crawler(spark, corpus_spark, cfg, tmp_state,
+                 bloom_threshold_rows=0, seen_filter="cuckoo")
+    h1 = cr.run([SEEDS[0]])
+    urls = sorted(r["url"] for r in h1.trace().collect()
+                  if r["url"] == r["final_url"] and r["url"] not in SEEDS)
+    u = urls[0]
+    rows_before = spark.read.parquet(*cr._cache_paths).count()
+    assert cr.forget_visited([_url_hash(u)]) == 1
+    # its cache entry is purged from the rewritten store
+    assert spark.read.parquet(*cr._cache_paths).count() == rows_before - 1
+    n_batches = len(cr.handles().metrics)
+    cr.submit([u])
+    while cr.step():
+        pass
+    new_metrics = cr.handles().metrics[n_batches:]
+    assert sum(m["fetched"] for m in new_metrics) == 1
+    assert sum(m.get("cache_hits", 0) or 0 for m in new_metrics) == 0

@@ -112,6 +112,32 @@ def test_train_matches_reference_on_sf0001(spark):
     assert got == want
 
 
+def test_unicode_whitespace_parity(spark):
+    """NBSP/NEL must NOT split words (the engine's Java-regex \\s is
+    ASCII-only): train and encode stay bit-equal to the reference on
+    text with Unicode whitespace."""
+    from colly_spark.operators.unigram import (encode_with_vocab,
+                                               train_unigram)
+
+    texts = ["foo bar baz", "foo bar qux", "plain words here",
+             "neljoined too"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    want = ref.train(texts, vocab_size=10, seed_size=20,
+                     max_piece_len=4, n_rounds=2)
+    vdf = train_unigram(docs, vocab_size=10, seed_size=20,
+                        max_piece_len=4, n_rounds=2)
+    got = sorted((r["piece"], r["count"], r["logp"]) for r in vdf.collect())
+    assert got == want
+    # the NBSP stays inside its word in the shared word table
+    assert "foo bar" in ref.word_counts(texts)
+    enc_want = ref.encode_texts(texts, want, max_piece_len=4)
+    enc_got = encode_with_vocab(docs, vdf.collect(), max_piece_len=4) \
+        .orderBy("doc_id").collect()
+    assert [(r["n_pieces"], r["n_distinct_pieces"])
+            for r in enc_got] == enc_want
+
+
 def test_train_is_deterministic(spark, docs):
     from colly_spark.operators.unigram import train_unigram
 
