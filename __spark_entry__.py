@@ -3241,6 +3241,35 @@ FROM '{_REPO}/golden/warc_scan.parquet' ORDER BY url
 """
 
 
+def q_webdataset_scan(spark, sf_dir):
+    """Distributed WebDataset ingest (sources/webdataset.py): parse the
+    golden tar shards (one sample = a run of same-key files — the
+    LAION/DataComp trainer wire format) with whole-file parallelism and
+    recover every component file.  The oracle is ground truth: the
+    parquet was written from the generated (key, ext, bytes) tuples
+    BEFORE tar framing (scripts/make_golden.make_webdataset_fixture),
+    so the parser is checked against what the shards must contain; the
+    exporter half is pinned byte-identically against the same fixture
+    in tests/test_webdataset.py."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.sources.webdataset import read_webdataset
+
+    comps = read_webdataset(
+        spark, os.path.join(_REPO, "golden", "wds", "*.tar"))
+    return (comps.select(
+                "key", "ext",
+                F.length("data").cast("long").alias("size"),
+                F.sha2(F.col("data"), 256).alias("digest"))
+            .orderBy("key", "ext"))
+
+
+_Q_WEBDATASET_SCAN_SQL = f"""
+SELECT key, ext, size, digest
+FROM '{_REPO}/golden/wds_scan.parquet' ORDER BY key, ext
+"""
+
+
 def q_aspect_buckets(spark, sf_dir):
     """SDXL-style aspect-ratio bucket assignment over the image table:
     nearest log-aspect ladder bucket + resize scale. Pure map-side
@@ -3440,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_alignment": q_caption_alignment,
         "cross_modal_dedup": q_cross_modal_dedup,
         "warc_scan": q_warc_scan,
+        "webdataset_scan": q_webdataset_scan,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "bpe_train": q_bpe_train,
@@ -3534,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_alignment": _Q_CAPTION_ALIGN_SQL,
         "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
         "warc_scan": _Q_WARC_SCAN_SQL,
+        "webdataset_scan": _Q_WEBDATASET_SCAN_SQL,
         "semdedup": _semdedup_sql(),
         "dsir_select": _dsir_sql(),
         "bpe_train": _Q_BPE_TRAIN_SQL,

@@ -414,6 +414,58 @@ def make_warc_fixture() -> None:
     print(f"warc fixture: {len(recs)} records across 3 files")
 
 
+def make_webdataset_fixture(n: int = 40, seed: int = 42,
+                            size: int = 16) -> None:
+    """golden/wds/: 3 deterministic WebDataset tar shards (16/16/8
+    samples) framed by the plain-Python build_shard over the shared
+    synthetic-image replica, plus wds_scan.parquet — the ground-truth
+    component list written from the tuples BEFORE tar framing (so the
+    distributed parser is checked against what the shards must
+    contain).  The fixture doubles as the EXPORTER pin: to_webdataset
+    over the same samples (one partition, shard_rows=16) must
+    reproduce these files byte-identically — tests/test_webdataset.py.
+    The .json metadata string replicates Spark's
+    to_json(struct(h, phash, w, fmt)) rendering exactly (no spaces,
+    struct field order), which image_samples emits."""
+    import hashlib
+
+    from colly_spark.functions.images import synth_encode
+    from colly_spark.sources import webdataset as WD
+
+    cycle = ("png", "jpeg", "webp", "avif", "webp_lossy")
+    samples, truth = [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        fmt, data, ph = synth_encode(px, cycle[i % len(cycle)])
+        key = f"img{i:08d}"
+        files = {
+            fmt: data,
+            "txt": f"synthetic caption {i}".encode(),
+            "json": (f'{{"h":{size},"phash":{ph},"w":{size},'
+                     f'"fmt":"{fmt}"}}').encode(),
+        }
+        samples.append((key, files))
+        truth.extend(dict(key=key, ext=e, size=len(d),
+                          digest=hashlib.sha256(d).hexdigest())
+                     for e, d in files.items())
+
+    wdir = os.path.join(GOLDEN, "wds")
+    os.makedirs(wdir, exist_ok=True)
+    for s, lo in enumerate(range(0, n, 16)):
+        blob = WD.build_shard(samples[lo:lo + 16])
+        with open(os.path.join(wdir, f"part-00000-{s:03d}.tar"), "wb") as f:
+            f.write(blob)
+
+    truth.sort(key=lambda r: (r["key"], r["ext"]))
+    schema = pa.schema([("key", pa.string()), ("ext", pa.string()),
+                        ("size", pa.int64()), ("digest", pa.string())])
+    tbl = pa.Table.from_pandas(pd.DataFrame(truth), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "wds_scan.parquet"))
+    print(f"wds fixture: {n} samples / {len(truth)} components, 3 shards")
+
+
 def make_boilerplate() -> None:
     """boilerplate.parquet: expected (doc_id, n_blocks, n_good,
     main_text) of `extract_main_text` over synth_page_html pages of
@@ -631,6 +683,7 @@ if __name__ == "__main__":
     make_images_meta()
     make_image_metadata_scrub()
     make_warc_fixture()
+    make_webdataset_fixture()
     make_bpe()
     make_unigram()
     make_av()
