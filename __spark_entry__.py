@@ -1117,6 +1117,52 @@ def q_ann_ivf_trained(spark, sf_dir):
                         centroids=cents)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (Jégou et al. 2011): corpus encoded to (cell, m×4-bit
+    codes) — the 30-250× memory shrink that keeps a 10^9-vector index
+    executor-resident — probed cells scored by ADC lookup tables, raw
+    ADC top-k returned. Golden-oracled bit-exact against the
+    independent numpy replica (oracle/ivfpq_ref.py): adc_scores
+    restricts itself to batch-shape-independent float ops precisely so
+    the emitted bits never depend on Arrow batch composition."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.pq import ann_ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivfpq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                          nlist=16, m=8, nbits=4, nprobe=4, dim=64)
+
+
+_Q_ANN_IVFPQ_SQL = f"""
+SELECT query_id, neighbor_id, rank, adc_sim
+FROM '{_REPO}/golden/ann_ivfpq.parquet' ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivfpq_refined(spark, sf_dir):
+    """IVF-PQ with exact re-rank: the top-24 ADC candidates per query
+    re-scored by exact fold-cosine against the raw vectors (ONE id
+    equi-join — the only step that touches floats again), top-5 kept.
+    The production accuracy tier: ADC prunes 10^9 → 24, floats move
+    for 24 rows/query. Golden-oracled (replica replays the JVM
+    left-fold cosine and Spark's HALF_UP round)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.pq import ann_ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivfpq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                          nlist=16, m=8, nbits=4, nprobe=4, dim=64,
+                          refine=24)
+
+
+_Q_ANN_IVFPQ_REFINED_SQL = f"""
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM '{_REPO}/golden/ann_ivfpq_refined.parquet' ORDER BY query_id, rank
+"""
+
+
 def q_token_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -3432,6 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_prod": q_ann_ivf_prod,
         "ann_lsh_tables": q_ann_lsh_tables,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_refined": q_ann_ivfpq_refined,
         "embedding_dedup": q_embedding_dedup,
         "corpus_filter": q_corpus_filter,
         "token_stats": q_token_stats,
@@ -3522,6 +3570,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
         "ann_ivf": _ann_ivf_sql(),
         "ann_lsh_tables": _ann_lsh_tables_sql(),
+        "ann_ivfpq": _Q_ANN_IVFPQ_SQL,
+        "ann_ivfpq_refined": _Q_ANN_IVFPQ_REFINED_SQL,
         "embedding_dedup": _embedding_dedup_sql(),
         "corpus_filter": _Q_CORPUS_FILTER_SQL,
         "token_stats": _Q_TOKEN_SQL,

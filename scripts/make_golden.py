@@ -671,6 +671,46 @@ def make_av() -> None:
           f"{len(prows)} mp4 probe rows")
 
 
+def make_ann_ivfpq() -> None:
+    """ann_ivfpq.parquet + ann_ivfpq_refined.parquet: expected top-k of
+    the IVF-PQ queries over the sf0.01 embeddings table, computed by
+    the independent numpy replica (oracle/ivfpq_ref.py) with the SAME
+    seeded centroids/codebooks the engine derives — ADC scoring and
+    codebook residual quantization are not one SQL statement, so the
+    golden discipline applies (the driver gate runs at sf0.01; tests
+    replay the replica on other inputs)."""
+    import duckdb
+
+    from colly_spark.operators.pq import pq_codebooks
+    from colly_spark.operators.similarity import ivf_centroids
+    from colly_spark.oracle import ivfpq_ref
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.01/embeddings.parquet'"
+        " ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cents = ivf_centroids(dim=64, nlist=16, seed=7)
+    books = pq_codebooks(dim=64, m=8, nbits=4, seed=11)
+    qids = ids[ids < 8]
+
+    for name, refine, col in (("ann_ivfpq", 0, "adc_sim"),
+                              ("ann_ivfpq_refined", 24, "cos_sim")):
+        out = ivfpq_ref.topk(ids, vecs, qids, cents, books,
+                             k=5, nprobe=4, refine=refine)
+        t = pa.Table.from_pandas(
+            pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                       "rank", col]),
+            schema=pa.schema([("query_id", pa.int64()),
+                              ("neighbor_id", pa.int64()),
+                              ("rank", pa.int32()),
+                              (col, pa.float64())]),
+            preserve_index=False)
+        pq.write_table(t, os.path.join(GOLDEN, f"{name}.parquet"))
+        print(f"{name}: {len(out)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -687,3 +727,4 @@ if __name__ == "__main__":
     make_bpe()
     make_unigram()
     make_av()
+    make_ann_ivfpq()
