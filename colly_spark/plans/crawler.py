@@ -427,6 +427,99 @@ class CrawlHandles:
                 .drop("ord"))
 
 
+def snapshot_log(state_dir: str) -> list:
+    """The commit history (SNAPSHOTS.jsonl) — one dict per committed
+    manifest, in commit order. The last entry per batch index is the
+    authoritative one (a batch recomputed after a crash or rollback
+    re-appends). Empty list for a pre-snapshot-log state dir."""
+    path = os.path.join(state_dir, "SNAPSHOTS.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def rollback(state_dir: str, to_batch: int) -> dict:
+    """Roll the crawl state back to the commit point of ``to_batch``
+    (the Iceberg rollback-to-snapshot analogue), so a subsequent
+    ``Crawler(..., state_dir).run(resume=True)`` continues from batch
+    ``to_batch + 1`` exactly as if the later batches never ran — and,
+    because every batch is a deterministic function of committed
+    state, re-draining reproduces the original continuation unless
+    the inputs (corpus/config/priorities) changed, which is the point
+    of rolling back.
+
+    Driver-side filesystem surgery only — no Spark session:
+
+    1. the target manifest comes from the snapshot log (last entry
+       with that batch index);
+    2. validity = every store path it references still exists (state
+       compaction expires older snapshots, exactly like Iceberg's
+       expire_snapshots) and the batch's frontier/pending snap dirs
+       survive — otherwise ValueError, state untouched;
+    3. MANIFEST.json is atomically replaced, THEN newer artifacts are
+       deleted (sink/state deltas, compaction bases, metrics files,
+       snap dirs with batch > to_batch). A crash mid-delete leaves
+       garbage that the next resume's manifest-driven GC removes —
+       the same crash contract as compaction.
+
+    Returns the restored manifest dict."""
+    import glob as _glob
+
+    target = None
+    for entry in snapshot_log(state_dir):
+        if entry["batch"] == to_batch:
+            target = entry
+    if target is None:
+        have = sorted({e["batch"] for e in snapshot_log(state_dir)})
+        raise ValueError(
+            f"no snapshot for batch {to_batch} in {state_dir} "
+            f"(snapshot log has {have})")
+    man = {k: v for k, v in target.items() if k != "committed_at"}
+    missing = [p for paths in man["stores"].values() for p in paths
+               if not os.path.isdir(os.path.join(state_dir, p))]
+    for snap in (f"frontier_{to_batch:06d}", f"pending_{to_batch:06d}"):
+        if not os.path.isdir(os.path.join(state_dir, "snap", snap)):
+            missing.append(os.path.join("snap", snap))
+    if missing:
+        raise ValueError(
+            f"snapshot {to_batch} expired (state compaction or GC "
+            f"removed {missing[:4]}{'...' if len(missing) > 4 else ''}); "
+            "roll back to a later snapshot")
+
+    tmp = os.path.join(state_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(state_dir, "MANIFEST.json"))
+
+    def _tag(path: str) -> int:
+        try:
+            return int(os.path.basename(path).split("_")[1])
+        except (IndexError, ValueError):
+            return -1
+
+    live = {os.path.abspath(os.path.join(state_dir, p))
+            for paths in man["stores"].values() for p in paths}
+    for d in _glob.glob(os.path.join(state_dir, "out", "*", "*")):
+        if not os.path.isdir(d) or os.path.abspath(d) in live:
+            continue
+        base = os.path.basename(d)
+        if (base.startswith(("batch_", "compact_"))
+                and _tag(d) > to_batch):
+            shutil.rmtree(d, ignore_errors=True)
+    for f_ in _glob.glob(os.path.join(state_dir, "out", "metrics_*.json")):
+        try:
+            n = int(os.path.basename(f_)[len("metrics_"):-len(".json")])
+        except ValueError:
+            continue
+        if n > to_batch:
+            os.remove(f_)
+    for d in _glob.glob(os.path.join(state_dir, "snap", "*")):
+        if _tag(d) > to_batch:
+            shutil.rmtree(d, ignore_errors=True)
+    return man
+
+
 class Crawler:
     def __init__(self, spark, corpus: dict | None, cfg: CrawlConfig,
                  state_dir: str,
@@ -1530,15 +1623,25 @@ class Crawler:
         self._lineage = {p: v for p, v in self._lineage.items() if p in keep}
         lineage = {os.path.relpath(p, self.state): v
                    for p, v in self._lineage.items()}
+        man = {"batch": batch, "next_seq": next_seq,
+               "stores": {"visited": rel(self._visited_paths),
+                          "cache": rel(self._cache_paths),
+                          "cookies": rel(self._cookie_paths),
+                          "robots": rel(self._robots_paths)},
+               "lineage": lineage}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch": batch, "next_seq": next_seq,
-                       "stores": {"visited": rel(self._visited_paths),
-                                  "cache": rel(self._cache_paths),
-                                  "cookies": rel(self._cookie_paths),
-                                  "robots": rel(self._robots_paths)},
-                       "lineage": lineage}, f)
+            json.dump(man, f)
         os.replace(tmp, self._manifest_path())
+        # snapshot log (Iceberg metadata-log analogue): every commit
+        # appends its full manifest, so any retained snapshot can be
+        # rolled back to (rollback()) or time-travel-read
+        # (CrawlHandles as_of). Append-only; a batch recomputed after
+        # a crash/rollback appends again and the LAST entry per batch
+        # wins. O(100 bytes + lineage) per line — metadata-scale.
+        with open(os.path.join(self.state, "SNAPSHOTS.jsonl"), "a") as f:
+            f.write(json.dumps(
+                {"committed_at": round(time.time(), 3), **man}) + "\n")
 
     def _load_resume(self):
         """Returns (start_batch, next_seq, frontier_df, pending_df) or
