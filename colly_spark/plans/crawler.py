@@ -226,7 +226,10 @@ class CrawlHandles:
     appends immutable ``batch_N[_tag]`` delta directories and the
     MANIFEST commit point advances last, so "the crawl as of batch b"
     is exactly the union of deltas with N ≤ b. ``snapshots()`` lists
-    the readable batch indices (Iceberg's snapshot log analogue)."""
+    the readable batch indices (Iceberg's snapshot log analogue), and
+    ``since`` on the readers is the incremental scan between two
+    snapshots — the shape of "export only what was fetched since the
+    last training snapshot" without re-reading history."""
     spark: object
     out_dir: str
     metrics: list = field(default_factory=list)
@@ -256,17 +259,33 @@ class CrawlHandles:
         # highest batch folded in (so as_of ≥ N covers them exactly)
         return int(os.path.basename(path).split("_")[1])
 
-    def _paths(self, name, as_of=None):
+    def _paths(self, name, as_of=None, since=None):
         import glob as _glob
         paths = sorted(
             _glob.glob(os.path.join(self.out_dir, name, "batch_*"))
             + _glob.glob(os.path.join(self.out_dir, name, "compact_*")))
         if as_of is not None:
             paths = [p for p in paths if self._batch_of(p) <= as_of]
+        if since is not None:
+            # incremental scan (Iceberg's incremental-append read):
+            # exactly the deltas committed AFTER snapshot `since`.
+            # Only exact over append-only history — a compaction base
+            # whose fold point is inside the range mixes rows from
+            # both sides of `since` (sinks are never compacted, so
+            # this only bites state stores like visited)
+            folded = [p for p in paths
+                      if os.path.basename(p).startswith("compact_")
+                      and self._batch_of(p) > since]
+            if folded:
+                raise ValueError(
+                    f"incremental read since batch {since} expired: "
+                    f"compaction folded the range into "
+                    f"{[os.path.basename(p) for p in folded]}")
+            paths = [p for p in paths if self._batch_of(p) > since]
         return paths
 
-    def _read(self, name, schema_key, as_of=None):
-        paths = self._paths(name, as_of)
+    def _read(self, name, schema_key, as_of=None, since=None):
+        paths = self._paths(name, as_of, since)
         if not paths:
             return self.spark.createDataFrame([], _schemas()[schema_key])
         return self.spark.read.parquet(*paths)
@@ -274,17 +293,17 @@ class CrawlHandles:
     def snapshots(self) -> list:
         return sorted({self._batch_of(p) for p in self._paths("trace")})
 
-    def trace(self, as_of=None):
-        return self._read("trace", "trace", as_of)
+    def trace(self, as_of=None, since=None):
+        return self._read("trace", "trace", as_of, since)
 
-    def errors(self, as_of=None):
-        return self._read("errors", "error", as_of)
+    def errors(self, as_of=None, since=None):
+        return self._read("errors", "error", as_of, since)
 
-    def images(self, as_of=None):
-        return self._read("images", "images", as_of)
+    def images(self, as_of=None, since=None):
+        return self._read("images", "images", as_of, since)
 
-    def visited(self, as_of=None):
-        return self._read("visited", "visited", as_of)
+    def visited(self, as_of=None, since=None):
+        return self._read("visited", "visited", as_of, since)
 
     def has_visited(self, url: str, body: bytes | None = None,
                     as_of=None) -> bool:

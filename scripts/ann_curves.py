@@ -100,6 +100,27 @@ def main():
                                           nprobe=p, assign="vectorized"),
             f"ivf nlist={nlist} nprobe={nprobe}",
             min(1.0, mean_cell * nprobe / (1 / nlist) / nlist)))
+    # --- IVF-PQ curve (same coarse cells; codes instead of floats) ------
+    from colly_spark.operators.pq import ann_ivfpq_topk
+    for nprobe, refine in ((4, 0), (4, 32), (8, 0), (8, 32), (16, 32)):
+        rows.append(point(
+            lambda p=nprobe, r=refine: ann_ivfpq_topk(
+                emb, q, k=K, nlist=nlist, m=8, nbits=4, nprobe=p,
+                refine=r, dim=64),
+            f"ivfpq nlist={nlist} nprobe={nprobe} refine={refine}"
+            f" (codes 8B/vec vs 512B raw)",
+            min(1.0, mean_cell * nprobe / (1 / nlist) / nlist)))
+    # trained codebooks (the production path; seeded ones exist for
+    # the bit-exact oracle harness)
+    from colly_spark.operators.pq import pq_train_codebooks
+    books = pq_train_codebooks(emb, cents, m=8, nbits=4, n_iter=4)
+    for nprobe, refine in ((4, 32), (8, 0), (8, 32), (8, 128)):
+        rows.append(point(
+            lambda p=nprobe, r=refine: ann_ivfpq_topk(
+                emb, q, k=K, nlist=nlist, m=8, nbits=4, nprobe=p,
+                refine=r, dim=64, books=books),
+            f"ivfpq TRAINED books nprobe={nprobe} refine={refine}",
+            min(1.0, mean_cell * nprobe / (1 / nlist) / nlist)))
     # markdown for BENCH.md
     print("\n| dial | recall@%d | candidate fraction | wall s (median) |"
           % K, file=sys.stderr)
