@@ -59,7 +59,8 @@ def quota_udf(cfg: CrawlConfig):
 
 
 def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_now",
-                        priority_col: str | None = None):
+                        priority_col: str | None = None,
+                        skew_salt: int = 0):
     """Append ``flag_col``: True = within this batch's per-domain FIFO
     quota. One window shuffle by host; the crawler fuses this into the
     admission checkpoint so the quota decision costs no extra job.
@@ -70,25 +71,54 @@ def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_no
     first (NULLs last, seq as the tie-break), instead of strict FIFO.
     Reference parity holds for the default: the reference queue is
     FIFO-only (queue/queue.go), so priority is opt-in and absent
-    priorities degrade to exact FIFO."""
+    priorities degrade to exact FIFO.
+
+    ``skew_salt`` = S > 1: two-phase salted admission for hot-domain
+    skew. The plain window sorts a domain's ENTIRE pending set in one
+    task — at a 10^10-URL frontier a hot host with 10^7 queued URLs is
+    one straggler task doing an O(n log n) sort for a quota of a few
+    rows. Salting splits each host across S tasks by pmod(seq, S),
+    takes the per-salt top-quota (every task bounded by its salt
+    share), then ranks only the ≤ S·quota survivors per host in the
+    second window; losers of phase 1 are flagged False directly (for
+    any total order, top-q of the union of per-part top-qs IS the
+    global top-q, so the flag is IDENTICAL to the plain window's).
+    Cost: a second (tiny) shuffle + a union — only worth it when a
+    domain's backlog dwarfs its quota, which is why it is opt-in
+    (Crawler(politeness_salt=S))."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     order = [F.col(priority_col).desc_nulls_last(), F.col("seq").asc()] \
         if priority_col else [F.col("seq").asc()]
+    q = quota_udf(cfg)(F.col("host"))
+    if skew_salt and skew_salt > 1:
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        ranked = (pending_df
+                  .withColumn("_q", q)
+                  .withColumn("_salt", F.pmod(F.col("seq"),
+                                              F.lit(skew_salt)))
+                  .withColumn("_rn1", F.row_number().over(w1)))
+        losers = (ranked.filter(F.col("_rn1") > F.col("_q"))
+                  .withColumn(flag_col, F.lit(False)))
+        w2 = Window.partitionBy("host").orderBy(*order)
+        survivors = (ranked.filter(F.col("_rn1") <= F.col("_q"))
+                     .withColumn(flag_col,
+                                 F.row_number().over(w2) <= F.col("_q")))
+        return (survivors.unionByName(losers)
+                .drop("_q", "_salt", "_rn1"))
     w = Window.partitionBy("host").orderBy(*order)
-    return pending_df.withColumn(
-        flag_col, F.row_number().over(w) <= quota_udf(cfg)(F.col("host")))
+    return pending_df.withColumn(flag_col, F.row_number().over(w) <= q)
 
 
-def admit_batch(pending_df, cfg: CrawlConfig):
+def admit_batch(pending_df, cfg: CrawlConfig, skew_salt: int = 0):
     """Split pending rows into (fetch_now, deferred) by per-domain FIFO
     quota. ``pending_df`` must carry ``host`` and ``seq`` columns.
     Returns (fetch_now_df, deferred_df) with original columns."""
     from pyspark.sql import functions as F
 
     cols = pending_df.columns
-    flagged = with_fetch_now_flag(pending_df, cfg)
+    flagged = with_fetch_now_flag(pending_df, cfg, skew_salt=skew_salt)
     fetch_now = flagged.filter(F.col("_fetch_now")).select(cols)
     deferred = flagged.filter(~F.col("_fetch_now")).select(cols)
     return fetch_now, deferred

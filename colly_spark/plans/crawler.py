@@ -550,7 +550,8 @@ class Crawler:
                  compact_major_bases: int = 8,
                  priority_df=None,
                  seen_filter: str = "bloom",
-                 cuckoo_buckets: int = cuckoo.DEFAULT_BUCKETS):
+                 cuckoo_buckets: int = cuckoo.DEFAULT_BUCKETS,
+                 politeness_salt: int = 0):
         """corpus: dict of Spark DataFrames (pages, robots, images) —
         see plans/util.to_spark_corpus.
 
@@ -632,6 +633,11 @@ class Crawler:
         self.sch = _schemas()
         self.live = fetch_source
         self.priority = priority_df
+        # two-phase salted quota admission (hot-domain skew kill;
+        # operators/politeness.with_fetch_now_flag skew_salt) — exact
+        # same admitted set, opt-in because the second shuffle only
+        # pays off when a domain's backlog dwarfs its quota
+        self.politeness_salt = politeness_salt
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from pyspark.sql import functions as F
         if self.live is None:
@@ -1187,9 +1193,11 @@ class Crawler:
                                          F.col("priority").alias("_prio")),
                     "url_hash", "left")
                 pool = politeness.with_fetch_now_flag(
-                    pool, self.cfg, priority_col="_prio").drop("_prio")
+                    pool, self.cfg, priority_col="_prio",
+                    skew_salt=self.politeness_salt).drop("_prio")
             else:
-                pool = politeness.with_fetch_now_flag(pool, self.cfg)
+                pool = politeness.with_fetch_now_flag(
+                    pool, self.cfg, skew_salt=self.politeness_salt)
         else:
             pool = pool.withColumn("_fetch_now", F.lit(True))
         # one checkpoint for every output: union on a widened schema,

@@ -31,6 +31,7 @@ AUDIT = [
     "callback_fires", "stratified_sample", "token_shards",
     "domain_mixture", "image_stats", "image_curation", "recrawl_schedule",
     "c4_line_filter", "repetition_stats", "caption_alignment",
+    "ann_ivfpq", "ann_ivfpq_refined",
 ]
 
 
