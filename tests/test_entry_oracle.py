@@ -55,7 +55,12 @@ GOLDEN_SF = {"bpe_train": "/root/testdata/sf0.01",
              "bpe_encode": "/root/testdata/sf0.01",
              "unigram_train": "/root/testdata/sf0.01",
              "unigram_encode": "/root/testdata/sf0.01",
-             "extract_main_text": "/root/testdata/sf0.01"}
+             "extract_main_text": "/root/testdata/sf0.01",
+             # goldens built from the sf0.01 embeddings (numpy
+             # replica); replica equality at sf0.001 is covered by
+             # tests/test_ivfpq.py
+             "ann_ivfpq": "/root/testdata/sf0.01",
+             "ann_ivfpq_refined": "/root/testdata/sf0.01"}
 
 
 @pytest.mark.parametrize("name", ORACLES)
