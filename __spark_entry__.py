@@ -2140,6 +2140,48 @@ def _classifier_planted_sql() -> str:
     return classifier_sql(docs, bkt)
 
 
+_IMG_CLS_SHARP = 64.0  # smooth scenes land at 0-3, noise at 165-211
+
+
+def q_image_classifier(spark, sf_dir):
+    """Learned image-quality admission (the image twin of
+    quality_classifier; LAION-style gate shape): logistic regression
+    TRAINED distributedly over decoded pixel statistics (luma /
+    contrast / entropy / sharpness + intercept) of a heterogeneous
+    96-image mixed-scene corpus (even ids smooth, odd ids noise,
+    across all five codecs), then every image scored. The label is the
+    sharpness-threshold admission rule; the trained boundary separates
+    it perfectly (accuracy 1.0 pinned in tests/test_classifier.py —
+    the single-scene corpus has nothing to learn, which is why `scene`
+    exists). Oracle: fixed-scale feature normalization + the unrolled
+    GD recurrence replayed over the image_cls_stats golden
+    (classifier.image_classifier_sql), bit-exact DECIMAL scores."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.classifier import image_quality_classifier
+    from colly_spark.operators.multimodal import (image_stats,
+                                                  synthesize_images)
+
+    st = image_stats(synthesize_images(spark, 96, scene="mixed",
+                                       fmt_cycle=("png", "jpeg", "webp",
+                                                  "avif", "webp_lossy")))
+    st = st.withColumn(
+        "y", (F.col("sharpness") >= _IMG_CLS_SHARP).cast("double"))
+    return image_quality_classifier(st).orderBy("image_id")
+
+
+def _image_classifier_sql() -> str:
+    from colly_spark.operators.classifier import image_classifier_sql
+
+    stats = ("s AS MATERIALIZED (SELECT image_id, mean_luma, contrast,"
+             " entropy, sharpness\n"
+             f"  FROM '{_REPO}/golden/image_cls_stats.parquet'"
+             " WHERE decode_ok)")
+    label = (f"CASE WHEN sharpness >= {_IMG_CLS_SHARP!r}"
+             " THEN 1.0 ELSE 0.0 END")
+    return image_classifier_sql(stats, label)
+
+
 def q_dsir_planted(spark, sf_dir):
     """DSIR importance resampling targeting the planted formal
     register (_planted_register_docs): with a strong target signal
@@ -3527,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
         "classifier_planted": q_classifier_planted,
+        "image_classifier": q_image_classifier,
         "dsir_planted": q_dsir_planted,
         "c4_line_filter": q_c4_line_filter,
         "extract_main_text": q_extract_main_text,
@@ -3624,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "classifier_planted": _classifier_planted_sql(),
+        "image_classifier": _image_classifier_sql(),
         "dsir_planted": _dsir_planted_sql(),
         "c4_line_filter": _Q_C4_LINE_FILTER_SQL,
         "extract_main_text": _Q_EXTRACT_MAIN_TEXT_SQL,

@@ -179,6 +179,30 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     )
 
 
+def synth_pixels(i: int, seed: int = 42, size: int = 16,
+                 scene: str = "noise") -> np.ndarray:
+    """Deterministic per-id synthetic pixels — the one generator shared
+    by operators/multimodal.synthesize_images and the golden replicas
+    (scripts/make_golden.py), so engine and oracle see identical
+    scenes. ``scene="noise"`` (default) is the original uniform-noise
+    draw, byte-identical to the pre-scene generator (the noise block
+    is always the FIRST rng draw). ``scene="mixed"`` makes even ids
+    smooth (flat base + gentle ramp: near-zero sharpness, low entropy)
+    and odd ids noise — the heterogeneous corpus an image-quality
+    classifier needs (noise stats are indistinguishable across noise
+    images, so a single-scene corpus has nothing to learn)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+    if scene == "noise" or (scene == "mixed" and i % 2 == 1):
+        return px
+    if scene != "mixed":
+        raise ValueError(f"unknown scene {scene!r}")
+    base = rng.integers(0, 200, size=3)
+    ramp = np.arange(size) * float(rng.integers(1, 4)) / 2.0
+    sm = base[None, None, :] + ramp[None, :, None] + ramp[:, None, None]
+    return np.clip(sm, 0, 255).astype(np.uint8)
+
+
 def synth_encode(px: np.ndarray, enc: str):
     """Encode synthetic pixels with one of the corpus codecs and return
     ``(fmt, data, phash_of_decoded)``. Encoder names: png / jpeg

@@ -141,13 +141,83 @@ def quality_classifier(docs, label_col: str, n_iter: int = DEFAULT_ITERS,
                     "predicted"))
 
 
+# image-admission features: (stat column, fixed scale). Scales are
+# data-INDEPENDENT constants chosen so x is O(1) (luma/sharpness are
+# 0..255-ish, contrast ≤ 127.5, entropy ≤ 8 bits) — a data-dependent
+# standardization would need an extra pass and poison the oracle.
+# The final ("", 0) entry is the intercept (x = 1).
+IMAGE_FEATS = (("mean_luma", 256.0), ("contrast", 64.0),
+               ("entropy", 8.0), ("sharpness", 256.0), ("", 0.0))
+
+
+def image_features(stats_df, label_col: str = "y",
+                   id_col: str = "image_id"):
+    """(id, y, bkt, x): dense pixel-stat features (operators/
+    multimodal.image_stats output + a double label column) in
+    train_classifier's layout — bkt is the feature ordinal, x the
+    fixed-scale-normalized stat, plus an intercept feature (the
+    threshold-shaped quality labels are not separable through the
+    origin). decode-failed rows carry no stats and are excluded (an
+    admission pipeline gates them before scoring)."""
+    from pyspark.sql import functions as F
+
+    entries = [
+        F.struct(F.lit(i).alias("bkt"),
+                 (F.lit(1.0) if not c else
+                  F.col(c).cast("double") / F.lit(s)).alias("x"))
+        for i, (c, s) in enumerate(IMAGE_FEATS)]
+    return (stats_df.filter(F.col("decode_ok"))
+            .select(F.col(id_col).alias("id"),
+                    F.col(label_col).cast("double").alias("y"),
+                    F.explode(F.array(*entries)).alias("e"))
+            .select("id", "y", F.col("e.bkt").alias("bkt"),
+                    F.col("e.x").alias("x")))
+
+
+def image_quality_classifier(stats_df, label_col: str = "y",
+                             n_iter: int = DEFAULT_ITERS,
+                             lr: float = DEFAULT_LR,
+                             id_col: str = "image_id"):
+    """The image twin of quality_classifier (the learned half of a
+    LAION-style admission gate; the reference treats image bytes as
+    opaque — response.go:189-194 — so this is pipeline surface, not
+    parity): train logistic weights over decoded pixel statistics,
+    score every image. Identical distributed shape — the feature
+    table is 5 rows/image, the weight vector is 5 rows total."""
+    from pyspark.sql import functions as F
+
+    feats = image_features(stats_df, label_col, id_col)
+    w = train_classifier(feats, n_iter, lr)
+    return (score_documents(feats, w)
+            .select(F.col("id").alias(id_col), "label", "score",
+                    "predicted"))
+
+
+def image_classifier_sql(stats_cte: str, label_sql: str,
+                         n_iter: int = DEFAULT_ITERS,
+                         lr: float = DEFAULT_LR) -> str:
+    """DuckDB oracle for image_quality_classifier: ``stats_cte`` must
+    define ``s(image_id, mean_luma, contrast, entropy, sharpness)``
+    (decode_ok rows only); ``label_sql`` is the double label
+    expression over s's columns."""
+    unions = []
+    for i, (c, s) in enumerate(IMAGE_FEATS):
+        x = "1.0" if not c else f"CAST({c} AS DOUBLE) / {s!r}"
+        unions.append(f"SELECT image_id AS id, ({label_sql}) AS y,"
+                      f" {i} AS bkt, {x} AS x FROM s")
+    prefix = (f"{stats_cte},\nf AS MATERIALIZED (\n  "
+              + "\n  UNION ALL\n  ".join(unions) + ")")
+    return gd_sql(prefix, n_iter, lr, id_out="image_id")
+
+
 def classifier_sql(docs_cte: str, fnv_bkt: str, n_iter: int = DEFAULT_ITERS,
                    lr: float = DEFAULT_LR) -> str:
     """DuckDB oracle: the identical recurrence unrolled. ``docs_cte``
     must define ``t(id, y, tk)`` (id, double label, token array);
     ``fnv_bkt`` is the bucket expression over column ``gram``. All
     CTEs MATERIALIZED (same 3^k-inlining hazard as pagerank_sql)."""
-    parts = [f"""g0 AS MATERIALIZED (
+    prefix = f"""{docs_cte},
+g0 AS MATERIALIZED (
   SELECT id, y, tk[i] AS gram FROM t, UNNEST(range(1, len(tk) + 1)) u(i)
   UNION ALL
   SELECT id, y, tk[i] || ' ' || tk[i + 1] FROM t,
@@ -157,7 +227,19 @@ gb AS MATERIALIZED (SELECT id, y, {fnv_bkt} AS bkt, count(*) AS cb
 f AS MATERIALIZED (SELECT id, y, bkt,
           CAST(cb AS DOUBLE) / CAST(sum(cb) OVER (PARTITION BY id)
                                     AS DOUBLE) AS x
-       FROM gb),
+       FROM gb)"""
+    return gd_sql(prefix, n_iter, lr)
+
+
+def gd_sql(feats_ctes: str, n_iter: int = DEFAULT_ITERS,
+           lr: float = DEFAULT_LR, id_out: str = "doc_id") -> str:
+    """The GD recurrence + scoring tail of the DuckDB oracle, unrolled
+    over ANY prefix CTE chain whose last CTE is ``f(id, y, bkt, x)``
+    (``feats_ctes`` goes verbatim after WITH; names nn/w*/m*/r*/gr*/fm
+    are reserved). Shared by the text (hashed-gram) and image
+    (pixel-stat) classifier oracles — one recurrence, two feature
+    front-ends, exactly like train_classifier itself."""
+    parts = [f"""{feats_ctes},
 nn AS MATERIALIZED (SELECT count(DISTINCT id)::BIGINT AS n FROM f),
 w0 AS MATERIALIZED (SELECT DISTINCT bkt, 0::DECIMAL(28,14) AS w FROM f)"""]
     for k in range(n_iter):
@@ -178,13 +260,12 @@ w{k + 1} AS MATERIALIZED (
          ::DECIMAL(28,14) AS w
   FROM w{k} LEFT JOIN gr{k} ON w{k}.bkt = gr{k}.bkt, nn)""")
     body = ",\n".join(parts)
-    return f"""WITH {docs_cte},
-{body},
+    return f"""WITH {body},
 fm AS MATERIALIZED (
   SELECT f.id, f.y, sum(round(f.x * CAST(w AS DOUBLE), 12)
                         ::DECIMAL(28,14)) AS m
   FROM f JOIN w{n_iter} USING (bkt) GROUP BY 1, 2)
-SELECT id AS doc_id, y > 0.5 AS label,
+SELECT id AS {id_out}, y > 0.5 AS label,
        round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS score,
        round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) > 0.5 AS predicted
-FROM fm ORDER BY doc_id"""
+FROM fm ORDER BY {id_out}"""

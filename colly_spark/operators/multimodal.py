@@ -157,7 +157,7 @@ def image_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
 def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
                       n_variants: int = 0,
                       fmt_cycle: tuple = ("png", "jpeg", "webp"),
-                      variant_fmt: str = "jpeg"):
+                      variant_fmt: str = "jpeg", scene: str = "noise"):
     """Deterministic image table (input_hint schema) generated
     *distributed*: ids partitioned via spark.range, pixels seeded per
     id, encoded with codec ``fmt_cycle[id % len(fmt_cycle)]``. Cycle
@@ -171,7 +171,12 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
     re-encode (``variant_fmt``) of base image ``j``'s pixels (same
     scene, different bytes/format) — the crawl-corpus situation phash
     dedup exists for. Measured phash Hamming distance of these
-    variants is 0–2 bits."""
+    variants is 0–2 bits.
+
+    ``scene``: pixel generator variant (functions/images.synth_pixels)
+    — "noise" (default, byte-identical to the original generator) or
+    "mixed" (even ids smooth / odd ids noise, the heterogeneous corpus
+    the image-quality classifier trains on)."""
     from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                    StructField, StructType)
 
@@ -186,14 +191,13 @@ def synthesize_images(spark, n: int, seed: int = 42, size: int = 16,
     ])
 
     def _gen(iterator):
-        from colly_spark.functions.images import synth_encode
+        from colly_spark.functions.images import synth_encode, synth_pixels
         for pdf in iterator:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 base = i if i < n else i - n
-                rng = np.random.default_rng(seed * 1_000_003 + base)
-                px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+                px = synth_pixels(base, seed, size, scene)
                 if i < n:
                     enc = fmt_cycle[i % len(fmt_cycle)]
                     fmt, data, ph = synth_encode(px, enc)

@@ -671,6 +671,37 @@ def make_av() -> None:
           f"{len(prows)} mp4 probe rows")
 
 
+def make_image_cls_stats(n: int = 96, seed: int = 42,
+                         size: int = 16) -> None:
+    """image_cls_stats.parquet: the mixed-scene (even smooth / odd
+    noise) corpus' pixel statistics — plain-Python replica of
+    synthesize_images(scene="mixed") → image_stats, the feature input
+    the image_classifier oracle replays GD over."""
+    from colly_spark.functions.images import (decode_image, synth_encode,
+                                              synth_pixels)
+    from colly_spark.operators.multimodal import luma_stats
+
+    cycle = ("png", "jpeg", "webp", "avif", "webp_lossy")
+    rows = []
+    for i in range(n):
+        px = synth_pixels(i, seed, size, scene="mixed")
+        fmt, data, _ = synth_encode(px, cycle[i % len(cycle)])
+        m, c, e, s = luma_stats(decode_image(data, fmt))
+        rows.append(dict(image_id=f"img{i:08d}", fmt=fmt, mean_luma=m,
+                         contrast=c, entropy=e, sharpness=s,
+                         decode_ok=True))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("fmt", pa.string()),
+        ("mean_luma", pa.float64()), ("contrast", pa.float64()),
+        ("entropy", pa.float64()), ("sharpness", pa.float64()),
+        ("decode_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_cls_stats.parquet"))
+    print(f"image_cls_stats: {len(rows)} rows")
+
+
 def make_ann_ivfpq() -> None:
     """ann_ivfpq.parquet + ann_ivfpq_refined.parquet: expected top-k of
     the IVF-PQ queries over the sf0.01 embeddings table, computed by
@@ -728,3 +759,4 @@ if __name__ == "__main__":
     make_unigram()
     make_av()
     make_ann_ivfpq()
+    make_image_cls_stats()

@@ -122,3 +122,81 @@ def test_planted_register_flagship_accuracy(spark):
     assert len(res) > 0
     acc = sum(r.predicted == r.label for r in res) / len(res)
     assert acc > 0.9
+
+
+# ---------------------------------------------------------------------------
+# image twin: pixel-stat features over the mixed-scene corpus
+# ---------------------------------------------------------------------------
+
+def _mixed_stats(spark):
+    from colly_spark.operators.multimodal import (image_stats,
+                                                  synthesize_images)
+
+    return image_stats(synthesize_images(
+        spark, 32, scene="mixed", fmt_cycle=("png", "jpeg", "webp")))
+
+
+def test_image_features_layout(spark):
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.classifier import (IMAGE_FEATS,
+                                                  image_features)
+
+    st = _mixed_stats(spark).withColumn(
+        "y", (F.col("sharpness") >= 64.0).cast("double"))
+    feats = image_features(st).collect()
+    n_img = len({r.id for r in feats})
+    assert len(feats) == n_img * len(IMAGE_FEATS)
+    by_img = {}
+    for r in feats:
+        by_img.setdefault(r.id, {})[r.bkt] = r.x
+    for bkts in by_img.values():
+        assert sorted(bkts) == list(range(len(IMAGE_FEATS)))
+        assert bkts[len(IMAGE_FEATS) - 1] == 1.0  # intercept
+        assert all(-4.0 < x < 4.0 for x in bkts.values())  # O(1) scale
+
+
+def test_image_features_exclude_decode_failures(spark):
+    from colly_spark.operators.classifier import image_features
+
+    st = spark.createDataFrame(
+        [("a", 100.0, 10.0, 5.0, 50.0, True, 1.0),
+         ("b", None, None, None, None, False, 0.0)],
+        "image_id string, mean_luma double, contrast double, "
+        "entropy double, sharpness double, decode_ok boolean, y double")
+    assert {r.id for r in image_features(st).collect()} == {"a"}
+
+
+def test_image_classifier_learns_mixed_scenes(spark):
+    """The smooth-vs-noise admission rule is linearly separable in the
+    pixel stats — the trained gate must recover it exactly (and the
+    single-scene corpus could not: all its stats are one blob)."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.classifier import image_quality_classifier
+
+    st = _mixed_stats(spark).withColumn(
+        "y", (F.col("sharpness") >= 64.0).cast("double"))
+    res = image_quality_classifier(st).collect()
+    assert len(res) == 32
+    assert all(r.predicted == r.label for r in res)
+    pos = min(r.score for r in res if r.label)
+    neg = max(r.score for r in res if not r.label)
+    assert pos > 0.5 > neg
+
+
+def test_noise_scene_default_unchanged(spark):
+    """scene='noise' must remain byte-identical to the pre-scene
+    generator — the existing image goldens all pin it; double-check
+    at the pixel source here."""
+    import numpy as np
+
+    from colly_spark.functions.images import synth_pixels
+
+    rng = np.random.default_rng(42 * 1_000_003 + 7)
+    want = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(synth_pixels(7, 42, 16, "noise"), want)
+    # mixed keeps odd ids on the noise path bit-for-bit
+    assert np.array_equal(synth_pixels(7, 42, 16, "mixed"), want)
+    assert not np.array_equal(synth_pixels(8, 42, 16, "mixed"),
+                              synth_pixels(8, 42, 16, "noise"))
