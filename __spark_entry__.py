@@ -3229,6 +3229,56 @@ FROM sc ORDER BY image_id
 """
 
 
+def q_cross_modal_retrieval(spark, sf_dir):
+    """Caption→image top-k retrieval (the retrieval twin of
+    caption_alignment, multimodal.cross_modal_topk): first 8 captions
+    as queries, every image ranked by the ±1-embedding cosine
+    (64 − 2·hamming)/64 of caption-SimHash × phash. Exact top-k with
+    the query side broadcast; the oracle replays the caption SimHash
+    in HUGEINT bit arithmetic and the ranking in SQL."""
+    from colly_spark.operators.multimodal import cross_modal_topk
+
+    imgs = spark.read.parquet(
+        os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return cross_modal_topk(imgs, k=5, n_queries=8) \
+        .orderBy("query_id", "rank")
+
+
+_Q_CROSS_MODAL_TOPK_SQL = rf"""
+WITH img AS (SELECT image_id, phash, trim(caption) AS tt
+             FROM '{_REPO}/golden/images_meta.parquet'),
+q0 AS (SELECT image_id AS query_id, tt FROM img
+       ORDER BY image_id LIMIT 8),
+tok AS (SELECT query_id, unnest(string_split_regex(tt, '\s+')) AS tok
+        FROM q0 WHERE tt <> ''),
+h AS (SELECT query_id, CAST(({_FNV_SQL.format(col='tok')}) AS UBIGINT) AS hv
+      FROM tok),
+v AS (SELECT query_id, bit,
+             sum(CASE WHEN (hv >> CAST(bit AS UBIGINT)) & 1::UBIGINT = 1::UBIGINT
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY query_id, bit),
+s AS (SELECT query_id,
+             sum(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(bit AS INT))::HUGEINT
+                      ELSE 0::HUGEINT END) AS u
+      FROM v GROUP BY query_id),
+qs AS (SELECT query_id,
+              CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                        THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                        ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS qsim
+       FROM q0 LEFT JOIN s USING (query_id)),
+sc AS (SELECT query_id, i.image_id,
+              round((64 - 2 * bit_count(xor(i.phash, qsim))) / 64.0, 6)
+                AS align_score
+       FROM img i CROSS JOIN qs)
+SELECT query_id, image_id, CAST(rank AS INT) AS rank, align_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY align_score DESC, image_id) AS rank
+  FROM sc)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_cross_modal_dedup(spark, sf_dir):
     """Cross-modal exact dedup: identical images (same phash) scraped
     with different captions are folded to one row keeping the BEST
@@ -3558,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_corpus_filter": q_image_corpus_filter,
         "caption_alignment": q_caption_alignment,
         "cross_modal_dedup": q_cross_modal_dedup,
+        "cross_modal_retrieval": q_cross_modal_retrieval,
         "warc_scan": q_warc_scan,
         "webdataset_scan": q_webdataset_scan,
         "semdedup": q_semdedup,
@@ -3656,6 +3707,7 @@ def oracle_sql() -> dict[str, str]:
         "image_corpus_filter": _Q_IMAGE_CORPUS_FILTER_SQL,
         "caption_alignment": _Q_CAPTION_ALIGN_SQL,
         "cross_modal_dedup": _Q_CROSS_MODAL_SQL,
+        "cross_modal_retrieval": _Q_CROSS_MODAL_TOPK_SQL,
         "warc_scan": _Q_WARC_SCAN_SQL,
         "webdataset_scan": _Q_WEBDATASET_SCAN_SQL,
         "semdedup": _semdedup_sql(),

@@ -477,6 +477,49 @@ def caption_alignment(df, threshold: float = 0.0, id_col: str = "image_id",
         ((ntok >= 1) & (score >= F.lit(threshold))).alias("aligned"))
 
 
+def cross_modal_topk(df, k: int = 5, n_queries: int = 8,
+                     id_col: str = "image_id",
+                     caption_col: str = "caption",
+                     phash_col: str = "phash"):
+    """Caption→image retrieval: rank every image by the ±1-embedding
+    cosine ``(64 − 2·hamming)/64`` between a QUERY caption's SimHash
+    and the image's perceptual hash — the retrieval twin of
+    ``caption_alignment`` (same deterministic embedding stand-ins;
+    a real model swaps in through the two hash columns only).
+
+    Exact top-k: query side broadcast, corpus scanned once (the
+    ``cosine_topk`` discipline — candidate work is n_queries × corpus,
+    map-side). At 10^9 pairs the threshold-retrieval form uses the
+    banded Hamming join instead (``phash_near_dup_pairs``'s Manku
+    bands); top-k over an UNBOUNDED score needs the exact pass, so
+    keep n_queries per job bounded. Self-retrieval is legitimate here
+    (an image's own caption should rank it) — no self-filter.
+
+    Returns (query_id, image_id, rank, align_score), ties by
+    image_id."""
+    from pyspark.sql import Window, functions as F
+
+    from colly_spark.operators.text_dedup import simhash_udf
+
+    qids = (df.select(F.col(id_col).alias("query_id"),
+                      F.col(caption_col).alias("_q_caption"))
+            .orderBy("query_id").limit(n_queries))
+    q = qids.select(
+        "query_id",
+        simhash_udf()(F.col("_q_caption")).alias("_q_sim"))
+    c = df.select(F.col(id_col).alias("image_id"),
+                  F.col(phash_col).alias("_phash"))
+    ham = F.bit_count(F.col("_phash").bitwiseXOR(F.col("_q_sim")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("align_score",
+                          F.round((F.lit(64) - 2 * ham) / F.lit(64.0), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("align_score").desc(), F.col("image_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "image_id", "rank", "align_score"))
+
+
 def cross_modal_dedup(df, id_col: str = "image_id",
                       caption_col: str = "caption",
                       phash_col: str = "phash"):

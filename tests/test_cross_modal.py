@@ -73,3 +73,58 @@ def test_cross_modal_dedup_kat(spark):
     assert out[77].n_caption_tokens == 5
     assert out[88].image_id == "i4" and out[88].n_dups == 2
     assert out[99].image_id == "i6" and out[99].n_caption_tokens == 0
+
+
+def test_cross_modal_topk_ranking_kat(spark):
+    """Hand-built phashes at known Hamming distances from the query
+    caption's simhash: the ranking and 6-dp scores are closed-form."""
+    import numpy as np
+
+    from colly_spark.functions.urlnorm import fnv64a_batch
+    from colly_spark.operators.multimodal import cross_modal_topk
+
+    cap = "a dog on the beach"
+    # plain replica of text_dedup.simhash_udf's bit-vote
+    hv = np.asarray(fnv64a_batch(cap.split())).view(np.uint64)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    base = int(np.packbits(votes > 0,
+                           bitorder="little").view(np.uint64)[0])
+
+    def flip(h, bits):
+        for b in bits:
+            h ^= 1 << b
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    sbase = base - (1 << 64) if base >= (1 << 63) else base
+    rows = [("a0", sbase, cap),             # distance 0 → score 1.0
+            ("i1", flip(base, [3]), "x"),   # distance 1
+            ("i2", flip(base, [3, 17]), "y"),       # distance 2
+            ("i3", flip(base, [3, 17, 40]), "z")]   # distance 3
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string")
+    got = [(r.image_id, r.rank, r.align_score)
+           for r in cross_modal_topk(df, k=3, n_queries=1)
+           .orderBy("rank").collect()]
+    assert got == [("a0", 1, 1.0), ("i1", 2, round(62 / 64, 6)),
+                   ("i2", 3, round(60 / 64, 6))]
+
+
+def test_cross_modal_topk_shape(spark):
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import (cross_modal_topk,
+                                                  synthesize_images)
+
+    imgs = synthesize_images(spark, 24)
+    out = cross_modal_topk(imgs, k=4, n_queries=3).collect()
+    assert len(out) == 12
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
+    # deterministic across repartitioning
+    again = cross_modal_topk(imgs.repartition(5), k=4,
+                             n_queries=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
