@@ -118,6 +118,18 @@ class CrawlConfig:
     # of the same URL; a HEAD failure aborts the GET. HEAD requests are
     # never seen-marked and skip robots.
     check_head: bool = False
+    # Per-host error-budget circuit breaker (engine extension — the
+    # reference has no analogue; at a 10^10-URL frontier a dead host
+    # otherwise burns its politeness quota every batch forever).
+    # A host whose admitted fetches ALL fail with a transport error
+    # (fetch_missing — the network-error analogue) for
+    # ``host_error_budget`` consecutive fetching batches is blocked
+    # for ``host_cooldown_batches`` batches: its pending rows defer
+    # exactly like quota-deferred rows (already seen-marked, never
+    # dropped), then the host gets a fresh budget. 0 = disabled
+    # (reference semantics — the parity suite pins that default).
+    host_error_budget: int = 0
+    host_cooldown_batches: int = 3
     allow_url_revisit: bool = False
     # X3 DetectCharset (colly.go:104-106, config.go:41-42): when no
     # charset is declared (Content-Type param / <meta> / <?xml?>),

@@ -182,8 +182,14 @@ def _schemas():
         StructField("body_req", BinaryType()),
         StructField("tries", IntegerType()),
     ])
+    hosthealth = StructType([
+        StructField("host", StringType()),
+        StructField("consec", IntegerType()),
+        StructField("blocked_until", IntegerType()),
+    ])
     return dict(done=done, frontier=frontier, pending=pending, visited=visited,
-                error=error, trace=trace, images=images)
+                error=error, trace=trace, images=images,
+                hosthealth=hosthealth)
 
 
 def _count_nonhttp_errors(errors_dir: str) -> int:
@@ -638,6 +644,9 @@ class Crawler:
         # same admitted set, opt-in because the second shuffle only
         # pays off when a domain's backlog dwarfs its quota
         self.politeness_salt = politeness_salt
+        # circuit-breaker state (cfg.host_error_budget); loaded on
+        # resume from snap/hosthealth_N, None until the first batch
+        self._host_health = None
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from pyspark.sql import functions as F
         if self.live is None:
@@ -1200,6 +1209,19 @@ class Crawler:
                     pool, self.cfg, skew_salt=self.politeness_salt)
         else:
             pool = pool.withColumn("_fetch_now", F.lit(True))
+        if self.cfg.host_error_budget > 0 and self._host_health is not None:
+            # circuit breaker: a tripped host's rows defer wholesale —
+            # exactly like quota-deferred rows (already marked, kept
+            # pending) — until its cooldown expires. Health table is
+            # active-hosts-only (tiny); AQE broadcasts the join.
+            blocked = (self._host_health
+                       .filter(F.col("blocked_until") > batch)
+                       .select("host", F.lit(True).alias("_hblocked")))
+            pool = (pool.join(blocked, "host", "left")
+                    .withColumn("_fetch_now",
+                                F.col("_fetch_now")
+                                & F.col("_hblocked").isNull())
+                    .drop("_hblocked"))
         # one checkpoint for every output: union on a widened schema,
         # split after materialization; mark delta, fetch/deferred split
         # and the admission counts are all cheap scans of it
@@ -1619,6 +1641,64 @@ class Crawler:
         shutil.rmtree(target_dir, ignore_errors=True)
         shutil.copytree(tmpl, target_dir)
 
+    def _update_host_health(self, fetch_now, done, fetch_errors,
+                            batch: int) -> int:
+        """Per-host circuit-breaker bookkeeping (host_error_budget):
+        fold this batch's fetch outcomes into the (host, consec,
+        blocked_until) table — a host whose attempts ALL transport-
+        errored extends its consecutive-failed-batch count, any
+        success resets it, budget exhaustion trips a cooldown block.
+        The table is snapshotted per batch (snap/hosthealth_N, the
+        frontier/pending discipline) so resume and rollback see it;
+        it holds ACTIVE hosts only, so it stays tiny. Returns the
+        number of currently blocked hosts (driver-side pyarrow count
+        of the just-written snapshot — no extra Spark action)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+        from pyspark.sql import functions as F
+
+        budget = self.cfg.host_error_budget
+        cooldown = self.cfg.host_cooldown_batches
+        prev = self._host_health if self._host_health is not None else \
+            self.spark.createDataFrame([], self.sch["hosthealth"])
+        att = fetch_now.select("seq", "host")
+        outcomes = (fetch_errors
+                    .filter(F.col("kind") == cfgmod.ERR_MISSING)
+                    .select("seq", F.lit(1).alias("e"))
+                    .unionByName(done.select("seq", F.lit(0).alias("e")))
+                    .join(att, "seq")
+                    .groupBy("host")
+                    .agg(F.min("e").alias("all_err")))
+        merged = prev.join(outcomes, "host", "full").select(
+            "host",
+            F.when(F.col("all_err") == 0, F.lit(0))
+             .when(F.col("all_err") == 1,
+                   F.coalesce(F.col("consec"), F.lit(0)) + 1)
+             .otherwise(F.coalesce(F.col("consec"), F.lit(0)))
+             .alias("c2"),
+            F.coalesce(F.col("blocked_until"), F.lit(-1)).alias("b2"))
+        tripped = F.col("c2") >= budget
+        health = merged.select(
+            "host",
+            F.when(tripped, F.lit(0)).otherwise(F.col("c2"))
+             .cast("int").alias("consec"),
+            F.when(tripped, F.lit(batch + 1 + cooldown))
+             .otherwise(F.col("b2")).cast("int").alias("blocked_until"))
+        health = health.filter((F.col("consec") > 0)
+                               | (F.col("blocked_until") > batch + 1))
+        out_dir = os.path.join(self.state, "snap",
+                               f"hosthealth_{batch:06d}")
+        health.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        self._host_health = self.spark.read.parquet(out_dir)
+        n_blocked = 0
+        for f_ in _glob.glob(os.path.join(out_dir, "*.parquet")):
+            vals = _pq.read_table(
+                f_, columns=["blocked_until"]).column(
+                "blocked_until").to_pylist()
+            n_blocked += sum(1 for v in vals if v > batch + 1)
+        return n_blocked
+
     def _manifest_path(self):
         return os.path.join(self.state, "MANIFEST.json")
 
@@ -1735,6 +1815,9 @@ class Crawler:
             self._seen_update(self._visited_df())
         frontier = self.spark.read.parquet(os.path.join(self.state, "snap", f"frontier_{b:06d}"))
         pending = self.spark.read.parquet(os.path.join(self.state, "snap", f"pending_{b:06d}"))
+        hh = os.path.join(self.state, "snap", f"hosthealth_{b:06d}")
+        self._host_health = (self.spark.read.parquet(hh)
+                             if os.path.isdir(hh) else None)
         return b + 1, man["next_seq"], frontier, pending
 
     # ---- the drive loop --------------------------------------------------
@@ -1756,6 +1839,7 @@ class Crawler:
                 F.col("body_req").isNotNull()).select("seq", "body_req")
         self._batch, self._next_seq = 0, next_seq
         self._n_frontier, self._n_pending = len(rows), 0
+        self._host_health = None
         self._metrics: list = []
         if self.cfg.initial_cookies and self._has_cookies:
             # SetCookies (colly.go:1243-1253): commit the seeded jar
@@ -2222,6 +2306,9 @@ class Crawler:
         # at the batch boundary (otherwise the logical plan compounds
         # across batches) and makes every batch start from exactly the
         # state a resume would load
+        if self.cfg.host_error_budget > 0:
+            m["hosts_blocked"] = self._update_host_health(
+                fetch_now, done, fetch_errors, batch)
         self._maybe_compact(batch)
         self._commit(batch, next_seq)
         self._gc_replaced()
