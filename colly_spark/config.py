@@ -130,6 +130,20 @@ class CrawlConfig:
     # (reference semantics — the parity suite pins that default).
     host_error_budget: int = 0
     host_cooldown_batches: int = 3
+    # Adaptive politeness from server back-pressure (engine extension —
+    # the reference surfaces 429/503 to OnError and leaves the policy
+    # to the caller). When on, a FINAL response with status 429/503
+    # that carries a Retry-After of r seconds blocks its host for
+    # ceil(r*1000 / batch_window_ms) batches (capped below), through
+    # the same hosthealth deferral as the circuit breaker: the host's
+    # pending rows (including the 429'd request's own retry, when
+    # retry_http_statuses admits one) defer exactly like
+    # quota-deferred rows. False = reference semantics (the parity
+    # suite pins the default).
+    respect_retry_after: bool = False
+    # upper bound on one Retry-After block, in batches — a server
+    # advertising an absurd value must not park a host forever
+    retry_after_cap_batches: int = 64
     allow_url_revisit: bool = False
     # X3 DetectCharset (colly.go:104-106, config.go:41-42): when no
     # charset is declared (Content-Type param / <meta> / <?xml?>),

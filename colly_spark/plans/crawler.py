@@ -176,6 +176,7 @@ def _schemas():
         StructField("referer", StringType()),
         StructField("set_cookie", StringType()),
         StructField("cache_max_age", IntegerType()),
+        StructField("retry_after", IntegerType()),
         StructField("ctx", StringType()),
         # request body + attempt counter ride through to done so a
         # retry can be re-submitted with the same parameters
@@ -1209,7 +1210,8 @@ class Crawler:
                     pool, self.cfg, skew_salt=self.politeness_salt)
         else:
             pool = pool.withColumn("_fetch_now", F.lit(True))
-        if self.cfg.host_error_budget > 0 and self._host_health is not None:
+        if ((self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after)
+                and self._host_health is not None):
             # circuit breaker: a tripped host's rows defer wholesale —
             # exactly like quota-deferred rows (already marked, kept
             # pending) — until its cooldown expires. Health table is
@@ -1305,6 +1307,13 @@ class Crawler:
             else:
                 page_cols.append(
                     F.lit(None).cast("int").alias("cache_max_age"))
+            # Retry-After seconds a 429/503 response carries
+            # (respect_retry_after back-pressure source)
+            if "retry_after" in self.pages.columns:
+                page_cols.append(F.col("retry_after"))
+            else:
+                page_cols.append(
+                    F.lit(None).cast("int").alias("retry_after"))
             pages = self.pages.select(*page_cols)
         else:
             pages = None
@@ -1395,7 +1404,8 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie", "cache_max_age", "ctx", "body_req", "tries")))
+                "set_cookie", "cache_max_age", "retry_after", "ctx",
+                "body_req", "tries")))
             if not self.cfg.follow_redirects:
                 break
             # NOTE: a probe-less variant (Observation on the redirect
@@ -1518,7 +1528,8 @@ class Crawler:
                     "links": links_col, "imgs": imgs_col, "img_body": img_body,
                     "req_hash": pdf["req_hash"], "from_cache": False,
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
-                    "cache_max_age": pdf["cache_max_age"], "ctx": pdf["ctx"],
+                    "cache_max_age": pdf["cache_max_age"],
+                    "retry_after": pdf["retry_after"], "ctx": pdf["ctx"],
                     "body_req": pdf["body_req"], "tries": pdf["tries"],
                 })
 
@@ -1643,11 +1654,15 @@ class Crawler:
 
     def _update_host_health(self, fetch_now, done, fetch_errors,
                             batch: int) -> int:
-        """Per-host circuit-breaker bookkeeping (host_error_budget):
-        fold this batch's fetch outcomes into the (host, consec,
-        blocked_until) table — a host whose attempts ALL transport-
-        errored extends its consecutive-failed-batch count, any
-        success resets it, budget exhaustion trips a cooldown block.
+        """Per-host health bookkeeping — the circuit breaker
+        (host_error_budget) and Retry-After back-pressure
+        (respect_retry_after) share one (host, consec, blocked_until)
+        table. Breaker: a host whose attempts ALL transport-errored
+        extends its consecutive-failed-batch count, any success
+        resets it, budget exhaustion trips a cooldown block.
+        Retry-After: a final 429/503 carrying the header blocks its
+        host for ceil(r·1000/batch_window_ms) batches (capped at
+        retry_after_cap_batches), max-merged with any breaker block.
         The table is snapshotted per batch (snap/hosthealth_N, the
         frontier/pending discipline) so resume and rollback see it;
         it holds ACTIVE hosts only, so it stays tiny. Returns the
@@ -1663,28 +1678,56 @@ class Crawler:
         prev = self._host_health if self._host_health is not None else \
             self.spark.createDataFrame([], self.sch["hosthealth"])
         att = fetch_now.select("seq", "host")
-        outcomes = (fetch_errors
-                    .filter(F.col("kind") == cfgmod.ERR_MISSING)
-                    .select("seq", F.lit(1).alias("e"))
-                    .unionByName(done.select("seq", F.lit(0).alias("e")))
-                    .join(att, "seq")
-                    .groupBy("host")
-                    .agg(F.min("e").alias("all_err")))
-        merged = prev.join(outcomes, "host", "full").select(
-            "host",
-            F.when(F.col("all_err") == 0, F.lit(0))
-             .when(F.col("all_err") == 1,
-                   F.coalesce(F.col("consec"), F.lit(0)) + 1)
-             .otherwise(F.coalesce(F.col("consec"), F.lit(0)))
-             .alias("c2"),
-            F.coalesce(F.col("blocked_until"), F.lit(-1)).alias("b2"))
-        tripped = F.col("c2") >= budget
-        health = merged.select(
-            "host",
-            F.when(tripped, F.lit(0)).otherwise(F.col("c2"))
-             .cast("int").alias("consec"),
-            F.when(tripped, F.lit(batch + 1 + cooldown))
-             .otherwise(F.col("b2")).cast("int").alias("blocked_until"))
+        if budget > 0:
+            outcomes = (fetch_errors
+                        .filter(F.col("kind") == cfgmod.ERR_MISSING)
+                        .select("seq", F.lit(1).alias("e"))
+                        .unionByName(done.select("seq", F.lit(0).alias("e")))
+                        .join(att, "seq")
+                        .groupBy("host")
+                        .agg(F.min("e").alias("all_err")))
+            merged = prev.join(outcomes, "host", "full").select(
+                "host",
+                F.when(F.col("all_err") == 0, F.lit(0))
+                 .when(F.col("all_err") == 1,
+                       F.coalesce(F.col("consec"), F.lit(0)) + 1)
+                 .otherwise(F.coalesce(F.col("consec"), F.lit(0)))
+                 .alias("c2"),
+                F.coalesce(F.col("blocked_until"), F.lit(-1)).alias("b2"))
+            tripped = F.col("c2") >= budget
+            health = merged.select(
+                "host",
+                F.when(tripped, F.lit(0)).otherwise(F.col("c2"))
+                 .cast("int").alias("consec"),
+                F.when(tripped, F.lit(batch + 1 + cooldown))
+                 .otherwise(F.col("b2")).cast("int").alias("blocked_until"))
+        else:
+            health = prev
+        if self.cfg.respect_retry_after and "retry_after" in done.columns:
+            # server back-pressure: a FINAL 429/503 with Retry-After r
+            # blocks its host for ceil(r·1000/window) batches (capped) —
+            # max-merged with any breaker block already standing
+            win = max(1, self.cfg.batch_window_ms)
+            cap = self.cfg.retry_after_cap_batches
+            ra = (done
+                  .filter(F.col("status").isin(429, 503)
+                          & F.col("retry_after").isNotNull())
+                  .join(att, "seq")
+                  .groupBy("host")
+                  .agg(F.max("retry_after").alias("ra_s")))
+            ra = ra.select(
+                "host",
+                (F.lit(batch + 1) + F.least(
+                    F.lit(cap),
+                    F.ceil(F.col("ra_s") * 1000 / F.lit(win)).cast("int"))
+                 ).cast("int").alias("ra_until"))
+            health = health.join(ra, "host", "full").select(
+                "host",
+                F.coalesce(F.col("consec"), F.lit(0))
+                 .cast("int").alias("consec"),
+                F.greatest(F.coalesce(F.col("blocked_until"), F.lit(-1)),
+                           F.coalesce(F.col("ra_until"), F.lit(-1)))
+                 .cast("int").alias("blocked_until"))
         health = health.filter((F.col("consec") > 0)
                                | (F.col("blocked_until") > batch + 1))
         out_dir = os.path.join(self.state, "snap",
@@ -2021,6 +2064,11 @@ class Crawler:
                 # lives at the HTTP layer; cache hits bypass Do())
                 F.lit(None).cast("string").alias("set_cookie"),
                 F.lit(None).cast("int").alias("cache_max_age"),
+                # cache hits never replay back-pressure: the stored
+                # entry was a successful fetch (429/503 are 4xx/5xx —
+                # 5xx never stored; a stored 429's Retry-After already
+                # acted when it was fetched)
+                F.lit(None).cast("int").alias("retry_after"),
                 # ctx/body/tries are per-REQUEST state: a replay keeps
                 # the requesting row's, not the original fetcher's
                 "ctx", "body_req", "tries")
@@ -2306,7 +2354,7 @@ class Crawler:
         # at the batch boundary (otherwise the logical plan compounds
         # across batches) and makes every batch start from exactly the
         # state a resume would load
-        if self.cfg.host_error_budget > 0:
+        if self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after:
             m["hosts_blocked"] = self._update_host_health(
                 fetch_now, done, fetch_errors, batch)
         self._maybe_compact(batch)

@@ -95,6 +95,7 @@ def to_spark_corpus(spark, tables: dict) -> dict:
             StructField("set_cookie", StringType()),
             StructField("require_cookie", StringType()),
             StructField("cache_max_age", IntegerType()),
+            StructField("retry_after", IntegerType()),
         ]),
         "robots": StructType([
             StructField("host", StringType()),

@@ -126,7 +126,7 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
 
     def add_page(url, status, ctype, body, redirect_to=None, image_id=None,
                  links=None, depth=0, set_cookie=None, require_cookie=None,
-                 cache_max_age=None):
+                 cache_max_age=None, retry_after=None):
         pages_rows.append(
             dict(
                 url=url,
@@ -142,6 +142,9 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 # Cache-Control max-age seconds the page's response
                 # would carry (response.go:108-149); None = no header
                 cache_max_age=cache_max_age,
+                # Retry-After seconds a 429/503 response would carry;
+                # None = no header (respect_retry_after consumes it)
+                retry_after=retry_after,
             )
         )
 
@@ -356,6 +359,9 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
     # force int-or-None objects for the IntegerType Spark column
     pages["cache_max_age"] = pd.Series(
         [None if pd.isna(v) else int(v) for v in pages["cache_max_age"]],
+        dtype=object, index=pages.index)
+    pages["retry_after"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in pages["retry_after"]],
         dtype=object, index=pages.index)
 
     # --- robots --------------------------------------------------------

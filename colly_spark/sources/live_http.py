@@ -78,6 +78,7 @@ _RESPONSE_FIELDS = (
     ("set_cookie", "string"),
     ("require_cookie", "string"),
     ("cache_max_age", "int"),
+    ("retry_after", "int"),
 )
 
 
@@ -246,6 +247,7 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
         set_cookie=resp.headers.get("Set-Cookie"),
         require_cookie=None,
         cache_max_age=_max_age_of(resp.headers),
+        retry_after=_retry_after_of(resp.headers),
     )
 
 
@@ -267,6 +269,26 @@ def _max_age_of(headers):
     except ValueError:
         pass
     return max(0, int(m.group(1)) - age)
+
+
+def _retry_after_of(headers):
+    """Retry-After seconds from response headers (RFC 9110 §10.2.3):
+    delta-seconds form verbatim; HTTP-date form as whole seconds from
+    now, clamped ≥0; absent/garbage → None. Consumed by the engine's
+    respect_retry_after host back-pressure."""
+    v = headers.get("Retry-After")
+    if not v:
+        return None
+    v = v.strip()
+    if v.isdigit():
+        return int(v)
+    try:
+        import time
+        from email.utils import parsedate_to_datetime
+        dt = parsedate_to_datetime(v)
+        return max(0, int(dt.timestamp() - time.time()))
+    except (TypeError, ValueError):
+        return None
 
 
 def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
@@ -300,7 +322,7 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
     # channel (ERR_MISSING), exactly like a corpus-join miss
     return dict(_purl=None, status=None, content_type=None, body=None,
                 redirect_to=None, image_id=None, set_cookie=None,
-                require_cookie=None, cache_max_age=None)
+                require_cookie=None, cache_max_age=None, retry_after=None)
 
 
 class HttpFetchSource:
