@@ -2903,6 +2903,53 @@ FROM '{_REPO}/golden/video_frames.parquet' ORDER BY video_id, frame_idx
 """
 
 
+def q_video_near_dup(spark, sf_dir):
+    """Video near-duplicate pairs (operators/av.video_near_dup_pairs):
+    the variant corpus (video 24+j re-encodes video j's frames at q85)
+    → frame sampling → Manku banded candidate join on any shared
+    frame band → aligned-Hamming verify with an integral ppm score.
+    The oracle runs the O(n²) brute-force aligned-Hamming verify over
+    the replica-computed golden frame phashes — provably the same
+    pair set for k < n_bands (pigeonhole). 100-TB shape: bucketed
+    banded join + candidate-pair-only verify, never all-pairs."""
+    from colly_spark.operators.av import (synthesize_videos,
+                                          video_frame_sample,
+                                          video_near_dup_pairs)
+
+    frames = video_frame_sample(
+        synthesize_videos(spark, 24, n_variants=12, variant_quality=85),
+        every=2)
+    return (video_near_dup_pairs(frames, k=3, n_bands=4, tau=0.5,
+                                 align_window=1)
+            .orderBy("video_a", "video_b"))
+
+
+_Q_VIDEO_NEAR_DUP_SQL = f"""
+WITH f AS (
+  SELECT video_id, frame_idx, phash
+  FROM '{_REPO}/golden/video_frames_nd.parquet'),
+sizes AS (
+  SELECT video_id, COUNT(DISTINCT frame_idx) AS nf FROM f GROUP BY video_id),
+m AS (
+  SELECT a.video_id AS video_a, b.video_id AS video_b,
+         COUNT(DISTINCT a.frame_idx) AS matched
+  FROM f a JOIN f b
+    ON a.video_id < b.video_id
+   AND abs(a.frame_idx - b.frame_idx) <= 1
+   AND bit_count(xor(a.phash, b.phash)) <= 3
+  GROUP BY 1, 2)
+SELECT m.video_a, m.video_b, m.matched,
+       CAST(sa.nf AS BIGINT) AS n_a, CAST(sb.nf AS BIGINT) AS n_b,
+       CAST(floor(m.matched * 1000000.0 / least(sa.nf, sb.nf)) AS BIGINT)
+         AS score_ppm
+FROM m
+JOIN sizes sa ON sa.video_id = m.video_a
+JOIN sizes sb ON sb.video_id = m.video_b
+WHERE m.matched * 1000000 >= 500000 * least(sa.nf, sb.nf)
+ORDER BY video_a, video_b
+"""
+
+
 def q_image_decode(spark, sf_dir):
     """Multimodal plumbing: synthesize a binary image column spanning
     all five corpus codecs (from-scratch png/jpeg/VP8L plus native
@@ -3628,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_priority": q_domain_priority,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "video_near_dup": q_video_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
         "image_curation": q_image_curation,
         "mp4_probe": q_mp4_probe,
@@ -3727,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_priority": _domain_priority_sql(),
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
+        "video_near_dup": _Q_VIDEO_NEAR_DUP_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
         "image_curation": _Q_IMAGE_CURATION_SQL,
         "mp4_probe": _Q_MP4_PROBE_SQL,

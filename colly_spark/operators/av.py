@@ -104,10 +104,17 @@ def synth_video_frames(i: int, seed: int = 42, size: int = 16):
 
 
 def synthesize_videos(spark, n: int, seed: int = 42, size: int = 16,
-                      quality: int = 95):
+                      quality: int = 95, n_variants: int = 0,
+                      variant_quality: int = 60):
     """Deterministic MJPEG-AVI table (video_id, bytes, w, h, n_frames,
     fps), frames JPEG-encoded by the from-scratch codec, generated
-    distributed."""
+    distributed.
+
+    ``n_variants`` appends near-duplicate rows (the synthesize_images
+    discipline): video ``n + j`` is a lossy re-encode of video ``j``'s
+    frames at ``variant_quality`` — same pixels, different bytes, the
+    re-upload/re-compression situation video near-dup exists for.
+    Measured per-frame phash Hamming of these variants is 0-2 bits."""
     from pyspark.sql.types import (BinaryType, IntegerType, StringType,
                                    StructField, StructType)
 
@@ -127,16 +134,18 @@ def synthesize_videos(spark, n: int, seed: int = 42, size: int = 16,
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                frames = [encode_jpeg(px, quality=quality)
-                          for px in synth_video_frames(i, seed, size)]
-                fps = (5, 10, 15)[i % 3]
+                base_i = i if i < n else i - n
+                q = quality if i < n else variant_quality
+                frames = [encode_jpeg(px, quality=q)
+                          for px in synth_video_frames(base_i, seed, size)]
+                fps = (5, 10, 15)[base_i % 3]
                 rows.append(dict(
                     video_id=f"vid{i:08d}",
                     bytes=encode_mjpeg_avi(frames, size, size, fps),
                     w=size, h=size, n_frames=len(frames), fps=fps))
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(_gen, schema=schema)
+    return spark.range(n + n_variants).mapInPandas(_gen, schema=schema)
 
 
 def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
@@ -185,6 +194,85 @@ def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col).mapInPandas(_sample, schema=schema)
+
+
+def video_near_dup_pairs(frames_df, k: int = 3, n_bands: int = 4,
+                         tau: float = 0.5, align_window: int = 1,
+                         id_col: str = "video_id"):
+    """Video near-duplicate pairs from sampled frame phashes — the
+    temporal extension of the image stack's ``phash_near_dup_pairs``
+    (Manku et al. WWW'07), pure Catalyst end to end.
+
+    Input: ``video_frame_sample``'s output (id, frame_idx, phash,
+    decode_ok). Two stages, both candidate-bounded:
+
+    1. CANDIDATES — split each sampled frame's 64-bit phash into
+       ``n_bands`` disjoint blocks; by pigeonhole a frame pair within
+       Hamming ``k < n_bands`` agrees exactly on ≥1 block, so an
+       equi-join on (band, block_value) finds every video pair that
+       shares even ONE near-identical frame. Never all-pairs: the
+       join is bucketed by the 2^16-value band key, and at 10^10
+       frames the same permuted-prefix-table scaling as the image
+       operator applies.
+    2. VERIFY — for candidate pairs only, count the distinct frames
+       of each video with a temporally-aligned partner
+       (|Δframe_idx| ≤ ``align_window``, Hamming ≤ ``k``); a pair is
+       a near-dup when matched / min(n_a, n_b) ≥ ``tau``. The score
+       is emitted as integral parts-per-million (floor) so the
+       DuckDB oracle replays it bit-exactly — no float division in
+       the decision.
+
+    Returns (video_a, video_b, matched, n_a, n_b, score_ppm),
+    video_a < video_b. Undecodable rows are excluded up front (a
+    poison frame can't create or destroy a pair beyond its absence).
+    """
+    from pyspark.sql import functions as F
+
+    assert k < n_bands, "pigeonhole completeness requires k < n_bands"
+    assert 64 % n_bands == 0
+    tau_ppm = int(round(tau * 1_000_000))
+    f = (frames_df
+         .filter(F.col("decode_ok") & F.col("phash").isNotNull())
+         .select(F.col(id_col).alias("id"), "frame_idx", "phash"))
+    sizes = f.groupBy("id").agg(
+        F.countDistinct("frame_idx").alias("nf"))
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), i * bits)
+            .bitwiseAND(F.lit(mask)).alias("val"))
+        for i in range(n_bands)])
+    bands = (f.select("id", F.explode(band_structs).alias("bv"))
+             .select("id", F.col("bv.band").alias("band"),
+                     F.col("bv.val").alias("val")))
+    cand = (bands.select(F.col("id").alias("video_a"), "band", "val")
+            .join(bands.select(F.col("id").alias("video_b"), "band", "val"),
+                  ["band", "val"])
+            .filter(F.col("video_a") < F.col("video_b"))
+            .select("video_a", "video_b").distinct())
+    fa = f.select(F.col("id").alias("video_a"),
+                  F.col("frame_idx").alias("ia"), F.col("phash").alias("pa"))
+    fb = f.select(F.col("id").alias("video_b"),
+                  F.col("frame_idx").alias("ib"), F.col("phash").alias("pb"))
+    matched = (cand.join(fa, "video_a").join(fb, "video_b")
+               .filter((F.abs(F.col("ia") - F.col("ib"))
+                        <= F.lit(align_window))
+                       & (F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                          <= F.lit(k)))
+               .groupBy("video_a", "video_b")
+               .agg(F.countDistinct("ia").alias("matched")))
+    na = sizes.select(F.col("id").alias("video_a"), F.col("nf").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("video_b"), F.col("nf").alias("n_b"))
+    return (matched.join(na, "video_a").join(nb, "video_b")
+            .withColumn("score_ppm",
+                        F.floor(F.col("matched") * F.lit(1_000_000)
+                                / F.least("n_a", "n_b")).cast("long"))
+            .filter(F.col("matched") * F.lit(1_000_000)
+                    >= F.lit(tau_ppm) * F.least("n_a", "n_b"))
+            .select("video_a", "video_b", "matched", "n_a", "n_b",
+                    "score_ppm"))
 
 
 def synthesize_mp4s(spark, n: int, seed: int = 42):

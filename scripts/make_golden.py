@@ -671,6 +671,41 @@ def make_av() -> None:
           f"{len(prows)} mp4 probe rows")
 
 
+def make_video_near_dup(n: int = 24, n_variants: int = 12,
+                        every: int = 2, variant_quality: int = 85) -> None:
+    """video_frames_nd.parquet: plain-Python replica of
+    `video_frame_sample(synthesize_videos(n, n_variants=12,
+    variant_quality=85), every=2)` — the variant corpus (video n+j
+    re-encodes video j's frames at q85; at 16×16 lower qualities
+    drift phash past the k=3 radius — measured frame frac(Hamming≤3)
+    vs the q95 base: q70 0.73, q85 0.96) whose frame phashes feed the `video_near_dup` oracle. The
+    oracle SQL then runs the brute-force aligned-Hamming verify over
+    these rows; Manku banded candidates are provably identical for
+    k < n_bands, so the engine's banded plan is pinned against the
+    O(n²) ground truth."""
+    from colly_spark.functions.images import phash64
+    from colly_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from colly_spark.operators.av import synth_video_frames
+
+    rows = []
+    for i in range(n + n_variants):
+        base_i = i if i < n else i - n
+        q = 95 if i < n else variant_quality
+        for idx, px in enumerate(synth_video_frames(base_i)):
+            if idx % every:
+                continue
+            dec = decode_jpeg(encode_jpeg(px, quality=q))
+            rows.append(dict(video_id=f"vid{i:08d}", frame_idx=idx,
+                             phash=phash64(dec)))
+    t = pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False,
+        schema=pa.schema([("video_id", pa.string()),
+                          ("frame_idx", pa.int32()),
+                          ("phash", pa.int64())]))
+    pq.write_table(t, os.path.join(GOLDEN, "video_frames_nd.parquet"))
+    print(f"video_near_dup: {len(rows)} frame rows")
+
+
 def make_image_cls_stats(n: int = 96, seed: int = 42,
                          size: int = 16) -> None:
     """image_cls_stats.parquet: the mixed-scene (even smooth / odd
@@ -758,5 +793,6 @@ if __name__ == "__main__":
     make_bpe()
     make_unigram()
     make_av()
+    make_video_near_dup()
     make_ann_ivfpq()
     make_image_cls_stats()
