@@ -2950,6 +2950,51 @@ ORDER BY video_a, video_b
 """
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs (operators/av.audio_near_dup_pairs):
+    Shazam-style constellation fingerprints (Wang, ISMIR 2003 —
+    functions/audio.spectral_landmarks, integer (f1,f2,Δt) hashes)
+    over the variant WAV corpus (audio 20+j = audio j delayed 512
+    samples at 0.8 gain), then stop-hash filtering → bucketed hash
+    join → per-pair offset voting: true duplicates line up on ONE
+    coherent frame offset, collisions scatter. Oracle replays the
+    integer pipeline over replica-computed golden landmarks.
+    100-TB shape: hash-bucketed candidates with the oversized-bucket
+    guard, candidate-pair-only voting — never all-pairs."""
+    from colly_spark.operators.av import (audio_fingerprints,
+                                          audio_near_dup_pairs,
+                                          synthesize_audio_fp)
+
+    fp = audio_fingerprints(synthesize_audio_fp(spark, 20, n_variants=10))
+    return (audio_near_dup_pairs(fp, min_matches=40)
+            .orderBy("audio_a", "audio_b"))
+
+
+_Q_AUDIO_NEAR_DUP_SQL = f"""
+WITH f AS (
+  SELECT audio_id, fp_hash, t FROM '{_REPO}/golden/audio_fp.parquet'),
+rare AS (
+  SELECT fp_hash FROM f GROUP BY fp_hash
+  HAVING COUNT(DISTINCT audio_id) <= 64),
+g AS (SELECT f.* FROM f SEMI JOIN rare USING (fp_hash)),
+votes AS (
+  SELECT a.audio_id AS audio_a, b.audio_id AS audio_b,
+         a.t - b.t AS dt, COUNT(*) AS v
+  FROM g a JOIN g b
+    ON a.fp_hash = b.fp_hash AND a.audio_id < b.audio_id
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT audio_a, audio_b, v, dt,
+         row_number() OVER (PARTITION BY audio_a, audio_b
+                            ORDER BY v DESC, dt ASC) AS rn
+  FROM votes)
+SELECT audio_a, audio_b, CAST(v AS BIGINT) AS aligned,
+       CAST(dt AS INTEGER) AS best_dt
+FROM best WHERE rn = 1 AND v >= 40
+ORDER BY audio_a, audio_b
+"""
+
+
 def q_image_decode(spark, sf_dir):
     """Multimodal plumbing: synthesize a binary image column spanning
     all five corpus codecs (from-scratch png/jpeg/VP8L plus native
@@ -3676,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "video_near_dup": q_video_near_dup,
+        "audio_near_dup": q_audio_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
         "image_curation": q_image_curation,
         "mp4_probe": q_mp4_probe,
@@ -3776,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _Q_AUDIO_SQL,
         "video_frames": _Q_VIDEO_SQL,
         "video_near_dup": _Q_VIDEO_NEAR_DUP_SQL,
+        "audio_near_dup": _Q_AUDIO_NEAR_DUP_SQL,
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
         "image_curation": _Q_IMAGE_CURATION_SQL,
         "mp4_probe": _Q_MP4_PROBE_SQL,

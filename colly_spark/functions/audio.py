@@ -109,3 +109,82 @@ def synth_samples(i: int, seed: int = 42):
         out[:, 1] = np.clip(np.round(np.roll(base, 5) * 0.5),
                             -32768, 32767).astype(np.int16)
     return rate, out
+
+
+def synth_fp_samples(i: int, seed: int = 42, rate: int = 8000,
+                     seg_frames: int = 512, n_seg: int = 8):
+    """Deterministic per-id FINGERPRINT test signal: ``n_seg``
+    segments, each a sum of two seeded tones (frequencies change at
+    segment boundaries, so the spectral-peak constellation varies
+    over time — constant-tone signals have a degenerate landmark
+    set). Longer than synth_samples by design: landmark pairing
+    needs enough STFT frames to fan out over. Returns (rate, mono
+    int16 samples of n_seg*seg_frames frames)."""
+    rng = np.random.default_rng(seed * 31_337 + i)
+    out = np.empty(n_seg * seg_frames, dtype=np.float64)
+    for s in range(n_seg):
+        # bins 4..100 of a 256-point FFT at this rate, kept off bin
+        # boundaries' extremes so windowing keeps peaks sharp
+        b1, b2 = rng.choice(np.arange(4, 100), size=2, replace=False)
+        f1 = b1 * rate / 256.0
+        f2 = b2 * rate / 256.0
+        t = (np.arange(seg_frames) + s * seg_frames) / rate
+        out[s * seg_frames:(s + 1) * seg_frames] = (
+            6000.0 * np.sin(2 * np.pi * f1 * t)
+            + 4000.0 * np.sin(2 * np.pi * f2 * t))
+    out += rng.integers(-32, 33, size=out.shape[0])
+    return rate, np.clip(np.round(out), -32768, 32767).astype(np.int16)
+
+
+def spectral_landmarks(samples: np.ndarray, n_fft: int = 256,
+                       hop: int = 128, n_peaks: int = 3,
+                       fan_out: int = 3, dt_min: int = 1,
+                       dt_max: int = 16, mag_floor: float = 100.0):
+    """Shazam-style constellation landmarks (Wang, ISMIR 2003) over a
+    mono int16 signal, pure numpy and fully deterministic:
+
+    Hann-windowed |rFFT| frames (``n_fft``/``hop``) → per-frame top
+    ``n_peaks`` bins above ``mag_floor`` (ties broken by lower bin;
+    bin 0 excluded) → each anchor peak pairs with the next
+    ``fan_out`` peaks ``dt_min``..``dt_max`` frames ahead (frame
+    order, then bin order). Hash packs (f1, f2, Δt) as
+    ``f1<<16 | f2<<6 | Δt`` — integers end to end, so the DuckDB
+    oracle replays every downstream decision exactly.
+
+    Returns list of (hash:int, t:int) with t the anchor frame."""
+    if samples.ndim == 2:
+        samples = samples[:, 0]
+    x = samples.astype(np.float64)
+    n = x.shape[0]
+    if n < n_fft:
+        return []
+    n_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    win = np.hanning(n_fft)
+    mags = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+    peaks = []  # (t, bin) in deterministic order
+    for t in range(n_frames):
+        m = mags[t]
+        cand = np.nonzero(m >= mag_floor)[0]
+        cand = cand[cand > 0]
+        if cand.size == 0:
+            continue
+        # stable top-n: magnitude desc, bin asc on ties
+        order = np.lexsort((cand, -m[cand]))[:n_peaks]
+        for b in sorted(int(cand[j]) for j in order):
+            peaks.append((t, b))
+    out = []
+    for a, (t1, f1) in enumerate(peaks):
+        fanned = 0
+        for t2, f2 in peaks[a + 1:]:
+            dt = t2 - t1
+            if dt < dt_min:
+                continue
+            if dt > dt_max:
+                break
+            out.append(((f1 << 16) | (f2 << 6) | dt, t1))
+            fanned += 1
+            if fanned >= fan_out:
+                break
+    return out

@@ -92,6 +92,136 @@ def audio_features(df, id_col: str = "audio_id", bytes_col: str = "bytes"):
     return df.select(id_col, bytes_col).mapInPandas(_extract, schema=schema)
 
 
+def synthesize_audio_fp(spark, n: int, seed: int = 42,
+                        n_variants: int = 0, shift: int = 512,
+                        gain: float = 0.8):
+    """Deterministic audio table for FINGERPRINTING (audio_id, bytes):
+    per-id multi-segment tone signals (functions/audio.synth_fp_samples
+    — long enough for landmark fan-out, time-varying constellation).
+
+    ``n_variants`` appends near-duplicate rows: audio ``n + j`` is
+    audio ``j`` delayed by ``shift`` samples (zero-prefix, same
+    length) at ``gain`` — the re-encode/re-broadcast situation audio
+    fingerprint dedup exists for. With shift a multiple of the STFT
+    hop, the true pair aligns at one coherent frame offset."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("audio_id", StringType()),
+        StructField("bytes", BinaryType()),
+    ])
+
+    def _gen(iterator):
+        from colly_spark.functions.audio import encode_wav, synth_fp_samples
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                base_i = i if i < n else i - n
+                rate, x = synth_fp_samples(base_i, seed)
+                if i >= n:
+                    y = np.zeros_like(x)
+                    y[shift:] = x[:-shift]
+                    x = np.clip(np.round(y * gain),
+                                -32768, 32767).astype(np.int16)
+                rows.append(dict(audio_id=f"aud{i:08d}",
+                                 bytes=encode_wav(x, rate)))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n + n_variants).mapInPandas(_gen, schema=schema)
+
+
+def audio_fingerprints(df, id_col: str = "audio_id",
+                       bytes_col: str = "bytes", **landmark_kw):
+    """(id, fp_hash, t, decode_ok): Shazam-style constellation
+    landmarks (functions/audio.spectral_landmarks) per WAV, one
+    decode per row inside mapInPandas, poison-tolerant (an
+    undecodable container yields one decode_ok=False row). Map-side
+    only; the landmark fan-out happens inside the Arrow batch."""
+    from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField(id_col, StringType()),
+        StructField("fp_hash", LongType()),
+        StructField("t", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+    ])
+
+    def _fp(iterator):
+        from colly_spark.functions.audio import decode_wav, spectral_landmarks
+        for pdf in iterator:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    _rate, samples = decode_wav(bytes(data))
+                    for h, t in spectral_landmarks(samples, **landmark_kw):
+                        rows.append({id_col: rid, "fp_hash": h, "t": t,
+                                     "decode_ok": True})
+                except Exception:
+                    rows.append({id_col: rid, "fp_hash": None, "t": None,
+                                 "decode_ok": False})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(_fp, schema=schema)
+
+
+def audio_near_dup_pairs(fp_df, min_matches: int = 40,
+                         hash_cap: int = 64, id_col: str = "audio_id"):
+    """Audio near-duplicate pairs by time-coherent fingerprint
+    matching (Wang, ISMIR 2003) — the audio member of the media
+    dedup triptych (image phash / video frame-phash / this), pure
+    Catalyst end to end:
+
+    1. STOP-HASHES — a hash appearing in more than ``hash_cap``
+       distinct audios is dropped first (the LSH oversized-bucket
+       discipline: a constant-tone hash shared by 10^6 files would
+       otherwise explode the candidate join quadratically).
+    2. CANDIDATES — equi-join on fp_hash (bucketed by the hash key,
+       never all-pairs), id_a < id_b, each match carrying the frame
+       offset Δt = t_a − t_b.
+    3. VERIFY — true duplicates agree on ONE coherent offset: vote
+       per (pair, Δt), keep pairs whose best offset gathers
+       ≥ ``min_matches`` votes (spurious hash collisions scatter
+       across offsets and never line up: on the synthetic variant
+       corpus chance alignment tops out at 30 votes while planted
+       shifted/re-gained duplicates carry 228+ — the default sits
+       in that gap with margin both ways).
+
+    Returns (audio_a, audio_b, aligned, best_dt) — ``aligned`` the
+    winning offset's vote count, ``best_dt`` the smallest offset
+    among tied winners (deterministic). Integer arithmetic end to
+    end; the DuckDB oracle replays it bit-exactly."""
+    from pyspark.sql import functions as F
+
+    f = (fp_df.filter(F.col("decode_ok") & F.col("fp_hash").isNotNull())
+         .select(F.col(id_col).alias("id"), "fp_hash", "t"))
+    rare = (f.groupBy("fp_hash")
+            .agg(F.countDistinct("id").alias("n_ids"))
+            .filter(F.col("n_ids") <= hash_cap)
+            .select("fp_hash"))
+    f = f.join(rare, "fp_hash")
+    a = f.select(F.col("id").alias("audio_a"), "fp_hash",
+                 F.col("t").alias("ta"))
+    b = f.select(F.col("id").alias("audio_b"), "fp_hash",
+                 F.col("t").alias("tb"))
+    votes = (a.join(b, "fp_hash")
+             .filter(F.col("audio_a") < F.col("audio_b"))
+             .withColumn("dt", F.col("ta") - F.col("tb"))
+             .groupBy("audio_a", "audio_b", "dt")
+             .agg(F.count(F.lit(1)).alias("v")))
+    best = (votes.groupBy("audio_a", "audio_b")
+            .agg(F.max(F.struct(F.col("v").alias("v"),
+                                (-F.col("dt")).alias("ndt")))
+                 .alias("best"))
+            .select("audio_a", "audio_b",
+                    F.col("best.v").alias("aligned"),
+                    (-F.col("best.ndt")).cast("int").alias("best_dt")))
+    return (best.filter(F.col("aligned") >= min_matches)
+            .select("audio_a", "audio_b", "aligned", "best_dt"))
+
+
 def synth_video_frames(i: int, seed: int = 42, size: int = 16):
     """Deterministic per-(video, frame) pixel planes: seeded base
     scene + per-frame brightness drift (so consecutive frames are

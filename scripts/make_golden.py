@@ -706,6 +706,37 @@ def make_video_near_dup(n: int = 24, n_variants: int = 12,
     print(f"video_near_dup: {len(rows)} frame rows")
 
 
+def make_audio_fp(n: int = 20, n_variants: int = 10, shift: int = 512,
+                  gain: float = 0.8) -> None:
+    """audio_fp.parquet: plain-Python replica of
+    `audio_fingerprints(synthesize_audio_fp(n, n_variants=10))` —
+    landmark constellations computed from the raw samples WITHOUT
+    the WAV container round-trip (the audio_features discipline), so
+    the golden pins encode→decode→landmark plumbing end to end. The
+    `audio_near_dup` oracle SQL then replays stop-hash filtering,
+    the hash join, offset voting, and the (votes desc, dt asc) best
+    pick over these integer rows bit-exactly."""
+    from colly_spark.functions.audio import spectral_landmarks, synth_fp_samples
+
+    rows = []
+    for i in range(n + n_variants):
+        base_i = i if i < n else i - n
+        _rate, x = synth_fp_samples(base_i)
+        if i >= n:
+            y = np.zeros_like(x)
+            y[shift:] = x[:-shift]
+            x = np.clip(np.round(y * gain), -32768, 32767).astype(np.int16)
+        for h, t in spectral_landmarks(x):
+            rows.append(dict(audio_id=f"aud{i:08d}", fp_hash=h, t=t))
+    t = pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False,
+        schema=pa.schema([("audio_id", pa.string()),
+                          ("fp_hash", pa.int64()),
+                          ("t", pa.int32())]))
+    pq.write_table(t, os.path.join(GOLDEN, "audio_fp.parquet"))
+    print(f"audio_fp: {len(rows)} landmark rows")
+
+
 def make_image_cls_stats(n: int = 96, seed: int = 42,
                          size: int = 16) -> None:
     """image_cls_stats.parquet: the mixed-scene (even smooth / odd
@@ -794,5 +825,6 @@ if __name__ == "__main__":
     make_unigram()
     make_av()
     make_video_near_dup()
+    make_audio_fp()
     make_ann_ivfpq()
     make_image_cls_stats()
