@@ -2919,6 +2919,10 @@ def q_video_near_dup(spark, sf_dir):
     frames = video_frame_sample(
         synthesize_videos(spark, 24, n_variants=12, variant_quality=85),
         every=2)
+    # the matcher self-joins its input 4 ways — materialize the
+    # decode ONCE (production: write the fingerprint table to parquet
+    # first; here localCheckpoint is the in-session equivalent)
+    frames = frames.localCheckpoint(eager=True)
     return (video_near_dup_pairs(frames, k=3, n_bands=4, tau=0.5,
                                  align_window=1)
             .orderBy("video_a", "video_b"))
@@ -2966,6 +2970,9 @@ def q_audio_near_dup(spark, sf_dir):
                                           synthesize_audio_fp)
 
     fp = audio_fingerprints(synthesize_audio_fp(spark, 20, n_variants=10))
+    # the matcher references its input 4 ways (stop-hash count + both
+    # join sides) — materialize the decode/landmark pass ONCE
+    fp = fp.localCheckpoint(eager=True)
     return (audio_near_dup_pairs(fp, min_matches=40)
             .orderBy("audio_a", "audio_b"))
 

@@ -192,7 +192,12 @@ def audio_near_dup_pairs(fp_df, min_matches: int = 40,
     Returns (audio_a, audio_b, aligned, best_dt) — ``aligned`` the
     winning offset's vote count, ``best_dt`` the smallest offset
     among tied winners (deterministic). Integer arithmetic end to
-    end; the DuckDB oracle replays it bit-exactly."""
+    end; the DuckDB oracle replays it bit-exactly.
+
+    CALLER CONTRACT: the plan references ``fp_df`` four ways (stop-
+    hash count + the rare filter + both join sides) — materialize
+    the fingerprint pass first (parquet, or localCheckpoint in
+    session) or the WAV decode re-runs per reference."""
     from pyspark.sql import functions as F
 
     f = (fp_df.filter(F.col("decode_ok") & F.col("fp_hash").isNotNull())
@@ -355,6 +360,12 @@ def video_near_dup_pairs(frames_df, k: int = 3, n_bands: int = 4,
     Returns (video_a, video_b, matched, n_a, n_b, score_ppm),
     video_a < video_b. Undecodable rows are excluded up front (a
     poison frame can't create or destroy a pair beyond its absence).
+
+    CALLER CONTRACT: this plan references ``frames_df`` four ways
+    (sizes + band explode + both verify sides) — materialize the
+    frame-sampling pass first (write the phash table to parquet; in
+    session, localCheckpoint) or the container decode re-runs per
+    reference.
     """
     from pyspark.sql import functions as F
 

@@ -32,6 +32,7 @@ AUDIT = [
     "domain_mixture", "image_stats", "image_curation", "recrawl_schedule",
     "c4_line_filter", "repetition_stats", "caption_alignment",
     "ann_ivfpq", "ann_ivfpq_refined",
+    "video_near_dup", "audio_near_dup",
 ]
 
 
