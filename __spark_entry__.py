@@ -3017,6 +3017,49 @@ def q_image_decode(spark, sf_dir):
         repartition_to=8)
 
 
+def q_gif_decode(spark, sf_dir):
+    """GIF as a first-class decodable web format: synthesize 48
+    deterministic GIF images (from-scratch LZW encoder,
+    functions/gif.py — cross-verified bit-exact against the system
+    giflib in both directions) and decode metadata + phash via the
+    standard Arrow-batched decode_meta operator. The golden computes
+    the expected phash from the RAW synthetic pixels, never through
+    GIF bytes — so the oracle pins the exact-palette encoder's
+    losslessness end to end."""
+    from colly_spark.operators.multimodal import decode_meta, synthesize_images
+
+    return decode_meta(
+        synthesize_images(spark, 48, fmt_cycle=("gif",)), repartition_to=8)
+
+
+_Q_GIF_DECODE_SQL = f"""
+SELECT image_id, w, h, fmt, phash, decode_ok
+FROM '{_REPO}/golden/gif_decode.parquet'
+"""
+
+
+def q_gif_frames(spark, sf_dir):
+    """Animated-GIF frame sampling through the SAME video_frame_sample
+    operator as MJPEG-AVI (container sniffed per row): synthesize 24
+    animated GIFs + 12 JPEG-q85-degraded near-dup variants over the
+    shared per-(video, frame) pixel generator, composite + sample
+    every 2nd frame → phash. Golden replica computes phashes from the
+    raw (or jpeg-degraded) frame pixels WITHOUT the GIF container —
+    pinning LZW, palette order, and compositing."""
+    from colly_spark.operators.av import (synthesize_animated_gifs,
+                                          video_frame_sample)
+
+    return (video_frame_sample(
+                synthesize_animated_gifs(spark, 24, n_variants=12), every=2)
+            .orderBy("video_id", "frame_idx"))
+
+
+_Q_GIF_FRAMES_SQL = f"""
+SELECT video_id, frame_idx, w, h, phash, decode_ok
+FROM '{_REPO}/golden/gif_frames.parquet' ORDER BY video_id, frame_idx
+"""
+
+
 def q_image_stats(spark, sf_dir):
     """Pixel-quality admission signals (the LAION-style image filter
     shape): decode every image across the five corpus codecs and
@@ -3701,6 +3744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace": q_crawl_trace,
         "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
+        "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
         "image_stats": q_image_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
         "phash_near_dup": q_phash_near_dup,
@@ -3802,6 +3847,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trace": _Q_CRAWL_TRACE_SQL,
         "crawl_events": _Q_CRAWL_EVENTS_SQL,
         "image_decode": _Q_IMAGE_DECODE_SQL,
+        "gif_decode": _Q_GIF_DECODE_SQL,
+        "gif_frames": _Q_GIF_FRAMES_SQL,
         "image_stats": _Q_IMAGE_STATS_SQL,
         "image_metadata_scrub": _Q_IMAGE_SCRUB_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,

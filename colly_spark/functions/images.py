@@ -133,7 +133,7 @@ decode_lossy = decode_qnt
 
 # the formats this engine can decode from scratch, portable to any
 # environment (pure Python/numpy, no native libraries)
-DECODABLE_WEB_FMTS = ("png", "jpeg", "webp")
+DECODABLE_WEB_FMTS = ("png", "jpeg", "webp", "gif")
 
 
 def decodable_web_fmts() -> tuple:
@@ -166,6 +166,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from colly_spark.functions.webp import decode_webp
 
         return decode_webp(data)
+    if fmt == "gif":
+        # from scratch (functions/gif.py, LZW + compositing), verified
+        # bit-exact against giflib streams in both directions; animated
+        # payloads decode to their first composited frame here (frame
+        # sampling lives in operators/av.video_frame_sample)
+        from colly_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
     if fmt == "avif":
         # native-only: a from-scratch AV1 decoder is out of honest
         # reach; libavif (dav1d/aom) is the production decode path
@@ -220,6 +228,10 @@ def synth_encode(px: np.ndarray, enc: str):
         from colly_spark.functions.webp import encode_webp
 
         fmt, data = "webp", encode_webp(px)
+    elif enc == "gif":
+        from colly_spark.functions.gif import encode_gif
+
+        fmt, data = "gif", encode_gif(px)
     elif enc == "webp_lossy":
         from colly_spark.functions.native_codecs import encode_webp_native
 

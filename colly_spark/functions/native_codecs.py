@@ -364,6 +364,230 @@ def encode_avif_native(pixels: np.ndarray, max_quantizer: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# giflib (5.x) — struct-based API; layouts pinned and round-trip gated
+# ---------------------------------------------------------------------------
+#
+# Purpose: an independent industry GIF codec to cross-verify the
+# from-scratch codec (functions/gif.py) in BOTH directions — our
+# encoder's streams must decode bit-exact under giflib, and genuine
+# giflib-produced streams must decode bit-exact under our decoder
+# (tests/test_gif.py). giflib returns errors instead of exiting, so
+# it is safe in-process; the file-name API means a tempfile per call
+# (tests/fixtures only — the crawl decode path stays from-scratch).
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _GifColorMap(ctypes.Structure):
+    """ColorMapObject, giflib 5.x (gif_lib.h)."""
+
+    _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_GifColorMap))]
+
+
+class _GifExtensionBlock(ctypes.Structure):
+    _fields_ = [("ByteCount", ctypes.c_int),
+                ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                ("Function", ctypes.c_int)]
+
+
+class _GifSavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_GifExtensionBlock))]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                ("SColorResolution", ctypes.c_int),
+                ("SBackGroundColor", ctypes.c_int),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_GifColorMap)),
+                ("ImageCount", ctypes.c_int),
+                ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_GifSavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_GifExtensionBlock)),
+                ("Error", ctypes.c_int),
+                ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+_gif = None
+
+
+def _load_gif():
+    global _gif
+    with _lock:
+        if _gif is not None:
+            return _gif
+        try:
+            name = ctypes.util.find_library("gif") or "libgif.so.7"
+            lib = ctypes.CDLL(name)
+            lib.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+            lib.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                             ctypes.POINTER(ctypes.c_int)]
+            lib.DGifSlurp.restype = ctypes.c_int
+            lib.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+            lib.DGifCloseFile.restype = ctypes.c_int
+            lib.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                          ctypes.POINTER(ctypes.c_int)]
+            lib.EGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+            lib.EGifOpenFileName.argtypes = [ctypes.c_char_p, ctypes.c_bool,
+                                             ctypes.POINTER(ctypes.c_int)]
+            lib.GifMakeMapObject.restype = ctypes.POINTER(_GifColorMap)
+            lib.GifMakeMapObject.argtypes = [ctypes.c_int,
+                                             ctypes.POINTER(_GifColorType)]
+            lib.GifFreeMapObject.argtypes = [ctypes.POINTER(_GifColorMap)]
+            lib.EGifPutScreenDesc.restype = ctypes.c_int
+            lib.EGifPutScreenDesc.argtypes = [
+                ctypes.POINTER(_GifFileType), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(_GifColorMap)]
+            lib.EGifPutImageDesc.restype = ctypes.c_int
+            lib.EGifPutImageDesc.argtypes = [
+                ctypes.POINTER(_GifFileType), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_bool,
+                ctypes.POINTER(_GifColorMap)]
+            lib.EGifPutLine.restype = ctypes.c_int
+            lib.EGifPutLine.argtypes = [ctypes.POINTER(_GifFileType),
+                                        ctypes.POINTER(ctypes.c_ubyte),
+                                        ctypes.c_int]
+            lib.EGifCloseFile.restype = ctypes.c_int
+            lib.EGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                          ctypes.POINTER(ctypes.c_int)]
+            _gif = (lib,)
+            # self-validation: encode->decode round trip must be
+            # bit-exact on indices AND palette (plus ABI sanity checks
+            # inside the calls themselves)
+            rng = np.random.RandomState(11)
+            pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+            idx = rng.randint(0, 8, size=(9, 7)).astype(np.uint8)
+            frames = decode_gif_native(encode_gif_native(idx, pal))
+            (_desc, got_idx, got_pal) = frames[0]
+            if not (np.array_equal(got_idx, idx)
+                    and np.array_equal(got_pal[:8], pal)):
+                raise RuntimeError("giflib round-trip mismatch")
+        except Exception:
+            _gif = False
+        return _gif
+
+
+def gif_native_available() -> bool:
+    return bool(_load_gif())
+
+
+def decode_gif_native(data: bytes):
+    """Decode a GIF via giflib's DGifSlurp. Returns a list of frames
+    ``(desc, indices, palette)`` with desc = dict(left, top,
+    interlace, screen_w, screen_h), indices (h, w) uint8 raster in
+    FILE ORDER (giflib does not de-interlace), palette (n, 3) uint8
+    (the frame's local table if present, else the global one)."""
+    got = _load_gif()
+    if not got:
+        raise NotImplementedError("giflib not available in this container")
+    (lib,) = got
+    import os
+    import tempfile
+
+    err = ctypes.c_int(0)
+    with tempfile.NamedTemporaryFile(suffix=".gif", delete=False) as tf:
+        tf.write(bytes(data))
+        path = tf.name
+    try:
+        f = lib.DGifOpenFileName(path.encode(), ctypes.byref(err))
+        if not f:
+            raise ValueError(f"giflib open failed (error {err.value})")
+        try:
+            if lib.DGifSlurp(f) != 1:  # GIF_OK
+                raise ValueError(f"giflib slurp failed "
+                                 f"(error {f.contents.Error})")
+            g = f.contents
+            out = []
+            for i in range(g.ImageCount):
+                si = g.SavedImages[i]
+                d = si.ImageDesc
+                cmap = d.ColorMap if d.ColorMap else g.SColorMap
+                if not cmap:
+                    raise ValueError("giflib frame has no palette")
+                cm = cmap.contents
+                pal = np.ctypeslib.as_array(
+                    ctypes.cast(cm.Colors, ctypes.POINTER(ctypes.c_ubyte)),
+                    shape=(cm.ColorCount, 3)).copy()
+                raster = np.ctypeslib.as_array(
+                    si.RasterBits, shape=(d.Height, d.Width)).copy()
+                out.append((dict(left=d.Left, top=d.Top,
+                                 interlace=bool(d.Interlace),
+                                 screen_w=g.SWidth, screen_h=g.SHeight),
+                            raster, pal))
+            return out
+        finally:
+            lib.DGifCloseFile(f, ctypes.byref(err))
+    finally:
+        os.unlink(path)
+
+
+def encode_gif_native(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n, 3) palette as a GIF
+    via giflib's EGif writer — the genuine-stream source the
+    from-scratch decoder is verified against."""
+    got = _gif if _gif is not None else _load_gif()
+    if not got:
+        raise NotImplementedError("giflib not available in this container")
+    (lib,) = got
+    import os
+    import tempfile
+
+    h, w = indices.shape
+    ncols = palette.shape[0]
+    size = 2
+    while size < ncols:
+        size *= 2
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:ncols] = palette
+    carr = (_GifColorType * size)()
+    for i in range(size):
+        carr[i] = _GifColorType(int(pal[i, 0]), int(pal[i, 1]), int(pal[i, 2]))
+    cmap = lib.GifMakeMapObject(size, carr)
+    if not cmap:
+        raise MemoryError("GifMakeMapObject failed")
+    err = ctypes.c_int(0)
+    fd, path = tempfile.mkstemp(suffix=".gif")
+    os.close(fd)
+    try:
+        f = lib.EGifOpenFileName(path.encode(), False, ctypes.byref(err))
+        if not f:
+            lib.GifFreeMapObject(cmap)
+            raise ValueError(f"giflib EGif open failed (error {err.value})")
+        ok = True
+        ok &= lib.EGifPutScreenDesc(f, w, h, 8, 0, cmap) == 1
+        ok &= lib.EGifPutImageDesc(f, 0, 0, w, h, False, None) == 1
+        rows = np.ascontiguousarray(indices, dtype=np.uint8)
+        for y in range(h):
+            line = rows[y].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+            ok &= lib.EGifPutLine(f, line, w) == 1
+        closed = lib.EGifCloseFile(f, ctypes.byref(err)) == 1
+        lib.GifFreeMapObject(cmap)
+        if not (ok and closed):
+            raise ValueError("giflib encode failed")
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
 # libjpeg (62 ABI / libjpeg-turbo) — classic API over version-pinned offsets
 # ---------------------------------------------------------------------------
 #

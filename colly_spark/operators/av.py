@@ -288,7 +288,13 @@ def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
     """(id, frame_idx, w, h, phash, decode_ok): every Nth frame of
     each container, decoded and phashed. Undecodable containers yield
     one decode_ok=False row; undecodable single frames yield
-    decode_ok=False for that frame only."""
+    decode_ok=False for that frame only.
+
+    Containers are sniffed per row: RIFF MJPEG-AVI (functions/avi.py,
+    frames decoded by the from-scratch T.81 JPEG codec) and animated
+    GIF (functions/gif.py, frames composited then sampled) — so a
+    mixed media column flows through ONE operator and both feed the
+    same frame-phash near-dup stack."""
     from pyspark.sql.types import (BooleanType, IntegerType, LongType,
                                    StringType, StructField, StructType)
 
@@ -303,13 +309,33 @@ def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
 
     def _sample(iterator):
         from colly_spark.functions.avi import sample_frames
+        from colly_spark.functions.gif import decode_gif_frames
         from colly_spark.functions.images import phash64
         from colly_spark.functions.jpeg import decode_jpeg
         for pdf in iterator:
             rows = []
             for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: compositing is sequential, so all
+                    # frames decode once and every Nth is kept
+                    try:
+                        frames = decode_gif_frames(data)
+                    except Exception:
+                        rows.append({id_col: rid, "frame_idx": None,
+                                     "w": None, "h": None, "phash": None,
+                                     "decode_ok": False})
+                        continue
+                    for idx, (px, _delay) in enumerate(frames):
+                        if idx % every:
+                            continue
+                        rows.append({id_col: rid, "frame_idx": idx,
+                                     "w": px.shape[1], "h": px.shape[0],
+                                     "phash": phash64(px),
+                                     "decode_ok": True})
+                    continue
                 try:
-                    picks = sample_frames(bytes(data), every)
+                    picks = sample_frames(data, every)
                 except Exception:
                     rows.append({id_col: rid, "frame_idx": None, "w": None,
                                  "h": None, "phash": None,
@@ -329,6 +355,49 @@ def video_frame_sample(df, every: int = 2, id_col: str = "video_id",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col).mapInPandas(_sample, schema=schema)
+
+
+def synthesize_animated_gifs(spark, n: int, seed: int = 42, size: int = 16,
+                             n_variants: int = 0):
+    """Deterministic animated-GIF table (video_id, bytes, w, h,
+    n_frames) over the SAME per-(video, frame) pixel generator as
+    synthesize_videos (synth_video_frames), encoded by the
+    from-scratch GIF writer — so GIFs exercise the identical frame
+    pipeline through a second container format.
+
+    ``n_variants`` appends near-duplicate rows: gif ``n + j`` encodes
+    video ``j``'s frames JPEG-degraded at q85 first (pixels drift like
+    a re-encode, bytes/container differ) — the cross-format re-upload
+    situation the frame-phash near-dup stack exists for."""
+    from pyspark.sql.types import (BinaryType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("video_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ])
+
+    def _gen(iterator):
+        from colly_spark.functions.gif import encode_gif_animated
+        from colly_spark.functions.jpeg import decode_jpeg, encode_jpeg
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                base_i = i if i < n else i - n
+                frames = synth_video_frames(base_i, seed, size)
+                if i >= n:
+                    frames = [decode_jpeg(encode_jpeg(px, quality=85))
+                              for px in frames]
+                data = encode_gif_animated(frames, [10] * len(frames))
+                rows.append(dict(video_id=f"gif{i:08d}", bytes=data,
+                                 w=size, h=size, n_frames=len(frames)))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n + n_variants).mapInPandas(_gen, schema=schema)
 
 
 def video_near_dup_pairs(frames_df, k: int = 3, n_bands: int = 4,

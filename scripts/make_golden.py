@@ -706,6 +706,57 @@ def make_video_near_dup(n: int = 24, n_variants: int = 12,
     print(f"video_near_dup: {len(rows)} frame rows")
 
 
+def make_gif(n_static: int = 48, n_anim: int = 24, n_variants: int = 12,
+             every: int = 2) -> None:
+    """gif_decode.parquet + gif_frames.parquet: expected outputs of
+    `q_gif_decode` / `q_gif_frames`, computed WITHOUT the GIF codec —
+    static phashes straight from the raw synthetic pixels (every 16×16
+    image has ≤256 distinct colors, so the exact-palette encoder is
+    LOSSLESS and the golden pins that claim end to end), and animated
+    frame phashes from the raw per-frame pixels (variants: through the
+    JPEG q85 degrade the synthesizer applies, but never through GIF
+    bytes). Any GIF encode/decode drift — LZW, palette order,
+    compositing — breaks the hash."""
+    from colly_spark.functions.images import phash64, synth_pixels
+    from colly_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from colly_spark.operators.av import synth_video_frames
+
+    rows = []
+    for i in range(n_static):
+        px = synth_pixels(i)
+        rows.append(dict(image_id=f"img{i:08d}", w=px.shape[1],
+                         h=px.shape[0], fmt="gif", phash=phash64(px),
+                         decode_ok=True))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("phash", pa.int64()), ("decode_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "gif_decode.parquet"))
+
+    frows = []
+    for i in range(n_anim + n_variants):
+        base_i = i if i < n_anim else i - n_anim
+        for idx, px in enumerate(synth_video_frames(base_i)):
+            if idx % every:
+                continue
+            if i >= n_anim:
+                px = decode_jpeg(encode_jpeg(px, quality=85))
+            frows.append(dict(video_id=f"gif{i:08d}", frame_idx=idx,
+                              w=px.shape[1], h=px.shape[0],
+                              phash=phash64(px), decode_ok=True))
+    ft = pa.Table.from_pandas(
+        pd.DataFrame(frows), preserve_index=False,
+        schema=pa.schema([("video_id", pa.string()),
+                          ("frame_idx", pa.int32()),
+                          ("w", pa.int32()), ("h", pa.int32()),
+                          ("phash", pa.int64()),
+                          ("decode_ok", pa.bool_())]))
+    pq.write_table(ft, os.path.join(GOLDEN, "gif_frames.parquet"))
+    print(f"gif: {len(rows)} static rows, {len(frows)} frame rows")
+
+
 def make_audio_fp(n: int = 20, n_variants: int = 10, shift: int = 512,
                   gain: float = 0.8) -> None:
     """audio_fp.parquet: plain-Python replica of
@@ -824,6 +875,7 @@ if __name__ == "__main__":
     make_bpe()
     make_unigram()
     make_av()
+    make_gif()
     make_video_near_dup()
     make_audio_fp()
     make_ann_ivfpq()

@@ -195,7 +195,9 @@ class TestDecodeImageDispatch:
         assert sig.parameters["fmts"].default is None  # derived, not inline
         rng = np.random.default_rng(8)
         px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        from colly_spark.functions.gif import encode_gif
         from colly_spark.functions.images import encode_lossy, encode_png
-        enc = {"png": encode_png, "jpeg": encode_lossy, "webp": encode_webp}
+        enc = {"png": encode_png, "jpeg": encode_lossy, "webp": encode_webp,
+               "gif": encode_gif}
         for fmt in DECODABLE_WEB_FMTS:
             decode_image(enc[fmt](px), fmt)  # every admitted fmt decodes
