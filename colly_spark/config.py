@@ -88,6 +88,14 @@ class CrawlConfig:
     # column), and responses without one are not replayable.
     cache_expiry_policy: str = "duration"  # duration | never | date | header
     cache_expire_at_batch: int = 0
+    # HTTP revalidation (engine extension beyond the reference's
+    # transparent cache; RFC 9111 §4.3): when on, a STALE cache entry
+    # that carries a validator (the response's ETag) is not refetched
+    # blindly — the request goes out conditional (If-None-Match) and a
+    # 304 Not Modified replays the stored entry body-free AND
+    # refreshes its expiry from the 304's own caching headers. Default
+    # off = reference semantics (stale entries refetch fully).
+    cache_revalidate: bool = False
     # F9 per-request abort (Request.Abort() in OnRequest,
     # colly.go:655-657 / request.go:123-125): admitted requests whose
     # URL matches any of these regexes are dropped AFTER the seen-mark
@@ -144,6 +152,20 @@ class CrawlConfig:
     # upper bound on one Retry-After block, in batches — a server
     # advertising an absurd value must not park a host forever
     retry_after_cap_batches: int = 64
+    # robots.txt Crawl-delay politeness (engine extension — the
+    # reference's robotstxt library parses the directive, temoto
+    # CrawlDelay, but colly never applies it; a real 10^10-frontier
+    # crawl must). When on, a host whose applicable robots UA group
+    # advertises ``Crawl-delay: r`` fetches at most once per r
+    # seconds: sub-window delays divide the batch quota
+    # (min(rule_quota, window_ms // (r*1000))), super-window delays
+    # admit one batch then block the host ceil(r*1000/window_ms)-1
+    # batches through the same hosthealth deferral as the breaker /
+    # Retry-After. Capped below (the common-crawler practice — an
+    # absurd advertised delay must not park a host forever). False =
+    # reference semantics (the parity suite pins the default).
+    respect_crawl_delay: bool = False
+    crawl_delay_cap_s: int = 30
     allow_url_revisit: bool = False
     # X3 DetectCharset (colly.go:104-106, config.go:41-42): when no
     # charset is declared (Content-Type param / <meta> / <?xml?>),

@@ -60,7 +60,8 @@ def quota_udf(cfg: CrawlConfig):
 
 def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_now",
                         priority_col: str | None = None,
-                        skew_salt: int = 0):
+                        skew_salt: int = 0,
+                        crawl_delay_col: str | None = None):
     """Append ``flag_col``: True = within this batch's per-domain FIFO
     quota. One window shuffle by host; the crawler fuses this into the
     admission checkpoint so the quota decision costs no extra job.
@@ -92,6 +93,17 @@ def with_fetch_now_flag(pending_df, cfg: CrawlConfig, flag_col: str = "_fetch_no
     order = [F.col(priority_col).desc_nulls_last(), F.col("seq").asc()] \
         if priority_col else [F.col("seq").asc()]
     q = quota_udf(cfg)(F.col("host"))
+    if crawl_delay_col is not None:
+        # respect_crawl_delay: a robots-advertised Crawl-delay of
+        # cd_ms caps the host at one request per cd_ms — sub-window
+        # delays divide the batch quota (window // cd, min 1); the
+        # super-window spacing (cd > window → gaps BETWEEN batches)
+        # is enforced by the hosthealth block, not here
+        win = max(1, cfg.batch_window_ms)
+        cd = F.col(crawl_delay_col)
+        q_cd = F.greatest(F.lit(1),
+                          F.floor(F.lit(win) / cd).cast("int"))
+        q = F.when(cd.isNotNull() & (cd > 0), F.least(q, q_cd)).otherwise(q)
     if skew_salt and skew_salt > 1:
         w1 = Window.partitionBy("host", "_salt").orderBy(*order)
         ranked = (pending_df

@@ -92,6 +92,69 @@ def parse_rules(body: str | None, user_agent: str = "*") -> list[tuple[bool, str
     return select_group(groups, user_agent)
 
 
+def parse_group_delays(body: str | None) -> list[tuple[list[str], float | None]]:
+    """Per-UA-group ``Crawl-delay`` seconds, with the SAME grouping
+    grammar as :func:`parse_groups` (consecutive User-agent lines share
+    one block; directives before any group belong to ``*``). The
+    directive is non-standard but near-universal on real robots.txt;
+    the reference's robotstxt library parses it (temoto CrawlDelay)
+    though colly itself never applies it — applying it is this
+    engine's respect_crawl_delay extension."""
+    if not body:
+        return []
+    out: list[tuple[list[str], float | None]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    collecting_agents = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not collecting_agents:
+                if agents or delay is not None:
+                    out.append((agents or ["*"], delay))
+                agents, delay = [], None
+                collecting_agents = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+        elif key == "crawl-delay":
+            collecting_agents = False
+            try:
+                v = float(val)
+                if v >= 0:
+                    delay = v
+            except ValueError:
+                pass  # malformed value → directive ignored
+    if agents or delay is not None:
+        out.append((agents or ["*"], delay))
+    return out
+
+
+def crawl_delay_of(body: str | None, user_agent: str) -> float | None:
+    """Crawl-delay seconds applying to ``user_agent``: the longest-
+    prefix-matching group's value (temoto FindGroup semantics, exactly
+    like rule selection), falling back to the ``*`` group; None when
+    neither advertises one."""
+    ua = (user_agent or "").lower()
+    best_len = -1
+    best: float | None = None
+    star: float | None = None
+    for agents, delay in parse_group_delays(body):
+        for token in agents:
+            if token == "*":
+                if star is None:
+                    star = delay
+            elif ua.startswith(token) and len(token) > best_len:
+                best_len = len(token)
+                best = delay
+    return best if best_len >= 0 else star
+
+
 @lru_cache(maxsize=4096)
 def _pattern_re(pattern: str) -> re.Pattern:
     out = []

@@ -242,6 +242,9 @@ class Simulator:
                      deferred=0, errors=0, new_links=0)
             if self.cfg.cache_enabled:
                 m["cache_hits"] = 0
+            if self.cfg.cache_enabled and getattr(self.cfg, "cache_revalidate",
+                                                  False):
+                m["revalidated"] = 0
             # 1. admission on new frontier rows, in seq order
             for (seq, raw, depth, method, body, referer, ctx, no_rv,
                  tries) in sorted(frontier, key=lambda t: t[0]):
@@ -304,6 +307,7 @@ class Simulator:
                 # engine probes fetch_now, then splits: a cached GET
                 # never sends its HEAD copy). A hit replays the final
                 # response and bypasses the cookie jar entirely.
+                reval_ent = None
                 if self.cfg.cache_enabled and method == "GET":
                     ent = cache.get(rhash)
                     if ent is not None and self._cache_valid(ent, batch):
@@ -323,6 +327,13 @@ class Simulator:
                         _maybe_retry(final_url, status, "GET", depth, body,
                                      referer, ctx, tries)
                         continue
+                    # RFC 9111 §4.3: a STALE entry with a validator
+                    # goes out conditional (If-None-Match) instead of
+                    # refetching blindly (cache_revalidate only)
+                    if (ent is not None
+                            and getattr(self.cfg, "cache_revalidate", False)
+                            and ent.get("etag")):
+                        reval_ent = ent
                 # X5 CheckHead: HEAD precedes the GET; a HEAD error
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
                 # and skips robots.
@@ -360,6 +371,36 @@ class Simulator:
                         (canon, cfgmod.ERR_ABORTED_AFTER_HEADERS))
                     m["errors"] += 1
                     continue
+                if (reval_ent is not None
+                        and getattr(row, "etag", None) == reval_ent["etag"]):
+                    # 304 Not Modified: the validator still matches —
+                    # replay the stored entry body-free AND refresh it
+                    # (new created batch, the 304's own caching
+                    # headers). Mirrors the engine's post-fetch 304
+                    # replacement join exactly.
+                    final_url, status = (reval_ent["final_url"],
+                                         reval_ent["status"])
+                    res.trace.append((batch, seq, canon, final_url, depth,
+                                      hostname(final_url), status, "GET",
+                                      referer, ua, proxy, ctx))
+                    m["fetched"] += 1
+                    m["revalidated"] += 1
+                    if status >= 400:
+                        res.errors.append((canon, f"http_{status}"))
+                    res.images.extend(reval_ent["images"])
+                    for li, link in enumerate(reval_ent["links"]):
+                        new_frontier.append((link, depth + 1, li, final_url,
+                                             ctx))
+                    _maybe_retry(final_url, status, "GET", depth, body,
+                                 referer, ctx, tries)
+                    staged_cache.append((rhash, dict(
+                        created=batch, final_url=reval_ent["final_url"],
+                        status=reval_ent["status"],
+                        links=list(reval_ent["links"]),
+                        images=list(reval_ent["images"]),
+                        expiry=self._entry_expiry(row, batch),
+                        etag=getattr(row, "etag", None))))
+                    continue
                 res.trace.append((batch, seq, canon, final_url, depth,
                                   hostname(final_url), status, method,
                                   referer, ua, proxy, ctx))
@@ -383,7 +424,8 @@ class Simulator:
                         staged_cache.append((rhash, dict(
                             created=batch, final_url=final_url,
                             status=status, links=[], images=[],
-                            expiry=self._entry_expiry(row, batch))))
+                            expiry=self._entry_expiry(row, batch),
+                            etag=getattr(row, "etag", None))))
                     continue
                 # X2: transparent gzip then MaxBodySize truncation of
                 # the decoded bytes (http_backend.go:229-244)
@@ -410,7 +452,8 @@ class Simulator:
                     staged_cache.append((rhash, dict(
                         created=batch, final_url=final_url, status=status,
                         links=list(links), images=req_images,
-                        expiry=self._entry_expiry(row, batch))))
+                        expiry=self._entry_expiry(row, batch),
+                        etag=getattr(row, "etag", None))))
             # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
             #    (new_frontier was appended in fetch order = seq order, link order);
             #    S6 capacity: links beyond max_queue_size − pending are dropped

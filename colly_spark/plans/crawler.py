@@ -177,6 +177,9 @@ def _schemas():
         StructField("set_cookie", StringType()),
         StructField("cache_max_age", IntegerType()),
         StructField("retry_after", IntegerType()),
+        # response ETag validator (cache_revalidate stores it so a
+        # stale entry can go out conditional next time)
+        StructField("etag", StringType()),
         StructField("ctx", StringType()),
         # request body + attempt counter ride through to done so a
         # retry can be re-submitted with the same parameters
@@ -1050,29 +1053,54 @@ class Crawler:
         """X4 response-cache probe table: latest valid entry per request
         hash (GET-only; TTL in batch-index logical time — the v3
         expiry-by-duration policy, cache.go:153-211)."""
+        return self._cache_probe_tables(batch)[0]
+
+    def _cache_probe_tables(self, batch: int):
+        """(valid, stale_with_validator) latest-entry-per-hash tables.
+
+        ``valid`` replays without a fetch (the existing X4 probe).
+        ``stale_with_validator`` (cache_revalidate only, else None) is
+        the RFC 9111 §4.3 set: entries expired under the configured
+        policy whose response carried an ETag — their requests go out
+        CONDITIONAL (If-None-Match) and a 304 replays + refreshes the
+        entry instead of re-downloading the body. One parquet read
+        feeds both tables; validity is a column predicate over the
+        same latest-per-hash window."""
         from pyspark.sql import Window, functions as F
 
         if not self.cfg.cache_enabled or not self._cache_paths:
-            return None
+            return None, None
         policy = getattr(self.cfg, "cache_expiry_policy", "duration")
-        if policy == "date" and self.cfg.cache_expire_at_batch > 0 \
-                and batch >= self.cfg.cache_expire_at_batch:
+        date_cut = (policy == "date" and self.cfg.cache_expire_at_batch > 0
+                    and batch >= self.cfg.cache_expire_at_batch)
+        reval = getattr(self.cfg, "cache_revalidate", False)
+        if date_cut and not reval:
             # cacheExpByDate (cache.go:185-199): every entry is invalid
             # once the logical clock passes the fixed cutoff
-            return None
+            return None, None
         self._cache_rows = sum(_parquet_rows(p) for p in self._cache_paths)
         df = self.spark.read.parquet(*self._cache_paths)
+        w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
+        latest = (df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
         ttl = self.cfg.cache_ttl_batches
-        if policy == "duration" and ttl > 0:
-            df = df.filter(F.col("c_created") + ttl > batch)
+        if date_cut:
+            valid_expr = F.lit(False)
+        elif policy == "duration" and ttl > 0:
+            valid_expr = F.col("c_created") + ttl > batch
         elif policy == "header":
             # cacheExpByHeader (cache.go:155-162): valid only while the
             # response-provided expiry lies ahead; entries without a
             # max-age header carry NULL c_expiry = already expired
-            df = df.filter(F.col("c_expiry").isNotNull()
-                           & (F.col("c_expiry") > batch))
-        w = Window.partitionBy("c_hash").orderBy(F.col("c_created").desc())
-        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+            valid_expr = (F.col("c_expiry").isNotNull()
+                          & (F.col("c_expiry") > batch))
+        else:
+            valid_expr = F.lit(True)
+        valid = latest.filter(valid_expr)
+        stale = None
+        if reval and "c_etag" in latest.columns:
+            stale = latest.filter(~valid_expr & F.col("c_etag").isNotNull())
+        return valid, stale
 
     def _cookie_jar(self):
         """Latest (c_host, c_name) → c_value from the committed cookie
@@ -1192,7 +1220,16 @@ class Crawler:
             "seq", "canon_url", "host", "depth", "method", "body_req",
             "url_hash", F.lit(False).alias("needs_mark"), "referer", "ctx",
             "tries", F.lit(False).alias("_new")))
-        if self.cfg.limit_rules:
+        cd_col = None
+        if self.cfg.respect_crawl_delay:
+            # robots Crawl-delay politeness: per-host delay (ms,
+            # capped) joined onto the pool; the quota window divides
+            # by it, the hosthealth block spaces super-window delays
+            cds = self._crawl_delay_table()
+            if cds is not None:
+                pool = pool.join(F.broadcast(cds), "host", "left")
+                cd_col = "_cd_ms"
+        if self.cfg.limit_rules or cd_col:
             if self.priority is not None:
                 # opt-in priority scheduling: quota admits highest
                 # scores first (NULL = unscored = after scored, FIFO
@@ -1204,13 +1241,18 @@ class Crawler:
                     "url_hash", "left")
                 pool = politeness.with_fetch_now_flag(
                     pool, self.cfg, priority_col="_prio",
-                    skew_salt=self.politeness_salt).drop("_prio")
+                    skew_salt=self.politeness_salt,
+                    crawl_delay_col=cd_col).drop("_prio")
             else:
                 pool = politeness.with_fetch_now_flag(
-                    pool, self.cfg, skew_salt=self.politeness_salt)
+                    pool, self.cfg, skew_salt=self.politeness_salt,
+                    crawl_delay_col=cd_col)
         else:
             pool = pool.withColumn("_fetch_now", F.lit(True))
-        if ((self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after)
+        if cd_col:
+            pool = pool.drop("_cd_ms")
+        if ((self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after
+                or self.cfg.respect_crawl_delay)
                 and self._host_health is not None):
             # circuit breaker: a tripped host's rows defer wholesale —
             # exactly like quota-deferred rows (already marked, kept
@@ -1314,14 +1356,25 @@ class Crawler:
             else:
                 page_cols.append(
                     F.lit(None).cast("int").alias("retry_after"))
+            # ETag validator the response carries (cache_revalidate)
+            if "etag" in self.pages.columns:
+                page_cols.append(F.col("etag"))
+            else:
+                page_cols.append(F.lit(None).cast("string").alias("etag"))
             pages = self.pages.select(*page_cols)
         else:
             pages = None
         jar = self._cookie_jar() if self._has_cookies else None
+        # If-None-Match validator attached by the revalidation probe
+        # (cache_revalidate); NULL everywhere otherwise. RFC-style, the
+        # conditional header follows redirects to the final resource.
+        inm_col = (F.col("_inm") if "_inm" in fetch_now.columns
+                   else F.lit(None).cast("string")).alias("_inm")
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
             "depth", "method", "body_req",
-            F.col("url_hash").alias("req_hash"), "referer", "ctx", "tries")
+            F.col("url_hash").alias("req_hash"), "referer", "ctx", "tries",
+            inm_col)
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -1386,6 +1439,24 @@ class Crawler:
             else:
                 is_redirect = F.lit(False)
             finals = hit.filter(~is_redirect)
+            # cache_revalidate: a conditional GET whose validator still
+            # matches the resource's current ETag is a 304 Not Modified
+            # — no body crosses the wire (the corpus join models the
+            # server's validator check; live servers answer 304
+            # natively and the swap is a no-op on them). The stored
+            # entry replays after the fetch (drain-side join).
+            if self.cfg.cache_revalidate:
+                is_304 = ((F.col("method") == "GET")
+                          & F.col("_inm").isNotNull()
+                          & F.col("etag").isNotNull()
+                          & (F.col("etag") == F.col("_inm")))
+                finals = (finals
+                          .withColumn("status",
+                                      F.when(is_304, F.lit(304))
+                                      .otherwise(F.col("status")))
+                          .withColumn("body",
+                                      F.when(is_304, F.lit(None).cast("binary"))
+                                      .otherwise(F.col("body"))))
             # F9 headers-abort (checkHeadersFunc colly.go:673-680,
             # http_backend.go:223-227): a final response whose
             # Content-Type matches aborts the body download —
@@ -1404,7 +1475,7 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie", "cache_max_age", "retry_after", "ctx",
+                "set_cookie", "cache_max_age", "retry_after", "etag", "ctx",
                 "body_req", "tries")))
             if not self.cfg.follow_redirects:
                 break
@@ -1425,11 +1496,11 @@ class Crawler:
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
                 "seq", "url", "depth", "method", "body_req", "req_hash",
-                "referer", "ctx", "tries",
+                "referer", "ctx", "tries", "_inm",
                 self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
             t = t.select(
                 "seq", "url", "depth", "method", "body_req", "req_hash",
-                "referer", "ctx", "tries",
+                "referer", "ctx", "tries", "_inm",
                 F.col("_k.canon_url").alias("canon_url"),
                 F.col("_k.host").alias("host"),
                 F.col("_k.url_hash").alias("url_hash"))
@@ -1462,7 +1533,7 @@ class Crawler:
                 self._commit_marks_async(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
-                "body_req", "req_hash", "referer", "ctx", "tries")
+                "body_req", "req_hash", "referer", "ctx", "tries", "_inm")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
@@ -1529,7 +1600,8 @@ class Crawler:
                     "req_hash": pdf["req_hash"], "from_cache": False,
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
                     "cache_max_age": pdf["cache_max_age"],
-                    "retry_after": pdf["retry_after"], "ctx": pdf["ctx"],
+                    "retry_after": pdf["retry_after"], "etag": pdf["etag"],
+                    "ctx": pdf["ctx"],
                     "body_req": pdf["body_req"], "tries": pdf["tries"],
                 })
 
@@ -1652,6 +1724,36 @@ class Crawler:
         shutil.rmtree(target_dir, ignore_errors=True)
         shutil.copytree(tmpl, target_dir)
 
+    def _crawl_delay_table(self):
+        """(host, _cd_ms) for every host whose robots.txt advertises a
+        Crawl-delay for this collector's UserAgent group (temoto
+        CrawlDelay semantics, capped at cfg.crawl_delay_cap_s — an
+        absurd advertised delay must not park a host forever). Host-
+        cardinality table, recomputed per batch so lazily-fetched
+        robots (live mode) take effect as they arrive; broadcast-
+        joined onto the admission pool."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DoubleType
+
+        if self.robots is None:
+            return None
+        ua = self.cfg.user_agent
+        cap = float(max(0, self.cfg.crawl_delay_cap_s))
+
+        @F.pandas_udf(DoubleType())
+        def _cd(bodies: pd.Series) -> pd.Series:
+            from colly_spark.operators.robots import crawl_delay_of
+            return bodies.map(lambda b: crawl_delay_of(b, ua))
+
+        return (self.robots
+                .filter(~F.coalesce(F.col("fetch_error"), F.lit(False)))
+                .withColumn("_cd_s", _cd(F.col("body")))
+                .filter(F.col("_cd_s").isNotNull() & (F.col("_cd_s") > 0))
+                .select("host",
+                        (F.least(F.col("_cd_s"), F.lit(cap)) * 1000)
+                        .cast("int").alias("_cd_ms")))
+
     def _update_host_health(self, fetch_now, done, fetch_errors,
                             batch: int) -> int:
         """Per-host health bookkeeping — the circuit breaker
@@ -1728,6 +1830,32 @@ class Crawler:
                 F.greatest(F.coalesce(F.col("blocked_until"), F.lit(-1)),
                            F.coalesce(F.col("ra_until"), F.lit(-1)))
                  .cast("int").alias("blocked_until"))
+        if self.cfg.respect_crawl_delay:
+            # robots Crawl-delay spacing: a host that actually FETCHED
+            # this batch (cache replays excluded — no request went
+            # out) with cd > window may not fetch again until
+            # batch + ceil(cd/window) — max-merged with any standing
+            # breaker / Retry-After block
+            cds = self._crawl_delay_table()
+            win = max(1, self.cfg.batch_window_ms)
+            if cds is not None:
+                fetched_hosts = (done.filter(~F.col("from_cache"))
+                                 .join(att, "seq")
+                                 .select("host").distinct())
+                cdb = (fetched_hosts.join(cds, "host")
+                       .filter(F.col("_cd_ms") > win)
+                       .select(
+                           "host",
+                           (F.lit(batch) + F.ceil(
+                               F.col("_cd_ms") / F.lit(win)).cast("int"))
+                           .cast("int").alias("cd_until")))
+                health = health.join(cdb, "host", "full").select(
+                    "host",
+                    F.coalesce(F.col("consec"), F.lit(0))
+                     .cast("int").alias("consec"),
+                    F.greatest(F.coalesce(F.col("blocked_until"), F.lit(-1)),
+                               F.coalesce(F.col("cd_until"), F.lit(-1)))
+                     .cast("int").alias("blocked_until"))
         health = health.filter((F.col("consec") > 0)
                                | (F.col("blocked_until") > batch + 1))
         out_dir = os.path.join(self.state, "snap",
@@ -2034,14 +2162,15 @@ class Crawler:
         # floor. The count rode the admission checkpoint (Observation).
         skip_fetch = counts["fetch_now"] == 0
         cache_hits_done = None
+        reval_payload = None
         if skip_fetch:
             done = spark.createDataFrame([], self.sch["done"])
             fetch_errors = spark.createDataFrame([], self.sch["error"])
-            cache = None
+            cache = stale = None
         else:
             # 3a. X4 response-cache probe: GET rows with a valid cached
             # entry skip the fetch/redirect/parse path entirely
-            cache = self._cache_latest(batch)
+            cache, stale = self._cache_probe_tables(batch)
         if cache is not None:
             # broadcast decision keyed on the CACHE's own row count
             # (its rows carry c_links/c_imgs/c_img_body — heavy), not
@@ -2069,12 +2198,29 @@ class Crawler:
                 # 5xx never stored; a stored 429's Retry-After already
                 # acted when it was fetched)
                 F.lit(None).cast("int").alias("retry_after"),
+                # replays carry no fresh validator (nothing to store —
+                # from_cache rows never reach the cache writer anyway)
+                F.lit(None).cast("string").alias("etag"),
                 # ctx/body/tries are per-REQUEST state: a replay keeps
                 # the requesting row's, not the original fetcher's
                 "ctx", "body_req", "tries")
             fetch_now_eff = probe.filter(F.col("c_hash").isNull()).select(fetch_now.columns)
         else:
             fetch_now_eff = fetch_now
+        if stale is not None:
+            # 3a'. RFC 9111 §4.3 revalidation (cache_revalidate): rows
+            # whose latest entry is STALE but validator-carrying go out
+            # CONDITIONAL — attach If-None-Match from the stored ETag
+            # (light 2-column broadcast); the heavy replay payload
+            # stays aside and joins only the 304s after the fetch
+            sv = stale.select("c_hash", "c_etag")
+            probe2 = fetch_now_eff.join(
+                F.broadcast(sv),
+                (fetch_now_eff["url_hash"] == sv["c_hash"])
+                & (fetch_now_eff["method"] == "GET"), "left")
+            fetch_now_eff = (probe2.withColumn("_inm", F.col("c_etag"))
+                             .drop("c_hash", "c_etag"))
+            reval_payload = stale
         # 3b. fetch + redirects + fused parse — the eager checkpoint
         # materializes the compact (body-free) parsed output once.
         # X5 CheckHead: HEAD copies fetch first; only seqs whose HEAD
@@ -2094,7 +2240,45 @@ class Crawler:
             fetch_errors = fetch_errors.unionByName(head_errors)
         else:
             done, fetch_errors = self._fetch(fetch_now_eff, batch)
+        if reval_payload is not None:
+            # 304 Not Modified → replay the stored entry's final
+            # response (status/links/images), body-free. from_cache
+            # stays False so the store below REFRESHES the entry with
+            # a new c_created + the 304's own caching headers (the
+            # done row's cache_max_age/etag came from the live join).
+            rp = reval_payload.select(
+                F.col("c_hash").alias("_rh"),
+                F.col("c_final_url").alias("_rfinal"),
+                F.col("c_status").alias("_rstatus"),
+                F.col("c_content_type").alias("_rct"),
+                F.col("c_image_id").alias("_riid"),
+                F.col("c_links").alias("_rlinks"),
+                F.col("c_imgs").alias("_rimgs"),
+                F.col("c_img_body").alias("_rimgb"))
+            rp = F.broadcast(rp) if self._cache_rows < 2_000_000 else rp
+            done = done.join(
+                rp, (done["req_hash"] == F.col("_rh"))
+                & (done["status"] == 304), "left")
+            hit304 = F.col("_rh").isNotNull()
+
+            def _swap(col, repl):
+                return F.when(hit304, repl).otherwise(F.col(col)).alias(col)
+
+            done = done.select(
+                "seq", "url", _swap("final_url", F.col("_rfinal")), "depth",
+                "method", _swap("status", F.col("_rstatus")),
+                _swap("content_type", F.col("_rct")),
+                _swap("image_id", F.col("_riid")),
+                _swap("links", F.col("_rlinks")),
+                _swap("imgs", F.col("_rimgs")),
+                _swap("img_body", F.col("_rimgb")),
+                "req_hash", "from_cache", "referer", "set_cookie",
+                "cache_max_age", "retry_after", "etag", "ctx", "body_req",
+                "tries", hit304.alias("revalidated"))
         if cache_hits_done is not None:
+            if reval_payload is not None:
+                cache_hits_done = cache_hits_done.withColumn(
+                    "revalidated", F.lit(False))
             done = done.unionByName(cache_hits_done)
         if skip_fetch:
             # zero-fetch batch: done is empty by construction — no
@@ -2105,15 +2289,24 @@ class Crawler:
             # (Observation)
             from pyspark.sql import Observation
             done_obs = Observation(f"done_{batch}")
-            done = done.observe(
-                done_obs, F.count(F.lit(1)).alias("fetched"),
+            obs_aggs = [
+                F.count(F.lit(1)).alias("fetched"),
                 F.sum(F.when(F.col("from_cache"), 1).otherwise(0)).alias("cache_hits"),
-            ).localCheckpoint(eager=True)
+            ]
+            if reval_payload is not None:
+                obs_aggs.append(F.sum(
+                    F.when(F.col("revalidated"), 1).otherwise(0)
+                ).alias("revalidated"))
+            done = done.observe(done_obs, *obs_aggs).localCheckpoint(eager=True)
             done_counts = done_obs.get
+            if reval_payload is not None:
+                done = done.drop("revalidated")
         fresh_fetches = (int(done_counts["fetched"] or 0)
                          - int(done_counts["cache_hits"] or 0))
         if self.cfg.cache_enabled:
             m["cache_hits"] = int(done_counts["cache_hits"] or 0)
+        if self.cfg.cache_enabled and getattr(self.cfg, "cache_revalidate", False):
+            m["revalidated"] = int(done_counts.get("revalidated") or 0)
         if self.cfg.cache_enabled and fresh_fetches > 0:
             # store: GET, never 5xx, fresh fetches only. Skipped
             # entirely when the batch produced no fresh fetches — an
@@ -2132,6 +2325,9 @@ class Crawler:
                 F.col("image_id").alias("c_image_id"),
                 F.col("links").alias("c_links"), F.col("imgs").alias("c_imgs"),
                 F.col("img_body").alias("c_img_body"),
+                # response validator: lets a stale entry revalidate
+                # with If-None-Match instead of refetching the body
+                F.col("etag").alias("c_etag"),
                 F.lit(batch).alias("c_created"),
                 # by-header expiry (response.go:108-149): the response's
                 # max-age in logical batches; NULL when no header —
@@ -2354,7 +2550,8 @@ class Crawler:
         # at the batch boundary (otherwise the logical plan compounds
         # across batches) and makes every batch start from exactly the
         # state a resume would load
-        if self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after:
+        if (self.cfg.host_error_budget > 0 or self.cfg.respect_retry_after
+                or self.cfg.respect_crawl_delay):
             m["hosts_blocked"] = self._update_host_health(
                 fetch_now, done, fetch_errors, batch)
         self._maybe_compact(batch)

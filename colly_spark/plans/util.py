@@ -96,6 +96,7 @@ def to_spark_corpus(spark, tables: dict) -> dict:
             StructField("require_cookie", StringType()),
             StructField("cache_max_age", IntegerType()),
             StructField("retry_after", IntegerType()),
+            StructField("etag", StringType()),
         ]),
         "robots": StructType([
             StructField("host", StringType()),

@@ -23,6 +23,7 @@ oracles and the bench reproducible with no external data.
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -126,7 +127,7 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
 
     def add_page(url, status, ctype, body, redirect_to=None, image_id=None,
                  links=None, depth=0, set_cookie=None, require_cookie=None,
-                 cache_max_age=None, retry_after=None):
+                 cache_max_age=None, retry_after=None, etag=None):
         pages_rows.append(
             dict(
                 url=url,
@@ -145,6 +146,10 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 # Retry-After seconds a 429/503 response would carry;
                 # None = no header (respect_retry_after consumes it)
                 retry_after=retry_after,
+                # ETag validator the response would carry (RFC 9110
+                # §8.8.3); None = no validator → a stale cache entry
+                # can never revalidate, it refetches fully
+                etag=etag,
             )
         )
 
@@ -214,8 +219,13 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             # inert otherwise): ample max-age / zero max-age (stored
             # but instantly stale) / no header (never replayable)
             cma = 3600 if pi % 2 == 0 else (0 if pi % 3 == 2 else None)
+            # validator mix (cache_revalidate only; inert otherwise):
+            # most pages carry a deterministic weak ETag, every third
+            # has none — those can never 304, they refetch fully
+            etg = None if pi % 3 == 1 else \
+                'W/"%08x"' % (zlib.crc32(url.encode("utf-8")) & 0xFFFFFFFF)
             add_page(url, 200, "text/html; charset=utf-8", body,
-                     links=gt_links, cache_max_age=cma)
+                     links=gt_links, cache_max_age=cma, etag=etg)
 
         # special routes per domain ------------------------------------
         # redirect chains: /r/0 → /r/0/a → /page/1 ; /r/1 → / (already seen)
@@ -350,7 +360,13 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             url = f"http://{host}/img/{im['image_id']}.{im['fmt']}"
             ct = {"png": "image/png", "jpeg": "image/jpeg",
                   "webp": "image/webp"}[im["fmt"]]
-            add_page(url, 200, ct, bytes(im["bytes"]), image_id=im["image_id"])
+            # images carry a validator but no Cache-Control — the
+            # classic 304 target: under the header expiry policy the
+            # entry is stored-but-stale, so a revisit revalidates
+            # instead of re-downloading the payload (cache_revalidate)
+            add_page(url, 200, ct, bytes(im["bytes"]), image_id=im["image_id"],
+                     etag='W/"%08x"' % (zlib.crc32(url.encode("utf-8"))
+                                        & 0xFFFFFFFF))
 
     pages = pd.DataFrame(pages_rows)
     # dedupe in case of URL collisions (keep first)

@@ -79,6 +79,7 @@ _RESPONSE_FIELDS = (
     ("require_cookie", "string"),
     ("cache_max_age", "int"),
     ("retry_after", "int"),
+    ("etag", "string"),
 )
 
 
@@ -248,6 +249,7 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
         require_cookie=None,
         cache_max_age=_max_age_of(resp.headers),
         retry_after=_retry_after_of(resp.headers),
+        etag=resp.headers.get("ETag"),
     )
 
 
@@ -293,7 +295,7 @@ def _retry_after_of(headers):
 
 def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
                proxy, connect_addr, max_read, retries, backoff_s,
-               base_headers=None):
+               base_headers=None, inm=None):
     """One request → dict of _RESPONSE_FIELDS values, applying the
     retry policy (network errors only; the jar Cookie is dropped on
     re-attempts, request.go:191-193 — custom headers persist).
@@ -311,6 +313,11 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
             headers["User-Agent"] = ua or ""
         if cookie and attempt == 0:
             headers["Cookie"] = cookie
+        if inm:
+            # cache_revalidate: conditional GET (RFC 9111 §4.3.1) —
+            # the server answers 304 Not Modified when the entity is
+            # unchanged and the engine replays the stored entry
+            headers["If-None-Match"] = inm
         try:
             return _request_once(conns, url, method, body_req, headers,
                                  proxy, connect_addr, max_read)
@@ -322,7 +329,8 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
     # channel (ERR_MISSING), exactly like a corpus-join miss
     return dict(_purl=None, status=None, content_type=None, body=None,
                 redirect_to=None, image_id=None, set_cookie=None,
-                require_cookie=None, cache_max_age=None, retry_after=None)
+                require_cookie=None, cache_max_age=None, retry_after=None,
+                etag=None)
 
 
 class HttpFetchSource:
@@ -424,6 +432,8 @@ class HttpFetchSource:
                 for pdf in iterator:
                     if len(pdf) == 0:
                         continue
+                    inms = (pdf["_inm"] if "_inm" in pdf.columns
+                            else [None] * len(pdf))
                     futs = [
                         pool.submit(
                             _fetch_one, conns, cur, method,
@@ -431,10 +441,11 @@ class HttpFetchSource:
                             ua, cookie if isinstance(cookie, str) else None,
                             proxy if isinstance(proxy, str) else None,
                             connect_addr, max_read, retries, backoff_s,
-                            custom_headers)
-                        for cur, method, body_req, ua, cookie, proxy in zip(
+                            custom_headers,
+                            inm if isinstance(inm, str) else None)
+                        for cur, method, body_req, ua, cookie, proxy, inm in zip(
                             pdf["cur"], pdf["method"], pdf["body_req"],
-                            pdf["_ua"], pdf["_cookie"], pdf["_proxy"])]
+                            pdf["_ua"], pdf["_cookie"], pdf["_proxy"], inms)]
                     resp = pd.DataFrame([f.result() for f in futs])
                     out = pdf[pass_cols].reset_index(drop=True)
                     for name, _ in _RESPONSE_FIELDS:

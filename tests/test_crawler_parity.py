@@ -207,6 +207,30 @@ SCENARIOS = {
                         cache_enabled=True, cache_expiry_policy="header"),
         seeds=["http://d00.test/", "http://d02.test/"],
     ),
+    # RFC 9111 §4.3 revalidation: ttl=1 makes every entry stale one
+    # batch after creation; etag-carrying pages answer the conditional
+    # GET with 304 → stored entry replays body-free AND refreshes
+    # (per-batch `revalidated` counts asserted); every-third page has
+    # no validator and refetches fully
+    "cache_revalidate": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True, cache_ttl_batches=1,
+                        cache_revalidate=True),
+        seeds=["http://d00.test/", "http://d02.test/"],
+    ),
+    # revalidation × cacheExpByHeader: ample-max-age pages replay
+    # VALID (cache hits), the directly-seeded image is stored WITHOUT
+    # a max-age (stored-but-stale under the header policy) but with a
+    # validator — its page-linked revisit 304s and replays the binary
+    # payload incl. the PSNR validation row; no-validator pages
+    # refetch fully
+    "cache_reval_header": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True, cache_expiry_policy="header",
+                        cache_revalidate=True),
+        seeds=["http://d00.test/img/img00000000.png", "http://d00.test/",
+               "http://d02.test/"],
+    ),
     # ParseStatusCallback = parseErrorResponse (config.go:189-190):
     # ONLY status ≥ 400 responses parse — the /404 page's links are
     # extracted and crawled (landing on 200 pages that do NOT parse),
@@ -339,9 +363,11 @@ def test_parity(name, spark, corpus_pd, corpus_spark, tmp_state):
 
     # 5. batch/metrics parity: fetched + new-link counts per batch,
     #    plus per-batch cache-hit counts when the cache is on
-    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"),
+              m.get("revalidated"))
              for m in sim.metrics]
-    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"),
+              m.get("revalidated"))
              for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
 

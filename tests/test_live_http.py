@@ -88,6 +88,15 @@ class _CorpusHandler(BaseHTTPRequestHandler):
         if row["cache_max_age"] is not None:
             # the by-header expiry source on the wire (response.go:108-149)
             headers["Cache-Control"] = f"max-age={int(row['cache_max_age'])}"
+        etag = row.get("etag")
+        if etag is not None:
+            headers["ETag"] = etag
+            # RFC 9110 §13.1.2: a matching If-None-Match short-circuits
+            # to 304 Not Modified (updated caching headers, no body)
+            if (self.headers.get("If-None-Match") == etag
+                    and row["redirect_to"] is None):
+                return self._respond(304, None, b"", headers,
+                                     send_body=False)
         self._respond(row["status"], row["content_type"], row["body"],
                       headers, send_body=send_body)
 
@@ -117,6 +126,7 @@ def live_server(corpus_pd):
             "set_cookie": _n(r["set_cookie"]),
             "require_cookie": _n(r["require_cookie"]),
             "cache_max_age": _n(r["cache_max_age"]),
+            "etag": _n(r.get("etag")),
         }
         for r in corpus_pd["pages"].to_dict("records")
     }
@@ -173,6 +183,16 @@ LIVE_SCENARIOS = {
                         cache_enabled=True, cache_expiry_policy="header"),
         seeds=["http://d00.test/"],
     ),
+    # cache_revalidate over real wire validators: the server answers a
+    # matching If-None-Match with a genuine 304 (no body) and the
+    # engine replays + refreshes the stored entry; per-batch
+    # revalidated counts asserted below
+    "cache_revalidate": dict(
+        cfg=CrawlConfig(max_depth=3, ignore_robots=True, max_revisits=1,
+                        cache_enabled=True, cache_ttl_batches=1,
+                        cache_revalidate=True),
+        seeds=["http://d00.test/", "http://d02.test/"],
+    ),
     # Request.Retry over real sockets: the wire 500 re-submits with
     # checkRevisit=false — 1 fresh + 2 retried fetches traced, no
     # already_visited errors for them
@@ -208,8 +228,12 @@ def test_live_parity(name, spark, corpus_pd, live_server, tmp_state):
     eng_errors = _errors_multiset(
         (r["url"], r["kind"]) for r in eng.errors().collect())
     assert eng_errors == sim_errors, "error multiset mismatch"
-    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+    sim_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"),
+              m.get("revalidated"))
              for m in sim.metrics]
-    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"))
+    eng_m = [(m["batch"], m["fetched"], m["new_links"], m.get("cache_hits"),
+              m.get("revalidated"))
              for m in eng.metrics]
     assert eng_m == sim_m, "per-batch metrics mismatch"
+    if sc["cfg"].cache_revalidate:
+        assert sum(m.get("revalidated", 0) for m in sim.metrics) > 0
