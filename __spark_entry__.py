@@ -2821,6 +2821,41 @@ def _entry_crawl(spark):
     return _ENTRY_CRAWL_CACHE[key]
 
 
+def q_sitemap_discover(spark, sf_dir):
+    """Sitemaps-protocol discovery (sources/sitemap.py): expand each
+    domain's /sitemap_index.xml through <sitemapindex> recursion
+    (self-reference cycle visited once), decode the gzipped member,
+    tolerate namespace-prefixed entry tags, and emit every LEAF
+    <urlset> entry with its lastmod / changefreq / priority — the
+    seed + priority source a 10^10-frontier crawl starts from.
+    Level-synchronous: one corpus equi-join + one Arrow parse pass
+    per level; only index-node URLs (≈ host count) reach the driver.
+    Golden-oracled from the fixture's URL-enumeration arithmetic,
+    never through XML bytes."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.plans.util import to_spark_corpus
+    from colly_spark.sources.fixtures import CorpusSpec, make_corpus
+    from colly_spark.sources.sitemap import discover_sitemaps
+
+    _ensure_pkg(spark)
+    corpus = to_spark_corpus(spark, make_corpus(
+        CorpusSpec(seed=42, n_domains=2, base_pages_per_domain=6,
+                   n_images=4)))
+    roots = [f"http://d{d:02d}.test/sitemap_index.xml" for d in range(2)]
+    return (discover_sitemaps(spark, corpus["pages"], roots)
+            .select("src_sitemap", "url", "lastmod", "changefreq",
+                    "priority")
+            .orderBy("src_sitemap", "url"))
+
+
+_Q_SITEMAP_SQL = f"""
+SELECT src_sitemap, url, lastmod, changefreq, priority
+FROM '{_REPO}/golden/sitemap_discover.parquet'
+ORDER BY src_sitemap, url
+"""
+
+
 def q_crawl_trace(spark, sf_dir):
     """Flagship: full frontier drain over the deterministic synthetic
     corpus (seed 42) — canonicalize → filters → robots → Bloom+exact
@@ -3746,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "gif_decode": q_gif_decode,
         "gif_frames": q_gif_frames,
+        "sitemap_discover": q_sitemap_discover,
         "image_stats": q_image_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
         "phash_near_dup": q_phash_near_dup,
@@ -3849,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _Q_IMAGE_DECODE_SQL,
         "gif_decode": _Q_GIF_DECODE_SQL,
         "gif_frames": _Q_GIF_FRAMES_SQL,
+        "sitemap_discover": _Q_SITEMAP_SQL,
         "image_stats": _Q_IMAGE_STATS_SQL,
         "image_metadata_scrub": _Q_IMAGE_SCRUB_SQL,
         "phash_near_dup": _Q_PHASH_NEAR_DUP_SQL,

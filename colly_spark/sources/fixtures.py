@@ -279,6 +279,49 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
         add_page(f"http://{host}/sitemap.xml.gz", 200, "application/gzip",
                  _gzip.compress(sitemap_body.encode("utf-8"), mtime=0),
                  links=list(sm_urls))
+        # sitemaps-protocol tree (sources/sitemap.py discovery): a
+        # <sitemapindex> referencing two rich <urlset> children (one
+        # gzipped, one with a namespace prefix on its entry tags) that
+        # carry lastmod / changefreq / priority. Unlinked from page
+        # bodies — reachable only by protocol discovery, so crawl
+        # scenarios are untouched.
+        cfreq = ("daily", "weekly", "monthly")
+        half = max(1, n // 2)
+
+        def _rich(urls_part, ns=""):
+            rows = "".join(
+                f"<{ns}url><{ns}loc>{u}</{ns}loc>"
+                f"<{ns}lastmod>2025-{(pi2 % 9) + 1:02d}-01</{ns}lastmod>"
+                f"<{ns}changefreq>{cfreq[pi2 % 3]}</{ns}changefreq>"
+                f"<{ns}priority>{round(1.0 - (pi2 % 10) / 10.0, 1)}"
+                f"</{ns}priority></{ns}url>"
+                for pi2, u in urls_part)
+            return ('<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                    'sitemap/0.9">' + rows + "</urlset>")
+
+        add_page(f"http://{host}/sitemap_rich_1.xml", 200,
+                 "application/xml",
+                 _rich(list(enumerate(urls))[:half]))
+        add_page(f"http://{host}/sitemap_rich_2.xml.gz", 200,
+                 "application/gzip",
+                 _gzip.compress(
+                     _rich(list(enumerate(urls))[half:], ns="sm:")
+                     .encode("utf-8"), mtime=0))
+        index_body = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9">'
+            f"<sitemap><loc>http://{host}/sitemap_rich_1.xml</loc>"
+            "<lastmod>2025-01-15</lastmod></sitemap>"
+            f"<sitemap><loc>http://{host}/sitemap_rich_2.xml.gz</loc>"
+            "</sitemap>"
+            # self-reference: discovery must visit each index once
+            f"<sitemap><loc>http://{host}/sitemap_index.xml</loc>"
+            "</sitemap>"
+            "</sitemapindex>")
+        add_page(f"http://{host}/sitemap_index.xml", 200,
+                 "application/xml", index_body)
         # non-UTF8 pages (X3): charset declared in Content-Type, and
         # charset only sniffable from a <meta> tag
         latin_html = ('<html><body><a href="/page/1">caf\xe9 enlace</a>'

@@ -757,6 +757,45 @@ def make_gif(n_static: int = 48, n_anim: int = 24, n_variants: int = 12,
     print(f"gif: {len(rows)} static rows, {len(frows)} frame rows")
 
 
+def make_sitemap(n_domains: int = 2, base: int = 6, seed: int = 42) -> None:
+    """sitemap_discover.parquet: expected LEAF entries of
+    `q_sitemap_discover` — computed from the fixture's URL-enumeration
+    ARITHMETIC alone (fixtures._page_counts + the rich-sitemap field
+    formulas), never through XML bytes or the parser, so the golden
+    pins the whole chain: index recursion (incl. the self-reference
+    cycle), gzip member decode, namespace-prefixed entry tags, field
+    typing."""
+    from colly_spark.sources.fixtures import CorpusSpec, _domain, _page_counts
+
+    spec = CorpusSpec(seed=seed, n_domains=n_domains,
+                      base_pages_per_domain=base, n_images=4)
+    cfreq = ("daily", "weekly", "monthly")
+    rows = []
+    for d in range(n_domains):
+        host = _domain(d)
+        n = _page_counts(spec)[d]
+        urls = [f"http://{host}/"] + [f"http://{host}/page/{i}"
+                                      for i in range(1, n)]
+        half = max(1, n // 2)
+        for part, src in ((list(enumerate(urls))[:half], "sitemap_rich_1.xml"),
+                          (list(enumerate(urls))[half:],
+                           "sitemap_rich_2.xml.gz")):
+            for pi, u in part:
+                rows.append(dict(
+                    src_sitemap=f"http://{host}/{src}", url=u,
+                    lastmod=f"2025-{(pi % 9) + 1:02d}-01",
+                    changefreq=cfreq[pi % 3],
+                    priority=round(1.0 - (pi % 10) / 10.0, 1)))
+    t = pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False,
+        schema=pa.schema([("src_sitemap", pa.string()), ("url", pa.string()),
+                          ("lastmod", pa.string()),
+                          ("changefreq", pa.string()),
+                          ("priority", pa.float64())]))
+    pq.write_table(t, os.path.join(GOLDEN, "sitemap_discover.parquet"))
+    print(f"sitemap: {len(rows)} leaf entries")
+
+
 def make_audio_fp(n: int = 20, n_variants: int = 10, shift: int = 512,
                   gain: float = 0.8) -> None:
     """audio_fp.parquet: plain-Python replica of
@@ -876,6 +915,7 @@ if __name__ == "__main__":
     make_unigram()
     make_av()
     make_gif()
+    make_sitemap()
     make_video_near_dup()
     make_audio_fp()
     make_ann_ivfpq()
