@@ -456,6 +456,10 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 dict(
                     host=host,
                     body=(
+                        # RFC 9309 §2.3 Sitemap directive — group-
+                        # independent; rule parsing ignores unknown
+                        # keys, so crawl gate behavior is untouched
+                        f"Sitemap: http://{host}/sitemap_index.xml\n"
                         "User-agent: *\n"
                         "Allow: /allowed\n"
                         "Disallow: /disallowed\n"

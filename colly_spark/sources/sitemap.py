@@ -161,6 +161,25 @@ def discover_sitemaps(spark, pages_df, roots, max_rounds: int = 4):
     return reduce(lambda a, b: a.unionByName(b), leaf_parts)
 
 
+def sitemap_roots_from_robots(robots_df):
+    """``Sitemap:`` directive discovery (RFC 9309 §2.3 /
+    sitemaps.org): the lines are group-independent absolute URLs, so
+    extraction is one case-insensitive regexp over the robots store —
+    pure Catalyst (regexp_extract_all + explode), host-cardinality.
+    Returns distinct (host, sitemap_url) rows; feed the urls as
+    ``discover_sitemaps`` roots."""
+    from pyspark.sql import functions as F
+
+    pat = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+    return (robots_df
+            .filter(F.col("body").isNotNull())
+            .select("host",
+                    F.explode(F.regexp_extract_all(
+                        F.col("body"), F.lit(pat), F.lit(1)))
+                    .alias("sitemap_url"))
+            .distinct())
+
+
 def sitemap_priority_df(entries_df):
     """Bridge into the engine's opt-in frontier prioritization:
     (url_hash, priority) rows for every entry that advertises a

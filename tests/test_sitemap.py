@@ -104,6 +104,27 @@ class TestDiscovery:
             h = to_signed64(request_hash(canonicalize(r["url"])))
             assert prio[h] == pytest.approx(r["priority"])
 
+    def test_roots_from_robots_directive(self, spark, corpus_pd,
+                                         corpus_spark):
+        """`Sitemap:` lines in robots.txt (RFC 9309 §2.3) surface as
+        discovery roots; composing them with discover_sitemaps walks
+        straight to the rich leaf entries."""
+        from colly_spark.sources.sitemap import sitemap_roots_from_robots
+
+        roots = sitemap_roots_from_robots(corpus_spark["robots"]).collect()
+        got = {(r["host"], r["sitemap_url"]) for r in roots}
+        # the fixture's default robots bodies carry the directive
+        # (d%3==0 domains, minus the fetch-error host whose body is
+        # NULL)
+        expect = {(r["host"], f"http://{r['host']}/sitemap_index.xml")
+                  for _i, r in corpus_pd["robots"].iterrows()
+                  if r["body"] and "Sitemap:" in r["body"]}
+        assert got == expect and got
+        entries = discover_sitemaps(
+            spark, corpus_spark["pages"],
+            sorted(u for _h, u in got))
+        assert entries.count() > 0
+
     def test_end_to_end_sitemap_seeded_crawl(self, spark, corpus_pd,
                                              corpus_spark, tmp_state):
         """Discovery output drives a real crawl: the discovered URLs
