@@ -117,3 +117,35 @@ def test_crawl_forget_campaign_cli(tmp_path):
     # its links are still marked and stay deduped
     assert first["fetched"] > 1
     assert second["fetched"] == first["fetched"] + 1
+
+
+def test_crawl_sitemap_seeds_and_revalidate_flags(tmp_path):
+    """--sitemap-seeds expands the protocol tree into seeds (with
+    priorities driving the frontier), --cache-revalidate turns the
+    conditional-refresh machinery on (implies --cache), and
+    --respect-crawl-delay parses cleanly — a depth-1 crawl fetches
+    exactly the discovered leaf set."""
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "colly_spark", "crawl",
+         "--fixture-corpus", "--state-dir", str(tmp_path / "state"),
+         "--out", str(tmp_path / "out"), "--max-depth", "1",
+         "--sitemap-seeds", "http://d00.test/sitemap_index.xml",
+         "--cache-revalidate", "--respect-crawl-delay",
+         "--cpus", "4", "--shuffle-partitions", "8"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "sitemap discovery:" in out.stderr
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["fetched"] > 0
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    files = _glob.glob(str(tmp_path / "out" / "trace" / "*.parquet"))
+    urls = set()
+    for f in files:
+        urls.update(pq.read_table(f, columns=["url"])
+                    .column("url").to_pylist())
+    # depth-1 = the seeds only; every fetched URL came from the sitemap
+    assert urls and all(u.startswith("http://d00.test/") for u in urls)
