@@ -328,11 +328,12 @@ class Simulator:
                                      referer, ctx, tries)
                         continue
                     # RFC 9111 §4.3: a STALE entry with a validator
-                    # goes out conditional (If-None-Match) instead of
-                    # refetching blindly (cache_revalidate only)
+                    # goes out conditional (If-None-Match /
+                    # If-Modified-Since) instead of refetching blindly
+                    # (cache_revalidate only)
                     if (ent is not None
                             and getattr(self.cfg, "cache_revalidate", False)
-                            and ent.get("etag")):
+                            and (ent.get("etag") or ent.get("lastmod"))):
                         reval_ent = ent
                 # X5 CheckHead: HEAD precedes the GET; a HEAD error
                 # aborts the GET (colly.go:492-497). HEAD is unmarked
@@ -371,8 +372,21 @@ class Simulator:
                         (canon, cfgmod.ERR_ABORTED_AFTER_HEADERS))
                     m["errors"] += 1
                     continue
-                if (reval_ent is not None
-                        and getattr(row, "etag", None) == reval_ent["etag"]):
+                # RFC 9110 §13.2.2 precedence: an ETag pair decides;
+                # If-Modified-Since applies only when no ETag
+                # comparison is possible (mirrors the engine's
+                # is_304 expression exactly)
+                _r_et = getattr(row, "etag", None)
+                _r_lm = getattr(row, "last_modified", None)
+                if reval_ent is not None and reval_ent.get("etag") and _r_et:
+                    _not_modified = _r_et == reval_ent["etag"]
+                elif reval_ent is not None:
+                    _not_modified = (bool(reval_ent.get("lastmod"))
+                                     and _r_lm is not None
+                                     and _r_lm == reval_ent["lastmod"])
+                else:
+                    _not_modified = False
+                if _not_modified:
                     # 304 Not Modified: the validator still matches —
                     # replay the stored entry body-free AND refresh it
                     # (new created batch, the 304's own caching
@@ -399,7 +413,8 @@ class Simulator:
                         links=list(reval_ent["links"]),
                         images=list(reval_ent["images"]),
                         expiry=self._entry_expiry(row, batch),
-                        etag=getattr(row, "etag", None))))
+                        etag=getattr(row, "etag", None),
+                        lastmod=getattr(row, "last_modified", None))))
                     continue
                 res.trace.append((batch, seq, canon, final_url, depth,
                                   hostname(final_url), status, method,
@@ -425,7 +440,8 @@ class Simulator:
                             created=batch, final_url=final_url,
                             status=status, links=[], images=[],
                             expiry=self._entry_expiry(row, batch),
-                            etag=getattr(row, "etag", None))))
+                            etag=getattr(row, "etag", None),
+                            lastmod=getattr(row, "last_modified", None))))
                     continue
                 # X2: transparent gzip then MaxBodySize truncation of
                 # the decoded bytes (http_backend.go:229-244)
@@ -453,7 +469,8 @@ class Simulator:
                         created=batch, final_url=final_url, status=status,
                         links=list(links), images=req_images,
                         expiry=self._entry_expiry(row, batch),
-                        etag=getattr(row, "etag", None))))
+                        etag=getattr(row, "etag", None),
+                        lastmod=getattr(row, "last_modified", None))))
             # 4. assign dense seqs to discovered links in (parent_seq, link_idx) order
             #    (new_frontier was appended in fetch order = seq order, link order);
             #    S6 capacity: links beyond max_queue_size − pending are dropped

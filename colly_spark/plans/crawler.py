@@ -177,9 +177,11 @@ def _schemas():
         StructField("set_cookie", StringType()),
         StructField("cache_max_age", IntegerType()),
         StructField("retry_after", IntegerType()),
-        # response ETag validator (cache_revalidate stores it so a
-        # stale entry can go out conditional next time)
+        # response validators (cache_revalidate stores them so a
+        # stale entry can go out conditional next time; ETag wins,
+        # Last-Modified is the no-ETag-server fallback)
         StructField("etag", StringType()),
+        StructField("last_modified", StringType()),
         StructField("ctx", StringType()),
         # request body + attempt counter ride through to done so a
         # retry can be re-submitted with the same parameters
@@ -1098,8 +1100,14 @@ class Crawler:
             valid_expr = F.lit(True)
         valid = latest.filter(valid_expr)
         stale = None
-        if reval and "c_etag" in latest.columns:
-            stale = latest.filter(~valid_expr & F.col("c_etag").isNotNull())
+        if reval:
+            for vc in ("c_etag", "c_lastmod"):
+                if vc not in latest.columns:
+                    latest = latest.withColumn(
+                        vc, F.lit(None).cast("string"))
+            stale = latest.filter(
+                ~valid_expr & (F.col("c_etag").isNotNull()
+                               | F.col("c_lastmod").isNotNull()))
         return valid, stale
 
     def _cookie_jar(self):
@@ -1356,25 +1364,29 @@ class Crawler:
             else:
                 page_cols.append(
                     F.lit(None).cast("int").alias("retry_after"))
-            # ETag validator the response carries (cache_revalidate)
-            if "etag" in self.pages.columns:
-                page_cols.append(F.col("etag"))
-            else:
-                page_cols.append(F.lit(None).cast("string").alias("etag"))
+            # validators the response carries (cache_revalidate)
+            for vc in ("etag", "last_modified"):
+                if vc in self.pages.columns:
+                    page_cols.append(F.col(vc))
+                else:
+                    page_cols.append(F.lit(None).cast("string").alias(vc))
             pages = self.pages.select(*page_cols)
         else:
             pages = None
         jar = self._cookie_jar() if self._has_cookies else None
-        # If-None-Match validator attached by the revalidation probe
-        # (cache_revalidate); NULL everywhere otherwise. RFC-style, the
-        # conditional header follows redirects to the final resource.
+        # conditional-request validators attached by the revalidation
+        # probe (cache_revalidate): If-None-Match / If-Modified-Since;
+        # NULL everywhere otherwise. RFC-style, the conditional
+        # headers follow redirects to the final resource.
         inm_col = (F.col("_inm") if "_inm" in fetch_now.columns
                    else F.lit(None).cast("string")).alias("_inm")
+        ims_col = (F.col("_ims") if "_ims" in fetch_now.columns
+                   else F.lit(None).cast("string")).alias("_ims")
         remaining = fetch_now.select(
             "seq", F.col("canon_url").alias("url"), F.col("canon_url").alias("cur"),
             "depth", "method", "body_req",
             F.col("url_hash").alias("req_hash"), "referer", "ctx", "tries",
-            inm_col)
+            inm_col, ims_col)
         done_parts, err_parts = [], []
 
         def err_rows(df, kind_col):
@@ -1446,10 +1458,18 @@ class Crawler:
             # natively and the swap is a no-op on them). The stored
             # entry replays after the fetch (drain-side join).
             if self.cfg.cache_revalidate:
+                # RFC 9110 §13.2.2 precedence: when an If-None-Match /
+                # ETag pair exists it DECIDES; If-Modified-Since is
+                # evaluated only when no ETag comparison applies
+                inm_applies = (F.col("_inm").isNotNull()
+                               & F.col("etag").isNotNull())
+                ims_match = (F.col("_ims").isNotNull()
+                             & F.col("last_modified").isNotNull()
+                             & (F.col("last_modified") == F.col("_ims")))
                 is_304 = ((F.col("method") == "GET")
-                          & F.col("_inm").isNotNull()
-                          & F.col("etag").isNotNull()
-                          & (F.col("etag") == F.col("_inm")))
+                          & F.when(inm_applies,
+                                   F.col("etag") == F.col("_inm"))
+                             .otherwise(ims_match))
                 finals = (finals
                           .withColumn("status",
                                       F.when(is_304, F.lit(304))
@@ -1475,8 +1495,8 @@ class Crawler:
             done_parts.append(self._parse_batch(finals.select(
                 "seq", "url", "depth", "method", F.col("cur").alias("final_url"),
                 "status", "content_type", "body", "image_id", "req_hash", "referer",
-                "set_cookie", "cache_max_age", "retry_after", "etag", "ctx",
-                "body_req", "tries")))
+                "set_cookie", "cache_max_age", "retry_after", "etag",
+                "last_modified", "ctx", "body_req", "tries")))
             if not self.cfg.follow_redirects:
                 break
             # NOTE: a probe-less variant (Observation on the redirect
@@ -1496,11 +1516,11 @@ class Crawler:
             # the target (every hop, colly.go:1306-1354)
             t = redir.select(
                 "seq", "url", "depth", "method", "body_req", "req_hash",
-                "referer", "ctx", "tries", "_inm",
+                "referer", "ctx", "tries", "_inm", "_ims",
                 self._fused(F.col("redirect_to"), F.lit(None).cast("binary")).alias("_k"))
             t = t.select(
                 "seq", "url", "depth", "method", "body_req", "req_hash",
-                "referer", "ctx", "tries", "_inm",
+                "referer", "ctx", "tries", "_inm", "_ims",
                 F.col("_k.canon_url").alias("canon_url"),
                 F.col("_k.host").alias("host"),
                 F.col("_k.url_hash").alias("url_hash"))
@@ -1533,7 +1553,8 @@ class Crawler:
                 self._commit_marks_async(accepted, batch, f"{tag}hop{hop}")
             remaining = accepted.select(
                 "seq", "url", F.col("canon_url").alias("cur"), "depth", "method",
-                "body_req", "req_hash", "referer", "ctx", "tries", "_inm")
+                "body_req", "req_hash", "referer", "ctx", "tries", "_inm",
+                "_ims")
             redir.unpersist()
         done = reduce(lambda a, b: a.unionByName(b), done_parts)
         errs = reduce(lambda a, b: a.unionByName(b), err_parts)
@@ -1601,6 +1622,7 @@ class Crawler:
                     "referer": pdf["referer"], "set_cookie": pdf["set_cookie"],
                     "cache_max_age": pdf["cache_max_age"],
                     "retry_after": pdf["retry_after"], "etag": pdf["etag"],
+                    "last_modified": pdf["last_modified"],
                     "ctx": pdf["ctx"],
                     "body_req": pdf["body_req"], "tries": pdf["tries"],
                 })
@@ -2198,9 +2220,10 @@ class Crawler:
                 # 5xx never stored; a stored 429's Retry-After already
                 # acted when it was fetched)
                 F.lit(None).cast("int").alias("retry_after"),
-                # replays carry no fresh validator (nothing to store —
+                # replays carry no fresh validators (nothing to store —
                 # from_cache rows never reach the cache writer anyway)
                 F.lit(None).cast("string").alias("etag"),
+                F.lit(None).cast("string").alias("last_modified"),
                 # ctx/body/tries are per-REQUEST state: a replay keeps
                 # the requesting row's, not the original fetcher's
                 "ctx", "body_req", "tries")
@@ -2213,13 +2236,14 @@ class Crawler:
             # CONDITIONAL — attach If-None-Match from the stored ETag
             # (light 2-column broadcast); the heavy replay payload
             # stays aside and joins only the 304s after the fetch
-            sv = stale.select("c_hash", "c_etag")
+            sv = stale.select("c_hash", "c_etag", "c_lastmod")
             probe2 = fetch_now_eff.join(
                 F.broadcast(sv),
                 (fetch_now_eff["url_hash"] == sv["c_hash"])
                 & (fetch_now_eff["method"] == "GET"), "left")
             fetch_now_eff = (probe2.withColumn("_inm", F.col("c_etag"))
-                             .drop("c_hash", "c_etag"))
+                             .withColumn("_ims", F.col("c_lastmod"))
+                             .drop("c_hash", "c_etag", "c_lastmod"))
             reval_payload = stale
         # 3b. fetch + redirects + fused parse — the eager checkpoint
         # materializes the compact (body-free) parsed output once.
@@ -2273,8 +2297,8 @@ class Crawler:
                 _swap("imgs", F.col("_rimgs")),
                 _swap("img_body", F.col("_rimgb")),
                 "req_hash", "from_cache", "referer", "set_cookie",
-                "cache_max_age", "retry_after", "etag", "ctx", "body_req",
-                "tries", hit304.alias("revalidated"))
+                "cache_max_age", "retry_after", "etag", "last_modified",
+                "ctx", "body_req", "tries", hit304.alias("revalidated"))
         if cache_hits_done is not None:
             if reval_payload is not None:
                 cache_hits_done = cache_hits_done.withColumn(
@@ -2325,9 +2349,11 @@ class Crawler:
                 F.col("image_id").alias("c_image_id"),
                 F.col("links").alias("c_links"), F.col("imgs").alias("c_imgs"),
                 F.col("img_body").alias("c_img_body"),
-                # response validator: lets a stale entry revalidate
-                # with If-None-Match instead of refetching the body
+                # response validators: let a stale entry revalidate
+                # (If-None-Match / If-Modified-Since) instead of
+                # refetching the body
                 F.col("etag").alias("c_etag"),
+                F.col("last_modified").alias("c_lastmod"),
                 F.lit(batch).alias("c_created"),
                 # by-header expiry (response.go:108-149): the response's
                 # max-age in logical batches; NULL when no header —

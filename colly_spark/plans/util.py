@@ -97,6 +97,7 @@ def to_spark_corpus(spark, tables: dict) -> dict:
             StructField("cache_max_age", IntegerType()),
             StructField("retry_after", IntegerType()),
             StructField("etag", StringType()),
+            StructField("last_modified", StringType()),
         ]),
         "robots": StructType([
             StructField("host", StringType()),

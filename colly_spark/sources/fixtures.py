@@ -127,7 +127,8 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
 
     def add_page(url, status, ctype, body, redirect_to=None, image_id=None,
                  links=None, depth=0, set_cookie=None, require_cookie=None,
-                 cache_max_age=None, retry_after=None, etag=None):
+                 cache_max_age=None, retry_after=None, etag=None,
+                 last_modified=None):
         pages_rows.append(
             dict(
                 url=url,
@@ -150,6 +151,10 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
                 # §8.8.3); None = no validator → a stale cache entry
                 # can never revalidate, it refetches fully
                 etag=etag,
+                # Last-Modified validator (RFC 9110 §8.8.2) — the
+                # weak fallback for servers without ETags; used by
+                # revalidation only when no ETag pair applies
+                last_modified=last_modified,
             )
         )
 
@@ -220,12 +225,16 @@ def make_corpus(spec: CorpusSpec | None = None) -> dict[str, pd.DataFrame]:
             # but instantly stale) / no header (never replayable)
             cma = 3600 if pi % 2 == 0 else (0 if pi % 3 == 2 else None)
             # validator mix (cache_revalidate only; inert otherwise):
-            # most pages carry a deterministic weak ETag, every third
-            # has none — those can never 304, they refetch fully
+            # pi%3==0 → ETag AND Last-Modified (ETag must win),
+            # pi%3==1 → Last-Modified only (the no-ETag-server case),
+            # pi%3==2 → ETag only
             etg = None if pi % 3 == 1 else \
                 'W/"%08x"' % (zlib.crc32(url.encode("utf-8")) & 0xFFFFFFFF)
+            lm = None if pi % 3 == 2 else \
+                f"Mon, {(pi % 28) + 1:02d} Jul 2025 00:00:00 GMT"
             add_page(url, 200, "text/html; charset=utf-8", body,
-                     links=gt_links, cache_max_age=cma, etag=etg)
+                     links=gt_links, cache_max_age=cma, etag=etg,
+                     last_modified=lm)
 
         # special routes per domain ------------------------------------
         # redirect chains: /r/0 → /r/0/a → /page/1 ; /r/1 → / (already seen)

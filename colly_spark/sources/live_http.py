@@ -80,6 +80,7 @@ _RESPONSE_FIELDS = (
     ("cache_max_age", "int"),
     ("retry_after", "int"),
     ("etag", "string"),
+    ("last_modified", "string"),
 )
 
 
@@ -250,6 +251,7 @@ def _request_once(conns: _ConnCache, url, method, body_req, headers,
         cache_max_age=_max_age_of(resp.headers),
         retry_after=_retry_after_of(resp.headers),
         etag=resp.headers.get("ETag"),
+        last_modified=resp.headers.get("Last-Modified"),
     )
 
 
@@ -295,7 +297,7 @@ def _retry_after_of(headers):
 
 def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
                proxy, connect_addr, max_read, retries, backoff_s,
-               base_headers=None, inm=None):
+               base_headers=None, inm=None, ims=None):
     """One request → dict of _RESPONSE_FIELDS values, applying the
     retry policy (network errors only; the jar Cookie is dropped on
     re-attempts, request.go:191-193 — custom headers persist).
@@ -318,6 +320,8 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
             # the server answers 304 Not Modified when the entity is
             # unchanged and the engine replays the stored entry
             headers["If-None-Match"] = inm
+        if ims:
+            headers["If-Modified-Since"] = ims
         try:
             return _request_once(conns, url, method, body_req, headers,
                                  proxy, connect_addr, max_read)
@@ -330,7 +334,7 @@ def _fetch_one(conns: _ConnCache, url, method, body_req, ua, cookie,
     return dict(_purl=None, status=None, content_type=None, body=None,
                 redirect_to=None, image_id=None, set_cookie=None,
                 require_cookie=None, cache_max_age=None, retry_after=None,
-                etag=None)
+                etag=None, last_modified=None)
 
 
 class HttpFetchSource:
@@ -434,6 +438,8 @@ class HttpFetchSource:
                         continue
                     inms = (pdf["_inm"] if "_inm" in pdf.columns
                             else [None] * len(pdf))
+                    imss = (pdf["_ims"] if "_ims" in pdf.columns
+                            else [None] * len(pdf))
                     futs = [
                         pool.submit(
                             _fetch_one, conns, cur, method,
@@ -442,10 +448,13 @@ class HttpFetchSource:
                             proxy if isinstance(proxy, str) else None,
                             connect_addr, max_read, retries, backoff_s,
                             custom_headers,
-                            inm if isinstance(inm, str) else None)
-                        for cur, method, body_req, ua, cookie, proxy, inm in zip(
+                            inm if isinstance(inm, str) else None,
+                            ims if isinstance(ims, str) else None)
+                        for cur, method, body_req, ua, cookie, proxy, inm,
+                        ims in zip(
                             pdf["cur"], pdf["method"], pdf["body_req"],
-                            pdf["_ua"], pdf["_cookie"], pdf["_proxy"], inms)]
+                            pdf["_ua"], pdf["_cookie"], pdf["_proxy"], inms,
+                            imss)]
                     resp = pd.DataFrame([f.result() for f in futs])
                     out = pdf[pass_cols].reset_index(drop=True)
                     for name, _ in _RESPONSE_FIELDS:

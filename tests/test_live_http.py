@@ -89,12 +89,24 @@ class _CorpusHandler(BaseHTTPRequestHandler):
             # the by-header expiry source on the wire (response.go:108-149)
             headers["Cache-Control"] = f"max-age={int(row['cache_max_age'])}"
         etag = row.get("etag")
+        lastmod = row.get("last_modified")
         if etag is not None:
             headers["ETag"] = etag
-            # RFC 9110 §13.1.2: a matching If-None-Match short-circuits
-            # to 304 Not Modified (updated caching headers, no body)
-            if (self.headers.get("If-None-Match") == etag
-                    and row["redirect_to"] is None):
+        if lastmod is not None:
+            headers["Last-Modified"] = lastmod
+        if row["redirect_to"] is None:
+            # RFC 9110 §13.2.2 precedence: If-None-Match decides when
+            # an ETag comparison is possible; If-Modified-Since only
+            # otherwise. A match short-circuits to 304 (updated
+            # caching headers, no body).
+            inm = self.headers.get("If-None-Match")
+            ims = self.headers.get("If-Modified-Since")
+            if inm is not None and etag is not None:
+                not_modified = inm == etag
+            else:
+                not_modified = (ims is not None and lastmod is not None
+                                and ims == lastmod)
+            if not_modified:
                 return self._respond(304, None, b"", headers,
                                      send_body=False)
         self._respond(row["status"], row["content_type"], row["body"],
@@ -127,6 +139,7 @@ def live_server(corpus_pd):
             "require_cookie": _n(r["require_cookie"]),
             "cache_max_age": _n(r["cache_max_age"]),
             "etag": _n(r.get("etag")),
+            "last_modified": _n(r.get("last_modified")),
         }
         for r in corpus_pd["pages"].to_dict("records")
     }

@@ -76,16 +76,26 @@ class TestWhenNotWhat:
         assert sum(m.get("cache_hits", 0) for m in sim.metrics) == 0
 
     def test_no_validator_means_full_refetch(self, corpus_pd):
-        """Pages without an ETag can never 304: strip validators from
+        """Pages without ANY validator can never 304: strip both from
         the corpus and the revalidated count is zero everywhere."""
-        import copy
+        c = {k: v.copy() for k, v in corpus_pd.items()}
+        c["pages"] = c["pages"].copy()
+        c["pages"]["etag"] = None
+        c["pages"]["last_modified"] = None
+        sim = Simulator(c, _cfg(cache_revalidate=True)).run(
+            list(SEEDS), max_batches=40)
+        assert all(m.get("revalidated", 0) == 0 for m in sim.metrics)
 
+    def test_last_modified_only_servers_revalidate(self, corpus_pd):
+        """Strip every ETag (the no-ETag-server case): Last-Modified /
+        If-Modified-Since alone still revalidates — the engine's
+        §13.2.2 otherwise-branch."""
         c = {k: v.copy() for k, v in corpus_pd.items()}
         c["pages"] = c["pages"].copy()
         c["pages"]["etag"] = None
         sim = Simulator(c, _cfg(cache_revalidate=True)).run(
             list(SEEDS), max_batches=40)
-        assert all(m.get("revalidated", 0) == 0 for m in sim.metrics)
+        assert sum(m.get("revalidated", 0) for m in sim.metrics) > 0
 
     def test_default_off_no_metric(self, corpus_pd):
         sim = Simulator(corpus_pd, _cfg()).run(list(SEEDS), max_batches=40)
