@@ -33,6 +33,7 @@ AUDIT = [
     "c4_line_filter", "repetition_stats", "caption_alignment",
     "ann_ivfpq", "ann_ivfpq_refined",
     "video_near_dup", "audio_near_dup",
+    "gif_decode", "gif_frames", "sitemap_discover",
 ]
 
 
