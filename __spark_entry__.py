@@ -3720,57 +3720,22 @@ def _wrap(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered queries, in DRIVER-WINDOW ROTATION order.
+
+    The correctness driver checks only the FIRST 50 entries per round, so
+    registration order is a rotation schedule: least-recently-driver-checked
+    first.  Round 3 checked positions 1-50 of the r3 ordering
+    (admission_filter .. events_rollup, green in CORRECTNESS_r03.json);
+    round 4 therefore front-loads the 46 entries that sat OUTSIDE that
+    window (sessionize .. callback_fires, 13 of them r2-green), plus
+    ann_ivf_trained (new golden oracle this round) and three cheap
+    foundational entries to fill the window.  Round 5: swap the halves
+    again — move the r3-green block (politeness_quota .. events_rollup,
+    currently positions 51+) back into the first 50.  See ROADMAP.md
+    "driver-window rotation".
+    """
     return {k: _wrap(v) for k, v in {
-        "admission_filter": q_admission_filter,
-        "url_canonicalize": q_url_canonicalize,
-        "fnv64_hash": q_fnv64_hash,
-        "politeness_quota": q_politeness_quota,
-        "quota_multi_rule": q_quota_multi_rule,
-        "seen_antijoin": q_seen_antijoin,
-        "redirect_resolve": q_redirect_resolve,
-        "dedup_keep_first": q_dedup_keep_first,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "minhash_lsh_buckets": q_minhash_lsh_buckets,
-        "simhash": q_simhash,
-        "simhash_clusters": q_simhash_clusters,
-        "domain_cap": q_domain_cap,
-        "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
-        "domain_mixture": q_domain_mixture,
-        "token_shards": q_token_shards,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_multiprobe": q_ann_multiprobe,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_prod": q_ann_ivf_prod,
-        "ann_lsh_tables": q_ann_lsh_tables,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_ivfpq_refined": q_ann_ivfpq_refined,
-        "embedding_dedup": q_embedding_dedup,
-        "corpus_filter": q_corpus_filter,
-        "token_stats": q_token_stats,
-        "langid": q_langid,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "gopher_filter": q_gopher_filter,
-        "dup_span_removal": q_dup_span_removal,
-        "bpe_token_stats": q_bpe_token_stats,
-        "lm_perplexity": q_lm_perplexity,
-        "caption_dedup": q_caption_dedup,
-        "global_shuffle": q_global_shuffle,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "curation_pipeline": q_curation_pipeline,
-        "pack_sequences": q_pack_sequences,
-        "streaming_events_window": q_streaming_events_window,
-        "stateful_sessionize": q_stateful_sessionize,
-        "stateful_rate_limit": q_stateful_rate_limit,
-        "continuous_fetch": q_continuous_fetch,
-        "continuous_crawl": q_continuous_crawl,
-        "events_rollup": q_events_rollup,
+        # ---- r4 driver window: outside the r3 window, check these now ----
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
         "lineitem_pricing": q_lineitem_pricing,
@@ -3817,6 +3782,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unmarshal_fields": q_unmarshal_fields,
         "xpath_links": q_xpath_links,
         "callback_fires": q_callback_fires,
+        # new/changed this round — must be inside the window:
+        "ann_ivf_trained": q_ann_ivf_trained,
+        # window filler (r3-green, cheapest foundational re-checks):
+        "admission_filter": q_admission_filter,
+        "url_canonicalize": q_url_canonicalize,
+        "fnv64_hash": q_fnv64_hash,
+        # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
+        "politeness_quota": q_politeness_quota,
+        "quota_multi_rule": q_quota_multi_rule,
+        "seen_antijoin": q_seen_antijoin,
+        "redirect_resolve": q_redirect_resolve,
+        "dedup_keep_first": q_dedup_keep_first,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "simhash": q_simhash,
+        "simhash_clusters": q_simhash_clusters,
+        "domain_cap": q_domain_cap,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "domain_mixture": q_domain_mixture,
+        "token_shards": q_token_shards,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_multiprobe": q_ann_multiprobe,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_prod": q_ann_ivf_prod,
+        "ann_lsh_tables": q_ann_lsh_tables,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_refined": q_ann_ivfpq_refined,
+        "embedding_dedup": q_embedding_dedup,
+        "corpus_filter": q_corpus_filter,
+        "token_stats": q_token_stats,
+        "langid": q_langid,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
+        "dup_span_removal": q_dup_span_removal,
+        "bpe_token_stats": q_bpe_token_stats,
+        "lm_perplexity": q_lm_perplexity,
+        "caption_dedup": q_caption_dedup,
+        "global_shuffle": q_global_shuffle,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "curation_pipeline": q_curation_pipeline,
+        "pack_sequences": q_pack_sequences,
+        "streaming_events_window": q_streaming_events_window,
+        "stateful_sessionize": q_stateful_sessionize,
+        "stateful_rate_limit": q_stateful_rate_limit,
+        "continuous_fetch": q_continuous_fetch,
+        "continuous_crawl": q_continuous_crawl,
+        "events_rollup": q_events_rollup,
     }.items()}
 
 

@@ -253,16 +253,17 @@ def test_image_corpus_filter_clauses(spark):
         ("img0", 256, 256, "png", "three token caption", 1),     # keeps
         ("img1", 32, 256, "png", "three token caption", 2),      # tiny side
         ("img2", 1024, 64, "png", "three token caption", 3),     # aspect 16
-        ("img3", 256, 256, "gif", "three token caption", 4),     # fmt
+        ("img3", 256, 256, "tiff", "three token caption", 4),    # fmt (no decoder)
         ("img4", 256, 256, "jpeg", "two tokens", 5),             # caption
         ("img5", 256, 256, "jpeg", "   ", 6),                    # blank caption
         ("img6", 256, 256, "webp", "dup of img0 pixels here", 1),  # phash dup
         ("img7", 128, 128, "jpeg", "another fine caption", 7),   # keeps
+        ("img8", 256, 256, "gif", "gif is decodable now", 8),    # keeps: gif codec landed
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w int, h int, fmt string, caption string, phash long")
     out = {r["image_id"]: r for r in image_corpus_filter(df).collect()}
-    assert set(out) == {"img0", "img7"}
+    assert set(out) == {"img0", "img7", "img8"}
     assert out["img0"]["n_caption_tokens"] == 3
     assert out["img0"]["megapixels"] == 0.0655
 
