@@ -500,7 +500,7 @@ def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
 def semdedup(emb_df, threshold: float, nlist: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, seed: int = 7, assign: str = "catalyst",
-             centroids: np.ndarray = None):
+             centroids: np.ndarray = None, max_cell_size: int = 100_000):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine
     pruning. Cluster the embeddings with the IVF coarse quantizer
@@ -524,9 +524,16 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
     ``cell``; the within-cluster comparison is all-pairs BY DESIGN but
     bounded by cluster size ~ n/nlist (nlist ≈ √n keeps every cluster
     ~√n rows — the paper's tractability argument). A degenerate fat
-    cluster is the skew risk; production mitigations are more
-    centroids or recursive re-clustering of oversized cells — the same
-    cap-and-report discipline as minhash_lsh's oversized_buckets.
+    cluster (duplicate-heavy corpora produce exactly this) would make
+    the join quadratic, so ``max_cell_size`` caps it: cells with more
+    members than the cap are EXCLUDED from pair generation (their
+    members all survive, un-deduped) — the same cap-and-report
+    discipline as minhash's ``candidate_pairs``/``oversized_buckets``
+    (text_dedup.py). Callers log ``semdedup_oversized_cells`` so the
+    truncation is never silent; the production remedies are more
+    centroids (shrinks every cell) or re-clustering the reported
+    cells with a sub-quantizer and re-running semdedup on just them.
+    ``max_cell_size=0`` disables the guard (oracle harness only).
     ``assign="catalyst"`` inlines centroid literals (bit-exact DuckDB
     oracling, toy nlist only); ``assign="vectorized"`` broadcasts the
     matrix (production nlist)."""
@@ -538,8 +545,14 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
     base = (emb_df.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
             .withColumn("cell", cell_of(cents, F.col("v"))))
-    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
-    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
+    pairable = base
+    if max_cell_size > 0:
+        # ≤ nlist rows — broadcast the admit-list, never shuffle base twice
+        ok = (base.groupBy("cell").agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_cell_size).select("cell"))
+        pairable = base.join(F.broadcast(ok), "cell", "left_semi")
+    a = pairable.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
+    b = pairable.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
     dropped = (a.join(b, "cell")
                .where(F.col("b") < F.col("a"))
                .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
@@ -548,3 +561,25 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
     return (base.join(dropped, "id", "left_anti")
             .select(F.col("id").alias(id_col),
                     F.col("cell").cast("int").alias("cell")))
+
+
+def semdedup_oversized_cells(emb_df, nlist: int = 16,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64, seed: int = 7,
+                             assign: str = "catalyst",
+                             centroids: np.ndarray = None,
+                             max_cell_size: int = 100_000):
+    """(cell, n_members) for cells ``semdedup`` would exclude from
+    pair generation under the same parameters — callers log these so
+    the fat-cell truncation is never silent (the twin of
+    text_dedup.oversized_buckets)."""
+    from pyspark.sql import functions as F
+
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, nlist, seed)
+    cell_of = ivf_cell_vec if assign == "vectorized" else ivf_cell_expr
+    return (emb_df.select(cell_of(cents, F.col(vec_col)).alias("cell"))
+            .groupBy("cell").agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_cell_size)
+            .select(F.col("cell").cast("int").alias("cell"), "n_members"))

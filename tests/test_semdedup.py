@@ -66,6 +66,47 @@ def test_matches_brute_force_random(spark):
         assert got == _brute(vecs, cents, thr), thr
 
 
+def test_fat_cell_guard_bounds_pairs_and_reports(spark):
+    """A planted duplicate-heavy fat cell: with max_cell_size the fat
+    cell is excluded from pair generation (all its members survive,
+    un-deduped) while normal cells still dedup, and
+    semdedup_oversized_cells reports exactly the excluded cell with
+    its size — the truncation is never silent."""
+    from colly_spark.operators.similarity import semdedup_oversized_cells
+
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    rng = np.random.default_rng(5)
+    lead = rng.standard_normal(DIM)
+    fat = [lead + 0.001 * rng.standard_normal(DIM) for _ in range(40)]
+    fat_cell = int(np.argmax(np.asarray(fat) @ cents.T, axis=1)[0])
+    # a second, small near-dup pair planted in a DIFFERENT cell
+    other = None
+    for _ in range(200):
+        c = rng.standard_normal(DIM)
+        if int(np.argmax(c @ cents.T)) != fat_cell:
+            other = c
+            break
+    assert other is not None
+    vecs = fat + [other, other + 0.001 * rng.standard_normal(DIM)]
+    df = _mk(spark, vecs)
+
+    cap = 10
+    out = {(r.vec_id, r.cell)
+           for r in semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM,
+                             seed=SEED, max_cell_size=cap).collect()}
+    # fat cell untouched: all 40 members survive; small cell deduped
+    assert {i for i, _ in out} == set(range(40)) | {40}
+    rep = semdedup_oversized_cells(df, nlist=NLIST, dim=DIM, seed=SEED,
+                                   max_cell_size=cap).collect()
+    assert [(r.cell, r.n_members) for r in rep] == [(fat_cell, 40)]
+    # unguarded (max_cell_size=0) still collapses the fat cell
+    raw = {i for i, _ in
+           ((r.vec_id, r.cell) for r in
+            semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM,
+                     seed=SEED, max_cell_size=0).collect())}
+    assert raw == {0, 40}
+
+
 def test_vectorized_assignment_equals_catalyst(spark):
     rng = np.random.default_rng(23)
     vecs = rng.standard_normal((80, DIM))
