@@ -1018,11 +1018,14 @@ def q_ann_ivf_prod(spark, sf_dir):
     centroid matrix ships ONCE as a Spark broadcast and cell/probe
     assignment is a numpy matmul per Arrow batch, so plan size is O(1)
     in nlist (the literal-Catalyst form used for the oracled ann_ivf
-    cannot plan past toy nlist). No SQL oracle by design: the path's
-    correctness evidence is tests/test_ann_production.py, which pins
-    result equality against the oracled literal path at nlist=16 and
-    assignment equality row-by-row. Fixture embeddings are widened
-    64→256 deterministically (concat of 4 fixed transforms)."""
+    cannot plan past toy nlist). Golden-oracled
+    (golden/ann_ivf_prod.parquet): serving is deterministic — matmul
+    argmax assignment + the JVM left-fold cosine — so the independent
+    numpy replica (oracle/ivf_ref.py widen_256/ivf_topk) reproduces
+    the top-k bit-for-bit; tests/test_ann_production.py additionally
+    pins result equality against the oracled literal path at nlist=16.
+    Fixture embeddings are widened 64→256 deterministically (concat of
+    4 fixed transforms)."""
     from pyspark.sql import functions as F
 
     from colly_spark.operators.similarity import ann_ivf_topk, ivf_centroids
@@ -1101,20 +1104,35 @@ def q_ann_ivf_trained(spark, sf_dir):
     iterations of distributed spherical k-means (one broadcast-matmul
     assignment pass + one partial-aggregating groupBy per iteration,
     driver traffic = the nlist×dim centroid matrix only), then the
-    vectorized serving path probes the trained cells. No SQL oracle by
-    design — iterative float means are not SQL-reproducible; evidence
-    is tests/test_ann_training.py (blob-mean recovery, recall ≥ the
-    untrained quantizer at equal nprobe, assignment/serving
-    agreement). The driver records the weaker rows-only check."""
+    vectorized serving path probes the trained cells. Golden-oracled
+    (golden/ann_ivf_trained.parquet): ``exact=True`` applies the
+    engine-neutral float discipline (round-12 + DECIMAL cell sums,
+    order-independent), so the independent numpy/decimal replica
+    (oracle/ivf_ref.py) reproduces the trained matrix AND the served
+    top-k bit-for-bit. Production training drops the DECIMAL tax
+    (exact=False); tests/test_ann_training.py pins blob-mean recovery
+    and recall ≥ the untrained quantizer on that path."""
     from pyspark.sql import functions as F
 
     from colly_spark.operators.similarity import ann_ivf_topk, ivf_train_kmeans
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    cents = ivf_train_kmeans(emb, nlist=8, n_iter=3)
+    cents = ivf_train_kmeans(emb, nlist=8, n_iter=3, exact=True)
     return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
                         nlist=8, nprobe=2, assign="vectorized",
                         centroids=cents)
+
+
+_Q_ANN_IVF_TRAINED_SQL = f"""
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM '{_REPO}/golden/ann_ivf_trained.parquet' ORDER BY query_id, rank
+"""
+
+
+_Q_ANN_IVF_PROD_SQL = f"""
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM '{_REPO}/golden/ann_ivf_prod.parquet' ORDER BY query_id, rank
+"""
 
 
 def q_ann_ivfpq(spark, sf_dir):
@@ -3784,11 +3802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callback_fires": q_callback_fires,
         # new/changed this round — must be inside the window:
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_prod": q_ann_ivf_prod,
         # window filler (r3-green, cheapest foundational re-checks):
         "admission_filter": q_admission_filter,
         "url_canonicalize": q_url_canonicalize,
-        "fnv64_hash": q_fnv64_hash,
         # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
+        "fnv64_hash": q_fnv64_hash,
         "politeness_quota": q_politeness_quota,
         "quota_multi_rule": q_quota_multi_rule,
         "seen_antijoin": q_seen_antijoin,
@@ -3809,7 +3828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_prod": q_ann_ivf_prod,
         "ann_lsh_tables": q_ann_lsh_tables,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_refined": q_ann_ivfpq_refined,
@@ -3863,6 +3881,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_multiprobe": _ann_lsh_sql(multiprobe=8),
         "ann_ivf": _ann_ivf_sql(),
+        "ann_ivf_trained": _Q_ANN_IVF_TRAINED_SQL,
+        "ann_ivf_prod": _Q_ANN_IVF_PROD_SQL,
         "ann_lsh_tables": _ann_lsh_tables_sql(),
         "ann_ivfpq": _Q_ANN_IVFPQ_SQL,
         "ann_ivfpq_refined": _Q_ANN_IVFPQ_REFINED_SQL,

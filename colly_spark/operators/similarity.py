@@ -385,7 +385,7 @@ def ivf_cell_expr(centroids: np.ndarray, vec_col):
 
 def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
                      vec_col: str = "embedding", dim: int = 64,
-                     seed: int = 7) -> np.ndarray:
+                     seed: int = 7, exact: bool = False) -> np.ndarray:
     """Train IVF coarse centroids with distributed spherical k-means
     (Lloyd iterations under cosine similarity): assignment is
     argmax dot against L2-normalized centroids — exactly
@@ -397,10 +397,16 @@ def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
     ONE partial-aggregating groupBy over nlist×dim cells — the only
     driver traffic is the nlist×dim centroid matrix itself
     (stats-scale, ≈ the same matrix the serving path broadcasts).
-    Empty cells keep their previous centroid. Deterministic up to
-    float-sum ordering in the cell means (the assignment argmax and
-    seeded init are exact); serve the returned matrix via
-    ``ann_ivf_topk(..., centroids=...)``.
+    Empty cells keep their previous centroid. Under ``exact=False``
+    (production) the result is deterministic up to float-sum ordering
+    in the cell means (the assignment argmax and seeded init are
+    exact); ``exact=True`` applies the repo's engine-neutral float
+    discipline (operators/classifier.py): each coordinate is rounded
+    to 12 dp and summed as DECIMAL(38,18), making the per-cell sums
+    order-INDEPENDENT and the trained matrix bit-reproducible by the
+    pure numpy/decimal replica (oracle/ivf_ref.py) — the golden-oracle
+    harness mode; the DECIMAL tax is its documented price. Serve the
+    returned matrix via ``ann_ivf_topk(..., centroids=...)``.
 
     Init is the seeded Gaussian-direction quantizer (``ivf_centroids``)
     that Lloyd then refines on the data — k-means++ would need
@@ -415,13 +421,15 @@ def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
         assigned = base.select(
             ivf_cell_vec(cents, F.col("v")).alias("cell"),
             F.posexplode("v").alias("pos", "x"))
+        s_expr = (F.sum(F.round(F.col("x"), 12).cast("decimal(38,18)"))
+                  if exact else F.sum("x"))
         stats = (assigned.groupBy("cell", "pos")
-                 .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+                 .agg(s_expr.alias("s"), F.count("x").alias("n"))
                  .collect())  # nlist×dim scalars — stats-only traffic
         sums = np.zeros((nlist, dim))
         counts = np.zeros(nlist)
         for r in stats:
-            sums[r["cell"], r["pos"]] = r["s"]
+            sums[r["cell"], r["pos"]] = float(r["s"])
             counts[r["cell"]] = r["n"]
         nxt = cents.copy()
         nonempty = counts > 0

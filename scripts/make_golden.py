@@ -898,6 +898,50 @@ def make_ann_ivfpq() -> None:
         print(f"{name}: {len(out)} rows")
 
 
+def make_ann_ivf() -> None:
+    """ann_ivf_trained.parquet + ann_ivf_prod.parquet: expected top-k
+    of the two formerly rows-only IVF queries over the sf0.01
+    embeddings table, computed by the independent numpy/decimal
+    replica (oracle/ivf_ref.py). ann_ivf_trained is reproducible
+    because ivf_train_kmeans(..., exact=True) makes the Lloyd-loop
+    cell sums order-independent (round-12 + DECIMAL — the repo's
+    engine-neutral float discipline); ann_ivf_prod is serving-only on
+    fixed harness centroids with the deterministic 64→256 widening.
+    Same golden discipline as make_ann_ivfpq (driver gate runs at
+    sf0.01; tests replay the replica on other inputs)."""
+    import duckdb
+
+    from colly_spark.oracle import ivf_ref
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.01/embeddings.parquet'"
+        " ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qids = ids[ids < 8]
+
+    trained = ivf_ref.train_kmeans(vecs, nlist=8, n_iter=3, dim=64, seed=7)
+    jobs = (
+        ("ann_ivf_trained", ivf_ref.ivf_topk(ids, vecs, qids, trained,
+                                             k=5, nprobe=2)),
+        ("ann_ivf_prod", ivf_ref.ivf_topk(
+            ids, ivf_ref.widen_256(vecs), qids,
+            ivf_ref.init_centroids(256, 1024, seed=7), k=5, nprobe=64)),
+    )
+    for name, out in jobs:
+        t = pa.Table.from_pandas(
+            pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                       "rank", "cos_sim"]),
+            schema=pa.schema([("query_id", pa.int64()),
+                              ("neighbor_id", pa.int64()),
+                              ("rank", pa.int32()),
+                              ("cos_sim", pa.float64())]),
+            preserve_index=False)
+        pq.write_table(t, os.path.join(GOLDEN, f"{name}.parquet"))
+        print(f"{name}: {len(out)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN, exist_ok=True)
     make_crawl_trace()
@@ -919,4 +963,5 @@ if __name__ == "__main__":
     make_video_near_dup()
     make_audio_fp()
     make_ann_ivfpq()
+    make_ann_ivf()
     make_image_cls_stats()

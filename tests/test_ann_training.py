@@ -198,3 +198,59 @@ def test_empty_cells_keep_previous_centroid(spark):
     assert cents.shape == (8, 16)
     assert not np.isnan(cents).any()
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_exact_training_matches_numpy_replica(spark):
+    """ivf_train_kmeans(exact=True) is bit-reproducible by the
+    independent numpy/decimal replica (oracle/ivf_ref.py), and the
+    served top-k matches the replica's serving rows — the property the
+    golden/ann_ivf_trained.parquet oracle rests on, pinned here at a
+    non-golden input."""
+    from colly_spark.oracle import ivf_ref
+
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = ivf_train_kmeans(df, nlist=6, n_iter=3, dim=16, seed=7,
+                             exact=True)
+    ref = ivf_ref.train_kmeans(vecs, nlist=6, n_iter=3, dim=16, seed=7)
+    assert np.array_equal(cents, ref)
+
+    got = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in
+                 ann_ivf_topk(df, df.filter(F.col("vec_id") < 4), k=5,
+                              nlist=6, nprobe=2, dim=16,
+                              assign="vectorized",
+                              centroids=cents).collect())
+    want = sorted(ivf_ref.ivf_topk(np.arange(300), vecs, np.arange(4),
+                                   ref, k=5, nprobe=2))
+    assert got == want
+
+
+def test_prod_widening_matches_numpy_replica(spark):
+    """q_ann_ivf_prod's 64→256 widening + fixed-centroid serving is
+    bit-reproducible by oracle/ivf_ref.widen_256 + ivf_topk (the
+    golden/ann_ivf_prod.parquet property) at a non-golden input."""
+    from colly_spark.operators.similarity import ivf_centroids
+    from colly_spark.oracle import ivf_ref
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    wide = df.select(
+        "vec_id",
+        F.concat(v, F.reverse(v),
+                 F.transform(v, lambda x: x * 0.5 + 0.25),
+                 F.transform(v, lambda x: -x)).alias("embedding"))
+    cents = ivf_centroids(256, 64, seed=7)
+    got = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in
+                 ann_ivf_topk(wide, wide.filter(F.col("vec_id") < 4),
+                              k=5, nlist=64, nprobe=8, dim=256,
+                              assign="vectorized",
+                              centroids=cents).collect())
+    want = sorted(ivf_ref.ivf_topk(np.arange(200), ivf_ref.widen_256(vecs),
+                                   np.arange(4), cents, k=5, nprobe=8))
+    assert got == want

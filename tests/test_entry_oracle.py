@@ -60,7 +60,12 @@ GOLDEN_SF = {"bpe_train": "/root/testdata/sf0.01",
              # replica); replica equality at sf0.001 is covered by
              # tests/test_ivfpq.py
              "ann_ivfpq": "/root/testdata/sf0.01",
-             "ann_ivfpq_refined": "/root/testdata/sf0.01"}
+             "ann_ivfpq_refined": "/root/testdata/sf0.01",
+             # goldens from the sf0.01 embeddings via oracle/ivf_ref
+             # (trained Lloyd loop + prod serving); replica equality
+             # on other inputs: tests/test_ann_training.py
+             "ann_ivf_trained": "/root/testdata/sf0.01",
+             "ann_ivf_prod": "/root/testdata/sf0.01"}
 
 
 @pytest.mark.parametrize("name", ORACLES)
