@@ -52,9 +52,18 @@ emission stays O(quota)/host/trigger so no micro-batch can exceed the
 politeness budget.  At 10^10-URL scale the state store must be RocksDB
 (seen-sets exceed heap) — one session conf away via
 streaming/statestore.py (provider-equality + engagement pinned by
-tests/test_rocksdb_state.py) — and the corpus join a real fetch; the
-batch drain's Bloom + anti-join + executor-side commit remains the
-production bulk path; this operator is the always-on form.
+tests/test_rocksdb_state.py) — and the corpus join a real fetch.
+
+Scale boundary (explicit): this continuous path carries TWO engine
+constraints that bound its scope. (1) The stream-static corpus side
+must be BROADCASTABLE — a shuffled static scan is a streaming-planner
+error (see guarded_broadcast in ratelimit.py; the constructor raises
+past ``max_broadcast_rows`` rather than silently shipping a huge
+table). (2) Per-host streaming state grows with that host's seen-set
+— O(crawled URLs), not O(1)/key. Both are fine at this operator's
+always-on incremental scope; the batch drain (plans/crawler.py, Bloom/
+cuckoo seen segments + anti-join + executor-side commits) is the ONLY
+10^10-frontier path.
 """
 
 from __future__ import annotations
@@ -124,10 +133,13 @@ class ContinuousCrawl:
     batch drain's corpus join).  ``seeds_df`` columns: url."""
 
     def __init__(self, spark, seeds_df, corpus_df, cfg: CrawlConfig,
-                 workdir: str | None = None):
+                 workdir: str | None = None,
+                 max_broadcast_rows: int | None = None):
         from pyspark.sql import functions as F
 
         from colly_spark.functions.udfs import fnv64a_udf
+        from colly_spark.streaming.ratelimit import (
+            DEFAULT_MAX_BROADCAST_ROWS, guarded_broadcast)
 
         self.spark = spark
         self.cfg = cfg
@@ -141,8 +153,13 @@ class ContinuousCrawl:
         # shuffled static parquet scan inside a streaming plan hits the
         # ColumnarBatchRow→UnsafeRow ClassCastException (no AQE
         # columnar fix-up in streaming) — same constraint as
-        # run_rate_limited_fetch
-        self.corpus = F.broadcast(corpus_df)
+        # run_rate_limited_fetch. Size-guarded: raises past
+        # max_broadcast_rows instead of silently shipping a huge
+        # corpus to every task (guarded_broadcast).
+        self.corpus = guarded_broadcast(
+            corpus_df,
+            DEFAULT_MAX_BROADCAST_ROWS if max_broadcast_rows is None
+            else max_broadcast_rows)
         seeds = seeds_df.select(
             self._host(F.col("url")).alias("host"), "url",
             fnv64a_udf(F.col("url")).alias("seq"))

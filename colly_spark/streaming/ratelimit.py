@@ -206,9 +206,42 @@ def run_rate_limited_drain(spark, pending_df, cfg: CrawlConfig,
     return drain.emitted()
 
 
+DEFAULT_MAX_BROADCAST_ROWS = 5_000_000
+
+
+def guarded_broadcast(df, max_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+                      what: str = "corpus"):
+    """Broadcast-hint ``df``, refusing above ``max_rows`` rows.
+
+    Stream-static joins in streaming plans MUST broadcast (or
+    row-materialize) the static side — a shuffled static parquet scan
+    throws ClassCastException ColumnarBatchRow→UnsafeRow (no AQE
+    columnar fix-up in streaming).  That makes the static side an
+    executor-memory-resident table by construction, so its size is a
+    hard engine constraint of the continuous path, not a tunable:
+    raising here is the honest alternative to silently shipping a huge
+    table to every task.  Corpora past the cap belong on the batch
+    drain (plans/crawler.py) — Bloom/cuckoo seen segments + a
+    pre-partitioned (non-broadcast) corpus join — which is the only
+    10^10-frontier path.  The one count() this costs is a metadata
+    scan on a static source."""
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"refusing to broadcast {what} with {n} rows "
+            f"(> max_broadcast_rows={max_rows}): the stream-static side "
+            "must fit in executor memory. Use the batch drain "
+            "(plans/crawler.py) at this scale, or raise "
+            "max_broadcast_rows explicitly.")
+    return F.broadcast(df)
+
+
 def run_rate_limited_fetch(spark, pending_df, corpus_df, cfg: CrawlConfig,
                            checkpoint_dir: str | None = None,
-                           timeout_s: float = 600.0):
+                           timeout_s: float = 600.0,
+                           max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS):
     """Politeness + fetch as ONE continuous query — no driver loop:
     the stateful limiter admits per-host quota slices per micro-batch,
     and each slice flows straight into a stream-static join against
@@ -228,18 +261,17 @@ def run_rate_limited_fetch(spark, pending_df, corpus_df, cfg: CrawlConfig,
     parquet scan emits columnar batches straight into the row-based
     shuffle serializer (ClassCastException ColumnarBatchRow →
     UnsafeRow; streaming plans skip AQE's columnar transition fix-up).
-    For a corpus too big to broadcast, materialize it to rows first
-    (cache()/localCheckpoint()) exactly like the batch drain's
-    pre-partitioned cached corpus.  Admission stays O(quota)/host/batch
-    so no batch can exceed the politeness budget regardless of backlog
-    size.
+    The broadcast is therefore size-guarded (``max_broadcast_rows``,
+    see ``guarded_broadcast``): past the cap this raises instead of
+    silently shipping the table to every task — a corpus that big
+    belongs on the batch drain's pre-partitioned (non-broadcast)
+    corpus join.  Admission stays O(quota)/host/batch so no batch can
+    exceed the politeness budget regardless of backlog size.
     """
-    from pyspark.sql import functions as F
-
+    corpus_bc = guarded_broadcast(corpus_df, max_broadcast_rows)
     drain = RateLimitedDrain(
         spark, pending_df, cfg, checkpoint_dir,
-        transform=lambda admitted: admitted.join(
-            F.broadcast(corpus_df), "url", "left"))
+        transform=lambda admitted: admitted.join(corpus_bc, "url", "left"))
     drain.start()
     emitted = drain.wait_drained(timeout_s=timeout_s)
     if emitted < drain.total:

@@ -111,3 +111,22 @@ def test_feedback_quota_bound(spark):
     assert all(n <= q for n in by_window.values()), by_window
     # deferral actually happened: more than one window was needed
     assert len(by_window) >= 2
+
+
+def test_continuous_crawl_corpus_guard(spark, tmp_path):
+    """ContinuousCrawl refuses a corpus past max_broadcast_rows at
+    construction — before any streaming query starts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from colly_spark.config import CrawlConfig
+    from colly_spark.streaming.feedback import ContinuousCrawl
+
+    corpus = spark.range(50).select(
+        F.concat(F.lit("http://h.test/"), F.col("id")).alias("url"),
+        F.lit(200).alias("status"),
+        F.array().cast("array<string>").alias("links"))
+    seeds = corpus.select("url").limit(1)
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        ContinuousCrawl(spark, seeds, corpus, CrawlConfig(),
+                        workdir=str(tmp_path), max_broadcast_rows=10)

@@ -113,3 +113,17 @@ def test_rate_limited_fetch_joins_corpus(spark):
     assert got["http://a.test/3"] == (201, 2)   # quota 2: rank 4 → window 2
     assert got["http://b.test/11"] == (404, 3)  # quota 5: rank 12 → window 3
     assert got["http://ab.test/x"] == (301, 1)
+
+
+def test_guarded_broadcast_refuses_huge_static_side(spark):
+    """The stream-static side must fit in executor memory; past the
+    cap the guard raises instead of silently broadcasting (the batch
+    drain is the big-corpus path)."""
+    import pytest
+
+    from colly_spark.streaming.ratelimit import guarded_broadcast
+
+    df = spark.range(10).withColumnRenamed("id", "url")
+    assert guarded_broadcast(df, max_rows=10) is not None
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        guarded_broadcast(df, max_rows=9)
