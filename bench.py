@@ -217,7 +217,21 @@ def main():
     if drain:
         out["drain"] = drain
         out["frontier_urls_per_sec"] = drain["urls_per_sec"]
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # parse-clean artifact: the full JSON goes to its own file (the
+    # stdout line can be tail-truncated by capture buffers — r3's
+    # recorded artifact showed exactly that), stdout stays the
+    # driver-facing single line
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"))
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line, flush=True)
     spark.stop()
 
 

@@ -72,39 +72,58 @@ def doc_features(docs, label_col: str, buckets: int = DEFAULT_BUCKETS,
 
 
 def train_classifier(feats, n_iter: int = DEFAULT_ITERS,
-                     lr: float = DEFAULT_LR):
+                     lr: float = DEFAULT_LR, exact: bool = True):
     """Full-batch GD on logistic loss over ``doc_features`` output.
-    Returns the weight DataFrame (bkt, w) — DECIMAL, bit-stable."""
+    Returns the weight DataFrame (bkt, w).
+
+    ``exact=True`` (the oracle-harness default) carries every sum as
+    round-12 DECIMAL — order-independent, bit-equal to the DuckDB
+    recurrence, and the documented price of a hard oracle.
+    ``exact=False`` is the production mode: native doubles end to end
+    (no per-term round, no DECIMAL) — the same plan shape (broadcast-w
+    join + two groupBys per round) minus the DECIMAL tax; results
+    differ from the oracle only in float-sum ordering noise.
+    tests/test_classifier.py pins that the planted-corpus accuracy
+    holds on both modes; scripts/exact_vs_float_bench.py records the
+    A/B timing in BENCH.md."""
     from pyspark.sql import functions as F
 
     n = feats.select("id").distinct().count()  # the one scalar action
     feats = feats.localCheckpoint()
+
+    if exact:
+        msum = lambda: F.sum(  # noqa: E731
+            F.round(F.col("x") * F.col("w").cast("double"), 12)
+            .cast(_DEC))
+        w0 = F.lit(0).cast(_DEC)
+    else:
+        msum = lambda: F.sum(F.col("x") * F.col("w"))  # noqa: E731
+        w0 = F.lit(0.0)
     w = (feats.select("bkt").distinct()
-         .select("bkt", F.lit(0).cast(_DEC).alias("w"))
+         .select("bkt", w0.alias("w"))
          .localCheckpoint())
     for _ in range(n_iter):
         margin = (feats.join(F.broadcast(w), "bkt")
                   .groupBy("id", "y")
-                  .agg(F.sum(F.round(F.col("x")
-                                     * F.col("w").cast("double"), 12)
-                             .cast(_DEC)).alias("m")))
+                  .agg(msum().alias("m")))
+        sigma = (F.lit(1.0)
+                 / (F.lit(1.0) + F.exp(-F.col("m").cast("double"))))
         resid = margin.select(
             "id",
-            F.round(F.col("y")
-                    - F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-F.col("m").cast("double"))),
-                    12).alias("r"))
+            (F.round(F.col("y") - sigma, 12) if exact
+             else (F.col("y") - sigma)).alias("r"))
+        gterm = (F.round(F.col("x") * F.col("r"), 12).cast(_DEC)
+                 if exact else F.col("x") * F.col("r"))
         grad = (feats.join(resid, "id")
                 .groupBy("bkt")
-                .agg(F.sum(F.round(F.col("x") * F.col("r"), 12)
-                           .cast(_DEC)).alias("g")))
+                .agg(F.sum(gterm).alias("g")))
+        step = (F.col("w").cast("double")
+                + F.lit(lr / n)
+                * F.coalesce(F.col("g").cast("double"), F.lit(0.0)))
         w = (w.join(grad, "bkt", "left")
              .select("bkt",
-                     F.round(F.col("w").cast("double")
-                             + F.lit(lr / n)
-                             * F.coalesce(F.col("g").cast("double"),
-                                          F.lit(0.0)), 12)
-                     .cast(_DEC).alias("w"))
+                     (F.round(step, 12).cast(_DEC) if exact
+                      else step).alias("w"))
              .localCheckpoint())
     return w
 
@@ -129,13 +148,15 @@ def score_documents(feats, w):
 def quality_classifier(docs, label_col: str, n_iter: int = DEFAULT_ITERS,
                        lr: float = DEFAULT_LR,
                        buckets: int = DEFAULT_BUCKETS,
-                       id_col: str = "doc_id", text_col: str = "text"):
+                       id_col: str = "doc_id", text_col: str = "text",
+                       exact: bool = True):
     """End-to-end: featurize, train on the full corpus, score every
-    document. Returns (id_col, label, score, predicted)."""
+    document. Returns (id_col, label, score, predicted).
+    ``exact=False`` = train_classifier's float production mode."""
     from pyspark.sql import functions as F
 
     feats = doc_features(docs, label_col, buckets, id_col, text_col)
-    w = train_classifier(feats, n_iter, lr)
+    w = train_classifier(feats, n_iter, lr, exact=exact)
     return (score_documents(feats, w)
             .select(F.col("id").alias(id_col), "label", "score",
                     "predicted"))
@@ -177,7 +198,8 @@ def image_features(stats_df, label_col: str = "y",
 def image_quality_classifier(stats_df, label_col: str = "y",
                              n_iter: int = DEFAULT_ITERS,
                              lr: float = DEFAULT_LR,
-                             id_col: str = "image_id"):
+                             id_col: str = "image_id",
+                             exact: bool = True):
     """The image twin of quality_classifier (the learned half of a
     LAION-style admission gate; the reference treats image bytes as
     opaque — response.go:189-194 — so this is pipeline surface, not
@@ -187,7 +209,7 @@ def image_quality_classifier(stats_df, label_col: str = "y",
     from pyspark.sql import functions as F
 
     feats = image_features(stats_df, label_col, id_col)
-    w = train_classifier(feats, n_iter, lr)
+    w = train_classifier(feats, n_iter, lr, exact=exact)
     return (score_documents(feats, w)
             .select(F.col("id").alias(id_col), "label", "score",
                     "predicted"))

@@ -85,11 +85,13 @@ def _bucketed(gram_df, buckets: int):
 
 
 def log_ratio_table(bucketed, target_col: str, buckets: int,
-                    alpha: float = DEFAULT_ALPHA):
-    """bucket → round(ln(p̂_b/q̂_b), 9) as DECIMAL. q̂ is fit on ALL
-    rows, p̂ on rows where ``target_col`` holds; buckets never seen in
-    the raw corpus can never be probed (every scored gram was counted
-    in q), so the inner scoring join is total."""
+                    alpha: float = DEFAULT_ALPHA, exact: bool = True):
+    """bucket → ln(p̂_b/q̂_b): round-9 DECIMAL under ``exact=True``
+    (oracle harness), native DOUBLE under ``exact=False`` (production
+    — same ≤``buckets``-row broadcast, no DECIMAL tax). q̂ is fit on
+    ALL rows, p̂ on rows where ``target_col`` holds; buckets never
+    seen in the raw corpus can never be probed (every scored gram was
+    counted in q), so the inner scoring join is total."""
     from pyspark.sql import functions as F
 
     c_q = bucketed.groupBy("bkt").agg(F.count("*").alias("c_q"))
@@ -101,11 +103,13 @@ def log_ratio_table(bucketed, target_col: str, buckets: int,
     a, b = F.lit(float(alpha)), F.lit(float(buckets))
     p = (F.coalesce(F.col("c_p"), F.lit(0)) + a) / (F.col("np") + a * b)
     q = (F.col("c_q") + a) / (F.col("nq") + a * b)
+    lr = (F.round(F.log(p / q), 9).cast(_DEC) if exact
+          else F.log(p / q))
     return (c_q.join(c_p, "bkt", "left").crossJoin(F.broadcast(tot))
-            .select("bkt", F.round(F.log(p / q), 9).cast(_DEC).alias("lr")))
+            .select("bkt", lr.alias("lr")))
 
 
-def gumbel_key_col(id_col, seed: int):
+def gumbel_key_col(id_col, seed: int, exact: bool = True):
     """Deterministic standard-Gumbel noise g = -ln(-ln(u)) with
     u = (FNV-64a(id‖':gumbel:'‖seed) mod 2^20 + 0.5) / 2^20 — content-
     stable, engine-reproducible, never 0 or 1. Rounded to 9 dp and
@@ -119,19 +123,25 @@ def gumbel_key_col(id_col, seed: int):
                             F.lit(f":gumbel:{seed}"))),
         F.lit(GUMBEL_MOD))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(GUMBEL_MOD))
-    return F.round(-F.log(-F.log(u)), 9).cast(_DEC)
+    g = -F.log(-F.log(u))
+    return F.round(g, 9).cast(_DEC) if exact else g
 
 
 def dsir_select(docs, target_col: str, k: int = 100,
                 buckets: int = DEFAULT_BUCKETS, alpha: float = DEFAULT_ALPHA,
                 seed: int = 17, id_col: str = "doc_id",
-                text_col: str = "text"):
+                text_col: str = "text", exact: bool = True):
     """Select ``k`` documents from ``docs`` by DSIR importance
     resampling toward the slice where boolean column ``target_col``
     holds. Returns (id_col, n_grams, logw, gumbel_key, rank) for the
     selected documents, rank 1 = highest perturbed weight; ties broken
     by ascending id. ``logw``/``gumbel_key`` are the exact DECIMAL
-    totals cast to DOUBLE for the result schema."""
+    totals cast to DOUBLE for the result schema (``exact=True``, the
+    oracle harness) or native doubles throughout (``exact=False``,
+    production — identical plan, no DECIMAL tax; the selected set can
+    differ from the oracle only where float-ordering noise crosses a
+    rank boundary). scripts/exact_vs_float_bench.py records the A/B
+    timing."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -143,14 +153,14 @@ def dsir_select(docs, target_col: str, k: int = 100,
     g = _bucketed(
         gram_stream(docs, id_col, text_col, extra_cols=(target_col,)),
         buckets).localCheckpoint()
-    lr = log_ratio_table(g, target_col, buckets, alpha)
+    lr = log_ratio_table(g, target_col, buckets, alpha, exact=exact)
     w = (g.join(F.broadcast(lr), "bkt")
          .groupBy("id")
          .agg(F.count("*").alias("n_grams"),
               F.sum("lr").alias("logw_dec")))
     keyed = w.select(
         "id", "n_grams", "logw_dec",
-        gumbel_key_col(F.col("id"), seed).alias("g_dec"),
+        gumbel_key_col(F.col("id"), seed, exact=exact).alias("g_dec"),
     ).withColumn("key_dec", F.col("logw_dec") + F.col("g_dec"))
     # TakeOrderedAndProject does the distributed top-k; the rank window
     # then runs over only the k surviving rows.

@@ -36,10 +36,19 @@ _DEC = "decimal(28,14)"
 
 def pagerank(edges, n_iter: int = DEFAULT_ITERS,
              damping: float = DEFAULT_DAMPING,
-             src_col: str = "src", dst_col: str = "dst"):
+             src_col: str = "src", dst_col: str = "dst",
+             exact: bool = True):
     """PageRank over an edge DataFrame. Nodes = distinct src ∪ dst;
     dangling nodes (no out-edges) spread their mass uniformly.
-    Returns (node, pr) with pr = the DECIMAL rank cast to DOUBLE."""
+    Returns (node, pr) as DOUBLE.
+
+    ``exact=True`` (oracle-harness default) rounds each per-round
+    quantity to 12 dp and sums as DECIMAL — order-independent and
+    bit-equal to the unrolled DuckDB recurrence. ``exact=False`` is
+    the production mode: native double sums, same plan shape (one
+    edge join + one groupBy per round), no DECIMAL tax; ranks differ
+    from the oracle only by float-sum-ordering noise.
+    scripts/exact_vs_float_bench.py records the A/B timing."""
     from pyspark.sql import functions as F
 
     e = edges.select(F.col(src_col).alias("src"),
@@ -50,38 +59,38 @@ def pagerank(edges, n_iter: int = DEFAULT_ITERS,
     n = nodes.count()  # the one scalar action
     d = float(damping)
 
+    # exact mode: F.round (HALF_UP) matches DuckDB's half-away-from-
+    # zero on positives; Python round() would not
+    r12 = ((lambda c: F.round(c, 12).cast(_DEC)) if exact
+           else (lambda c: c))
+    zero = F.lit(0).cast(_DEC) if exact else F.lit(0.0)
+
     outdeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
     # odeg rides the rank vector so each round is one join with the
     # edge list, not two
     p = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
          .select("node", F.coalesce("odeg", F.lit(0)).alias("odeg"),
-                 # F.round (HALF_UP) matches DuckDB's half-away-from-
-                 # zero on positives; Python round() would not
-                 F.round(F.lit(1.0 / n), 12).cast(_DEC).alias("p"))
+                 r12(F.lit(1.0 / n)).alias("p"))
          .localCheckpoint())
 
     for _ in range(n_iter):
         contrib = (e.join(p, e["src"] == p["node"])
                    .filter(F.col("odeg") > 0)
                    .select("dst",
-                           F.round(F.col("p").cast("double")
-                                   / F.col("odeg"), 12)
-                           .cast(_DEC).alias("c")))
+                           r12(F.col("p").cast("double")
+                               / F.col("odeg")).alias("c")))
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         dang = (p.filter(F.col("odeg") == 0)
-                .agg(F.coalesce(F.sum("p"), F.lit(0).cast(_DEC))
-                     .alias("dm")))
+                .agg(F.coalesce(F.sum("p"), zero).alias("dm")))
         p = (p.join(insum, p["node"] == insum["dst"], "left")
              .crossJoin(F.broadcast(dang))
              .select(
                  "node", "odeg",
-                 F.round(
-                     F.lit((1.0 - d) / n)
+                 r12(F.lit((1.0 - d) / n)
                      + F.lit(d)
                      * (F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                        + F.round(F.col("dm").cast("double") / F.lit(n),
-                                  12)),
-                     12).cast(_DEC).alias("p"))
+                        + r12(F.col("dm").cast("double") / F.lit(n))
+                        .cast("double"))).alias("p"))
              .localCheckpoint())
     return p.select("node", F.col("p").cast("double").alias("pr"))
 

@@ -200,3 +200,18 @@ def test_noise_scene_default_unchanged(spark):
     assert np.array_equal(synth_pixels(7, 42, 16, "mixed"), want)
     assert not np.array_equal(synth_pixels(8, 42, 16, "mixed"),
                               synth_pixels(8, 42, 16, "noise"))
+
+
+def test_float_mode_same_predictions(spark):
+    """exact=False (native doubles, production) learns the same
+    separable corpus to the same predictions — only the bit-level
+    DECIMAL discipline differs."""
+    res = quality_classifier(_df(spark, SEP), "is_t",
+                             n_iter=10, lr=200.0, exact=False).collect()
+    assert all(r.predicted == r.label for r in res)
+    # and agrees with exact mode to float noise
+    ex = {r.doc_id: r.score for r in
+          quality_classifier(_df(spark, SEP), "is_t",
+                             n_iter=10, lr=200.0).collect()}
+    for r in res:
+        assert abs(r.score - ex[r.doc_id]) < 1e-6

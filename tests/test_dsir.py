@@ -115,3 +115,16 @@ def test_planted_register_enrichment(spark):
     assert len(res) == 100
     enrich = sum(r.doc_id % 2 == 0 for r in res) / len(res)
     assert enrich >= 0.9
+
+
+def test_float_mode_same_selection(spark):
+    """exact=False (native doubles) selects the same documents in the
+    same rank order on the planted fixture — the DECIMAL discipline
+    buys oracle bit-equality, not different answers."""
+    a = [(r.doc_id, r.rank) for r in
+         dsir_select(_mk(spark), "is_t", k=6, buckets=B, alpha=ALPHA,
+                     seed=SEED).orderBy("rank").collect()]
+    b = [(r.doc_id, r.rank) for r in
+         dsir_select(_mk(spark), "is_t", k=6, buckets=B, alpha=ALPHA,
+                     seed=SEED, exact=False).orderBy("rank").collect()]
+    assert a == b

@@ -79,3 +79,20 @@ def test_three_node_kat(spark):
 def test_deterministic(spark):
     edges = [(i, (i * 3 + 1) % 13) for i in range(13)]
     assert _run(spark, edges) == _run(spark, edges)
+
+
+def test_float_mode_close_to_exact(spark):
+    """exact=False (native doubles) lands within float-ordering noise
+    of the DECIMAL path and preserves the rank ordering on the KAT
+    graph."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+    ex = {r.node: r.pr for r in pagerank(df, n_iter=8).collect()}
+    fl = {r.node: r.pr for r in
+          pagerank(df, n_iter=8, exact=False).collect()}
+    assert set(ex) == set(fl)
+    for n in ex:
+        assert abs(ex[n] - fl[n]) < 1e-9
+    assert (sorted(ex, key=ex.get) == sorted(fl, key=fl.get))
