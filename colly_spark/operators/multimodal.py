@@ -354,6 +354,26 @@ def image_corpus_filter(df, min_side: int = 64, max_aspect: float = 3.0,
                             "n_caption_tokens", "megapixels"))
 
 
+def undecodable_fmt_report(df, fmts: tuple = None, fmt_col: str = "fmt"):
+    """(fmt, n_rows) for rows ``image_corpus_filter`` rejects on
+    format grounds — callers log this so format-based truncation is
+    never silent (the image twin of text_dedup.oversized_buckets and
+    similarity.semdedup_oversized_cells). The canonical avif case:
+    when the container's libavif is absent, ``decodable_web_fmts()``
+    excludes ``avif``, the filter drops those rows map-side, and this
+    report says how many — instead of a decode stage raising
+    mid-job on bytes no decoder can read. Pure metadata (scan columns
+    only, bytes pruned); one ~|fmts|-key groupBy."""
+    from pyspark.sql import functions as F
+
+    if fmts is None:
+        from colly_spark.functions.images import decodable_web_fmts
+        fmts = decodable_web_fmts()
+    return (df.filter(~F.col(fmt_col).isin(*fmts))
+            .groupBy(F.col(fmt_col).alias("fmt"))
+            .agg(F.count("*").alias("n_rows")))
+
+
 # SDXL-style aspect-ratio bucket ladder scaled to a 256x256 area
 # budget, sides multiples of 64. A training loader packs batches
 # per-bucket so every sample in a batch shares the resize target.

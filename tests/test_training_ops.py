@@ -391,3 +391,42 @@ def test_cc_star_long_chain_logarithmic_rounds(spark):
     out = labels.collect()
     assert {r.cluster_id for r in out} == {0} and len(out) == n
     assert rounds <= 9, rounds
+
+
+def test_avif_poison_rows_counted_not_raised(spark):
+    """A mixed column containing avif rows must never fail a stage:
+    (a) with avif treated as undecodable (the no-libavif container),
+    image_corpus_filter drops the rows map-side and
+    undecodable_fmt_report counts them — truncation is never silent;
+    (b) malformed avif BYTES in a decode stage yield decode_ok=false
+    rows, not a mid-job raise."""
+    from colly_spark.functions.images import DECODABLE_WEB_FMTS
+    from colly_spark.operators.multimodal import (image_corpus_filter,
+                                                  image_stats,
+                                                  undecodable_fmt_report)
+
+    rows = [
+        ("img0", 256, 256, "png", "three token caption", 1),
+        ("img1", 256, 256, "avif", "three token caption", 2),
+        ("img2", 256, 256, "avif", "three token caption", 3),
+        ("img3", 256, 256, "tiff", "three token caption", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string,"
+              " phash long")
+    # (a) admission excludes + report counts (fmts pinned to the
+    # from-scratch set = the libavif-absent container's default)
+    kept = {r.image_id for r in
+            image_corpus_filter(df, fmts=DECODABLE_WEB_FMTS).collect()}
+    assert kept == {"img0"}
+    rep = {r.fmt: r.n_rows for r in
+           undecodable_fmt_report(df, fmts=DECODABLE_WEB_FMTS).collect()}
+    assert rep == {"avif": 2, "tiff": 1}
+    # (b) poison BYTES (truncated avif container) survive the decode
+    # stage as decode_ok=false rows regardless of libavif presence
+    bad = spark.createDataFrame(
+        [("p0", bytearray(b"\x00\x00\x00 ftypavif"), "avif"),
+         ("p1", bytearray(b"not an image at all"), "png")],
+        "image_id string, bytes binary, fmt string")
+    out = {r.image_id: r.decode_ok for r in image_stats(bad).collect()}
+    assert out == {"p0": False, "p1": False}
