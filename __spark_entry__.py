@@ -3547,6 +3547,78 @@ FROM m ANTI JOIN dropped USING (id) ORDER BY vec_id
 """
 
 
+def q_semdedup_oversized(spark, sf_dir):
+    """The fat-cell report paired with `semdedup` (round-4 guard):
+    (cell, n_members) for k-means cells larger than max_cell_size —
+    the rows semdedup excludes from pair generation so a degenerate
+    duplicate-heavy cell can never go quadratic SILENTLY (the
+    oversized_buckets discipline). Cap 30 sits just under the mean
+    occupancy (500 vecs / 16 cells) so the natural distribution
+    yields a non-trivial report at both SFs. Pure metadata: one
+    map-side assignment + one ≤nlist-key groupBy."""
+    from colly_spark.operators.similarity import semdedup_oversized_cells
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return (semdedup_oversized_cells(emb, nlist=16, max_cell_size=30)
+            .orderBy("cell"))
+
+
+def _semdedup_oversized_sql(max_cell_size: int = 30, nlist: int = 16,
+                            dim: int = 64, seed: int = 7) -> str:
+    from colly_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, nlist, seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in cents[j]))
+        for j in range(nlist))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH cents(j, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.j, {dot.format(a='v', b='pv')} AS d
+      FROM e CROSS JOIN cents c),
+ranked AS (SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, j) AS rn
+           FROM d),
+m AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1)
+SELECT CAST(cell AS INT) AS cell, count(*)::BIGINT AS n_members
+FROM m GROUP BY cell HAVING count(*) > {max_cell_size}
+ORDER BY cell
+"""
+
+
+def q_undecodable_report(spark, sf_dir):
+    """The format-rejection report paired with `image_corpus_filter`
+    (round-4): (fmt, n_rows) of rows the admission filter drops on
+    format grounds — the canonical case being avif bytes in a
+    container without libavif. fmts is pinned to the from-scratch
+    codec set so the result is deterministic regardless of native-lib
+    presence; over the golden images_meta fixture the avif and bmp
+    classes are the planted rejects. Scan columns only (bytes pruned);
+    one ~|fmts|-key groupBy."""
+    from colly_spark.functions.images import DECODABLE_WEB_FMTS
+    from colly_spark.operators.multimodal import undecodable_fmt_report
+
+    meta = spark.read.parquet(
+        os.path.join(_REPO, "golden", "images_meta.parquet"))
+    return (undecodable_fmt_report(meta, fmts=DECODABLE_WEB_FMTS)
+            .orderBy("fmt"))
+
+
+def _undecodable_report_sql() -> str:
+    from colly_spark.functions.images import DECODABLE_WEB_FMTS
+
+    fmts = ", ".join(repr(f) for f in DECODABLE_WEB_FMTS)
+    return f"""
+SELECT fmt, count(*)::BIGINT AS n_rows
+FROM '{_REPO}/golden/images_meta.parquet'
+WHERE fmt NOT IN ({fmts})
+GROUP BY fmt ORDER BY fmt
+"""
+
+
 def q_warc_scan(spark, sf_dir):
     """Distributed WARC ingest (sources/warc.py): parse the golden
     .warc.gz / .warc fixture files (gzip member-per-record, the Common
@@ -3803,10 +3875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new/changed this round — must be inside the window:
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_prod": q_ann_ivf_prod,
-        # window filler (r3-green, cheapest foundational re-checks):
+        "semdedup_oversized": q_semdedup_oversized,
+        "undecodable_report": q_undecodable_report,
+        # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
         "admission_filter": q_admission_filter,
         "url_canonicalize": q_url_canonicalize,
-        # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
         "fnv64_hash": q_fnv64_hash,
         "politeness_quota": q_politeness_quota,
         "quota_multi_rule": q_quota_multi_rule,
@@ -3934,6 +4007,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_scan": _Q_WARC_SCAN_SQL,
         "webdataset_scan": _Q_WEBDATASET_SCAN_SQL,
         "semdedup": _semdedup_sql(),
+        "semdedup_oversized": _semdedup_oversized_sql(),
+        "undecodable_report": _undecodable_report_sql(),
         "dsir_select": _dsir_sql(),
         "bpe_train": _Q_BPE_TRAIN_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
