@@ -3589,6 +3589,72 @@ ORDER BY cell
 """
 
 
+def q_semdedup_two_level(spark, sf_dir):
+    """SemDeDup with the PRODUCTION fat-cell remedy (round 4): cells
+    past max_cell_size=30 (9 of 16 cells at sf0.01 — the level-2 path
+    genuinely exercises) are re-clustered by an independent
+    sub-quantizer and deduped within (cell, sub_cell); normal cells
+    keep exact level-1 semantics. Oracled bit-exact: both centroid
+    sets inlined, composite-key pair join replayed with null-safe
+    sub-cell equality."""
+    from colly_spark.operators.similarity import semdedup_two_level
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup_two_level(emb, threshold=0.25, nlist=16, sub_nlist=4,
+                              max_cell_size=30).orderBy("vec_id")
+
+
+def _semdedup_two_level_sql(threshold: float = 0.25, nlist: int = 16,
+                            sub_nlist: int = 4, max_cell_size: int = 30,
+                            dim: int = 64, seed: int = 7,
+                            sub_seed: int = 101) -> str:
+    from colly_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, nlist, seed)
+    subc = ivf_centroids(dim, sub_nlist, sub_seed)
+    rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in cents[j]))
+        for j in range(nlist))
+    srows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in subc[j]))
+        for j in range(sub_nlist))
+    dot = ("list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+           " (x, y) -> x + y)")
+    return f"""
+WITH cents(j, pv) AS (VALUES {rows}),
+subcents(j, pv) AS (VALUES {srows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.j, {dot.format(a='v', b='pv')} AS d
+      FROM e CROSS JOIN cents c),
+ranked AS (SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, j) AS rn
+           FROM d),
+m AS (SELECT e.vec_id AS id, v, j AS cell
+      FROM e JOIN ranked ON ranked.vec_id = e.vec_id AND rn = 1),
+fat AS (SELECT cell FROM m GROUP BY cell
+        HAVING count(*) > {max_cell_size}),
+sd AS (SELECT m.id, s.j, {dot.format(a='m.v', b='s.pv')} AS d
+       FROM m SEMI JOIN fat USING (cell) CROSS JOIN subcents s),
+sranked AS (SELECT id, j,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY d DESC, j) AS rn
+            FROM sd),
+t AS (SELECT m.id, m.v, m.cell, sranked.j AS sub
+      FROM m LEFT JOIN sranked ON sranked.id = m.id AND rn = 1),
+dropped AS (SELECT DISTINCT a.id
+            FROM t a JOIN t b ON a.cell = b.cell
+                 AND a.sub IS NOT DISTINCT FROM b.sub
+                 AND b.id < a.id
+            WHERE round({dot.format(a='a.v', b='b.v')}
+                    / (sqrt({dot.format(a='a.v', b='a.v')})
+                       * sqrt({dot.format(a='b.v', b='b.v')})), 6)
+                  >= {threshold})
+SELECT id AS vec_id, CAST(cell AS INT) AS cell, CAST(sub AS INT) AS sub_cell
+FROM t ANTI JOIN dropped USING (id) ORDER BY vec_id
+"""
+
+
 def q_undecodable_report(spark, sf_dir):
     """The format-rejection report paired with `image_corpus_filter`
     (round-4): (fmt, n_rows) of rows the admission filter drops on
@@ -3876,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_prod": q_ann_ivf_prod,
         "semdedup_oversized": q_semdedup_oversized,
+        "semdedup_two_level": q_semdedup_two_level,
         "undecodable_report": q_undecodable_report,
         # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
         "admission_filter": q_admission_filter,
@@ -4008,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_scan": _Q_WEBDATASET_SCAN_SQL,
         "semdedup": _semdedup_sql(),
         "semdedup_oversized": _semdedup_oversized_sql(),
+        "semdedup_two_level": _semdedup_two_level_sql(),
         "undecodable_report": _undecodable_report_sql(),
         "dsir_select": _dsir_sql(),
         "bpe_train": _Q_BPE_TRAIN_SQL,

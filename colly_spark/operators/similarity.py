@@ -571,6 +571,71 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
                     F.col("cell").cast("int").alias("cell")))
 
 
+def semdedup_two_level(emb_df, threshold: float, nlist: int = 16,
+                       sub_nlist: int = 4, max_cell_size: int = 100_000,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int = 64, seed: int = 7, sub_seed: int = 101,
+                       assign: str = "catalyst",
+                       centroids: np.ndarray = None,
+                       sub_centroids: np.ndarray = None):
+    """SemDeDup with the PRODUCTION fat-cell remedy: instead of
+    skipping cells past ``max_cell_size`` (plain ``semdedup``'s
+    cap-and-report), their members are re-clustered by an INDEPENDENT
+    sub-quantizer (seeded ``sub_seed``; trained sub-centroids in
+    production) and deduped within (cell, sub_cell) — each fat cell's
+    all-pairs cost drops by ~sub_nlist× while normal cells keep the
+    exact level-1 semantics. Returns (id_col, cell, sub_cell);
+    sub_cell is NULL for members of normal cells.
+
+    Recall note (the paper's own cluster-restriction trade, one level
+    deeper): near-dups straddling a sub-cell boundary inside a fat
+    cell are not compared — the same accepted miss class as level-1
+    cluster boundaries. A sub-cell that is STILL fat (thousands of
+    bit-identical vectors) is exact-dedup's job upstream
+    (text_dedup.exact_dedup / caption_dedup); probe with
+    ``semdedup_oversized_cells`` if in doubt.
+
+    Scale shape: adds exactly one map-side sub-assignment pass over
+    the fat members and widens the pair-join key to (cell, sub_cell)
+    for them — no new shuffle shapes; the fat-cell list is a ≤nlist-row
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, nlist, seed)
+    sub_cents = sub_centroids if sub_centroids is not None \
+        else ivf_centroids(dim, sub_nlist, sub_seed)
+    cell_of = ivf_cell_vec if assign == "vectorized" else ivf_cell_expr
+    base = (emb_df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+            .withColumn("cell", cell_of(cents, F.col("v"))))
+    fat = (base.groupBy("cell").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_cell_size).select("cell"))
+    # sub-assign ONLY fat-cell members; NULL sub for normal cells
+    tagged = (base.join(F.broadcast(fat.withColumn("_fat", F.lit(True))),
+                        "cell", "left")
+              .withColumn("sub",
+                          F.when(F.col("_fat"),
+                                 cell_of(sub_cents, F.col("v")))
+                          .otherwise(F.lit(None).cast("int"))))
+    # one pair join on the composite key: normal cells compare on
+    # (cell, NULL≡NULL) via null-safe equality, fat cells on (cell, sub)
+    a = tagged.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                      "cell", F.col("sub").alias("sa"))
+    b = tagged.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                      "cell", F.col("sub").alias("sb"))
+    dropped = (a.join(b, [a["cell"] == b["cell"],
+                          a["sa"].eqNullSafe(b["sb"])])
+               .where(F.col("b") < F.col("a"))
+               .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                      >= F.lit(threshold))
+               .select(F.col("a").alias("id")).distinct())
+    return (tagged.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col),
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("sub").cast("int").alias("sub_cell")))
+
+
 def semdedup_oversized_cells(emb_df, nlist: int = 16,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -117,3 +117,47 @@ def test_vectorized_assignment_equals_catalyst(spark):
                    assign="vectorized")
     assert ({tuple(r) for r in lit.collect()}
             == {tuple(r) for r in vec.collect()})
+
+
+def test_two_level_dedups_fat_cell(spark):
+    """The production remedy: a planted fat cell is re-clustered by
+    the sub-quantizer and DEDUPED (unlike the cap guard, which skips
+    it); normal cells keep exact level-1 semantics (same survivors as
+    plain semdedup); sub_cell is NULL exactly for normal-cell rows."""
+    from colly_spark.operators.similarity import semdedup_two_level
+
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    rng = np.random.default_rng(5)
+    lead = rng.standard_normal(DIM)
+    fat = [lead + 0.001 * rng.standard_normal(DIM) for _ in range(40)]
+    fat_cell = int(np.argmax(np.asarray(fat) @ cents.T, axis=1)[0])
+    other = None
+    for _ in range(200):
+        c = rng.standard_normal(DIM)
+        if int(np.argmax(c @ cents.T)) != fat_cell:
+            other = c
+            break
+    vecs = fat + [other, other + 0.001 * rng.standard_normal(DIM)]
+    df = _mk(spark, vecs)
+
+    out = semdedup_two_level(df, threshold=0.95, nlist=NLIST, dim=DIM,
+                             seed=SEED, max_cell_size=10,
+                             sub_nlist=4).collect()
+    by_id = {r.vec_id: r for r in out}
+    # normal cell: the small pair still collapses to its leader
+    assert 40 in by_id and 41 not in by_id
+    assert by_id[40].sub_cell is None
+    # fat cell: near-identical members land in ONE sub-cell each and
+    # collapse there — far fewer than the 40 the cap guard would keep,
+    # at least 1 survivor (the lowest id in each occupied sub-cell)
+    fat_survivors = [r for r in out if r.cell == fat_cell]
+    assert 1 <= len(fat_survivors) <= 4  # ≤ sub_nlist occupied sub-cells
+    assert all(r.sub_cell is not None for r in fat_survivors)
+    assert min(r.vec_id for r in fat_survivors) == 0
+    # survivors of normal cells equal plain semdedup's on those cells
+    plain = {(r.vec_id, r.cell)
+             for r in semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM,
+                               seed=SEED, max_cell_size=0).collect()
+             if r.cell != fat_cell}
+    two = {(r.vec_id, r.cell) for r in out if r.cell != fat_cell}
+    assert two == plain
