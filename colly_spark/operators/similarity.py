@@ -598,7 +598,12 @@ def semdedup_two_level(emb_df, threshold: float, nlist: int = 16,
     Scale shape: adds exactly one map-side sub-assignment pass over
     the fat members and widens the pair-join key to (cell, sub_cell)
     for them — no new shuffle shapes; the fat-cell list is a ≤nlist-row
-    broadcast."""
+    broadcast. Lineage note: the assigned base feeds several consumers
+    (fat agg, both pair sides, the survivor join), so Catalyst
+    re-derives the pruned 2-column scan + matmul assignment per
+    consumer — cheap relative to the pair join; at 100 TB persist the
+    upstream emb_df (the dsir.py localCheckpoint trade-off,
+    recompute-vs-footprint) if the scan itself dominates."""
     from pyspark.sql import functions as F
 
     cents = centroids if centroids is not None \
