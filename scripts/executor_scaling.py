@@ -57,6 +57,24 @@ def run_level(k: int) -> dict:
 
 
 def main():
+    order = sys.argv[5] if len(sys.argv) > 5 else "ab"
+    if order == "abba":
+        # drift-bracketed protocol: solo, 4N, solo — host-speed drift
+        # between arms (the round-4 confound: solo arms harvesting
+        # spare host cycles a minute before/after a depressed 4N
+        # window) is averaged out by bracketing the 4N arm with TWO
+        # solo measurements and using their mean as the baseline.
+        one_a = run_level(1)
+        four = run_level(4)
+        one_b = run_level(1)
+        base = (one_a["aggregate_urls_per_sec"]
+                + one_b["aggregate_urls_per_sec"]) / 2.0
+        eff = four["aggregate_urls_per_sec"] / (4 * base)
+        print(json.dumps(dict(n=one_a, n_after=one_b,
+                              n_bracket_mean=round(base, 1), four_n=four,
+                              cores_per_executor=CORES_PER_EXEC,
+                              executor_scaling_efficiency=round(eff, 3))))
+        return
     one = run_level(1)
     four = run_level(4)
     eff = four["aggregate_urls_per_sec"] / (4 * one["aggregate_urls_per_sec"])
