@@ -161,3 +161,23 @@ def test_two_level_dedups_fat_cell(spark):
              if r.cell != fat_cell}
     two = {(r.vec_id, r.cell) for r in out if r.cell != fat_cell}
     assert two == plain
+
+
+def test_two_level_vectorized_equals_catalyst(spark):
+    """The broadcast-matmul assignment path returns the identical
+    two-level survivor set as the literal-Catalyst path (both levels'
+    quantizers swap together)."""
+    from colly_spark.operators.similarity import semdedup_two_level
+
+    rng = np.random.default_rng(29)
+    lead = rng.standard_normal(DIM)
+    vecs = ([lead + 0.001 * rng.standard_normal(DIM) for _ in range(30)]
+            + list(rng.standard_normal((50, DIM))))
+    df = _mk(spark, vecs)
+    kw = dict(threshold=0.8, nlist=NLIST, dim=DIM, seed=SEED,
+              max_cell_size=10, sub_nlist=4)
+    lit = {tuple(r) for r in
+           semdedup_two_level(df, assign="catalyst", **kw).collect()}
+    vec = {tuple(r) for r in
+           semdedup_two_level(df, assign="vectorized", **kw).collect()}
+    assert lit == vec
