@@ -3678,10 +3678,10 @@ def _undecodable_report_sql() -> str:
 
     fmts = ", ".join(repr(f) for f in DECODABLE_WEB_FMTS)
     return f"""
-SELECT fmt, count(*)::BIGINT AS n_rows
+SELECT coalesce(fmt, '(null)') AS fmt, count(*)::BIGINT AS n_rows
 FROM '{_REPO}/golden/images_meta.parquet'
-WHERE fmt NOT IN ({fmts})
-GROUP BY fmt ORDER BY fmt
+WHERE fmt NOT IN ({fmts}) OR fmt IS NULL
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -3883,12 +3883,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first.  Round 3 checked positions 1-50 of the r3 ordering
     (admission_filter .. events_rollup, green in CORRECTNESS_r03.json);
     round 4 therefore front-loads the 46 entries that sat OUTSIDE that
-    window (sessionize .. callback_fires, 13 of them r2-green), plus
-    ann_ivf_trained (new golden oracle this round) and three cheap
-    foundational entries to fill the window.  Round 5: swap the halves
-    again — move the r3-green block (politeness_quota .. events_rollup,
-    currently positions 51+) back into the first 50.  See ROADMAP.md
-    "driver-window rotation".
+    window (sessionize .. callback_fires — 13 of them r2-green; all
+    but gif_frames, which ceded its slot and sits at position 51),
+    plus the FIVE queries new/changed this round (ann_ivf_trained,
+    ann_ivf_prod, semdedup_oversized, semdedup_two_level,
+    undecodable_report).  Round 5: gif_frames first, then swap the
+    halves — move the r3-green block (admission_filter ..
+    events_rollup, currently positions 52+) back into the first 50.
+    See ROADMAP.md "driver-window rotation".
     """
     return {k: _wrap(v) for k, v in {
         # ---- r4 driver window: outside the r3 window, check these now ----
@@ -3901,7 +3903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_events": q_crawl_events,
         "image_decode": q_image_decode,
         "gif_decode": q_gif_decode,
-        "gif_frames": q_gif_frames,
         "sitemap_discover": q_sitemap_discover,
         "image_stats": q_image_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
@@ -3944,7 +3945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_oversized": q_semdedup_oversized,
         "semdedup_two_level": q_semdedup_two_level,
         "undecodable_report": q_undecodable_report,
-        # ---- below the 50-entry window: r3-green, rotate back in round 5 ----
+        # ---- below the 50-entry window: rotate into round 5 first ----
+        # gif_frames (never driver-checked; its codec + frame-sample
+        # paths are in-window via gif_decode and video_frames) and the
+        # three r3-green foundational re-checks ceded their slots to
+        # the five queries new/changed this round
+        "gif_frames": q_gif_frames,
         "admission_filter": q_admission_filter,
         "url_canonicalize": q_url_canonicalize,
         "fnv64_hash": q_fnv64_hash,

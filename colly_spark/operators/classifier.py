@@ -128,15 +128,20 @@ def train_classifier(feats, n_iter: int = DEFAULT_ITERS,
     return w
 
 
-def score_documents(feats, w):
+def score_documents(feats, w, exact: bool = True):
     """(id, label, score, predicted): σ(margin) under trained weights,
-    rounded to 6 dp for engine-neutral hashing."""
+    rounded to 6 dp for engine-neutral hashing. ``exact=False`` sums
+    margins as native doubles (train_classifier's production mode —
+    without it the float mode would still pay one DECIMAL aggregation
+    pass here)."""
     from pyspark.sql import functions as F
 
+    msum = (F.sum(F.round(F.col("x") * F.col("w").cast("double"), 12)
+                  .cast(_DEC)) if exact
+            else F.sum(F.col("x") * F.col("w")))
     margin = (feats.join(F.broadcast(w), "bkt")
               .groupBy("id", "y")
-              .agg(F.sum(F.round(F.col("x") * F.col("w").cast("double"),
-                                 12).cast(_DEC)).alias("m")))
+              .agg(msum.alias("m")))
     score = F.round(F.lit(1.0) / (F.lit(1.0)
                                   + F.exp(-F.col("m").cast("double"))), 6)
     return margin.select("id",
@@ -157,7 +162,7 @@ def quality_classifier(docs, label_col: str, n_iter: int = DEFAULT_ITERS,
 
     feats = doc_features(docs, label_col, buckets, id_col, text_col)
     w = train_classifier(feats, n_iter, lr, exact=exact)
-    return (score_documents(feats, w)
+    return (score_documents(feats, w, exact=exact)
             .select(F.col("id").alias(id_col), "label", "score",
                     "predicted"))
 
@@ -210,7 +215,7 @@ def image_quality_classifier(stats_df, label_col: str = "y",
 
     feats = image_features(stats_df, label_col, id_col)
     w = train_classifier(feats, n_iter, lr, exact=exact)
-    return (score_documents(feats, w)
+    return (score_documents(feats, w, exact=exact)
             .select(F.col("id").alias(id_col), "label", "score",
                     "predicted"))
 

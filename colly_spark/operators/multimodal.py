@@ -369,8 +369,13 @@ def undecodable_fmt_report(df, fmts: tuple = None, fmt_col: str = "fmt"):
     if fmts is None:
         from colly_spark.functions.images import decodable_web_fmts
         fmts = decodable_web_fmts()
-    return (df.filter(~F.col(fmt_col).isin(*fmts))
-            .groupBy(F.col(fmt_col).alias("fmt"))
+    # NULL fmt is rejected by the admission filter's isin() (NULL
+    # predicate → dropped) — count it here too, as '(null)', or the
+    # report would itself commit the silent truncation it prevents
+    return (df.filter(~F.col(fmt_col).isin(*fmts)
+                      | F.col(fmt_col).isNull())
+            .groupBy(F.coalesce(F.col(fmt_col), F.lit("(null)"))
+                     .alias("fmt"))
             .agg(F.count("*").alias("n_rows")))
 
 

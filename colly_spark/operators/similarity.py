@@ -616,13 +616,16 @@ def semdedup_two_level(emb_df, threshold: float, nlist: int = 16,
             .withColumn("cell", cell_of(cents, F.col("v"))))
     fat = (base.groupBy("cell").agg(F.count("*").alias("_n"))
            .filter(F.col("_n") > max_cell_size).select("cell"))
-    # sub-assign ONLY fat-cell members; NULL sub for normal cells
-    tagged = (base.join(F.broadcast(fat.withColumn("_fat", F.lit(True))),
-                        "cell", "left")
-              .withColumn("sub",
-                          F.when(F.col("_fat"),
-                                 cell_of(sub_cents, F.col("v")))
-                          .otherwise(F.lit(None).cast("int"))))
+    # sub-assign ONLY fat-cell members (a when() over the full corpus
+    # would still run the vectorized pandas UDF on every row —
+    # ExtractPythonUDFs hoists it out of the conditional); the
+    # normal/fat split is two map-side joins against the ≤nlist-row
+    # broadcast, unioned back — no extra shuffle
+    normal = (base.join(F.broadcast(fat), "cell", "left_anti")
+              .withColumn("sub", F.lit(None).cast("int")))
+    fatm = (base.join(F.broadcast(fat), "cell", "left_semi")
+            .withColumn("sub", cell_of(sub_cents, F.col("v")).cast("int")))
+    tagged = normal.unionByName(fatm)
     # one pair join on the composite key: normal cells compare on
     # (cell, NULL≡NULL) via null-safe equality, fat cells on (cell, sub)
     a = tagged.select(F.col("id").alias("a"), F.col("v").alias("va"),

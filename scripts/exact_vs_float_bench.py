@@ -76,9 +76,12 @@ def main():
     entry_mod._ensure_pkg(spark)
     out = {}
     for name, fn in OPS.items():
-        fn(spark, True)  # warm-up (codegen + Arrow spin-up)
         timing = {}
         for label, exact in (("exact", True), ("float", False)):
+            fn(spark, exact)  # per-variant warm-up — the two modes
+            # compile different plans (DECIMAL casts vs doubles), so
+            # each variant's codegen/JIT must land outside its own
+            # timed window
             samples = []
             for _ in range(REPEATS):
                 t0 = time.time()

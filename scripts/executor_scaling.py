@@ -12,7 +12,10 @@ throughput + per-executor efficiency. Shared memory bandwidth remains
 the one un-isolatable resource; the residual gap to 1.0 bounds it.
 
 Usage: python scripts/executor_scaling.py [n_pages] [n_seeds] [repeats]
-                                          [cores_per_exec]
+                                          [cores_per_exec] [order]
+order = "ab" (default: solo then 4N) or "abba" (drift-bracketed:
+solo, 4N, solo — the two solo arms' mean is the baseline, cancelling
+host-speed drift between arms; the round-4 protocol of record).
 Prints one JSON line.
 """
 

@@ -410,18 +410,21 @@ def test_avif_poison_rows_counted_not_raised(spark):
         ("img1", 256, 256, "avif", "three token caption", 2),
         ("img2", 256, 256, "avif", "three token caption", 3),
         ("img3", 256, 256, "tiff", "three token caption", 4),
+        ("img4", 256, 256, None, "three token caption", 5),
     ]
     df = spark.createDataFrame(
         rows, "image_id string, w int, h int, fmt string, caption string,"
               " phash long")
     # (a) admission excludes + report counts (fmts pinned to the
-    # from-scratch set = the libavif-absent container's default)
+    # from-scratch set = the libavif-absent container's default);
+    # NULL fmt is rejected by isin() and must be COUNTED too — the
+    # report may not itself truncate silently
     kept = {r.image_id for r in
             image_corpus_filter(df, fmts=DECODABLE_WEB_FMTS).collect()}
     assert kept == {"img0"}
     rep = {r.fmt: r.n_rows for r in
            undecodable_fmt_report(df, fmts=DECODABLE_WEB_FMTS).collect()}
-    assert rep == {"avif": 2, "tiff": 1}
+    assert rep == {"avif": 2, "tiff": 1, "(null)": 1}
     # (b) poison BYTES (truncated avif container) survive the decode
     # stage as decode_ok=false rows regardless of libavif presence
     bad = spark.createDataFrame(
