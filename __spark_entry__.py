@@ -3246,6 +3246,43 @@ FROM '{_REPO}/golden/mp4_probe.parquet' ORDER BY video_id
 """
 
 
+def q_avif_probe(spark, sf_dir):
+    """AVIF/HEIF metadata probe — decode-free image_stats-class
+    coverage for avif rows, whose AV1 bitstream is outside honest
+    from-scratch decode reach (decode stays gated on the system
+    libavif): box-walk ftyp/meta/pitm/iinf/iprp for brand, dims,
+    bit depth, alpha, rotation, item count WITHOUT touching any OBU
+    (functions/avif.py). Dimensions resolve through pitm+ipma to the
+    PRIMARY item's ispe — a third of the synthesized rows carry a
+    decoy leading ispe, so first-ispe-wins would hash-mismatch.
+    Three poison rows (empty / wrong magic / truncated) pin the
+    counted-rejection path. Golden-oracled from the parameter draw
+    directly (never through bytes), so the writer↔prober round-trip
+    is the thing pinned — the mp4_probe discipline. GOLDEN built at
+    no particular SF: the corpus is fully synthetic, so this gate is
+    SF-independent (see tests/test_entry_oracle.py GOLDEN_SF note)."""
+    from colly_spark.operators.multimodal import (avif_probe_features,
+                                                  synthesize_avifs)
+
+    valid = synthesize_avifs(spark, 64)
+    trunc = __import__("colly_spark.functions.avif", fromlist=["x"]) \
+        .encode_avif_stub(4, 4)[:20]
+    poison = spark.createDataFrame(
+        [("avfpoison01", bytearray(b"")),
+         ("avfpoison02", bytearray(b"GIF89a\x04\x00\x04\x00\x00\x00")),
+         ("avfpoison03", bytearray(trunc))],
+        schema=valid.schema)
+    return (avif_probe_features(valid.unionByName(poison))
+            .orderBy("image_id"))
+
+
+_Q_AVIF_PROBE_SQL = f"""
+SELECT image_id, brand, w, h, depth, n_items, alpha, rotation, mirror,
+       seq_profile, animated, probe_ok
+FROM '{_REPO}/golden/avif_probe.parquet' ORDER BY image_id
+"""
+
+
 def q_image_curation(spark, sf_dir):
     """The composed image curation pipeline — the image twin of
     `curation_pipeline`: ONE decode pass emits quality stats AND the
@@ -3880,77 +3917,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The correctness driver checks only the FIRST 50 entries per round, so
     registration order is a rotation schedule: least-recently-driver-checked
-    first.  Round 3 checked positions 1-50 of the r3 ordering
-    (admission_filter .. events_rollup, green in CORRECTNESS_r03.json);
-    round 4 therefore front-loads the 46 entries that sat OUTSIDE that
-    window (sessionize .. callback_fires — 13 of them r2-green; all
-    but gif_frames, which ceded its slot and sits at position 51),
-    plus the FIVE queries new/changed this round (ann_ivf_trained,
-    ann_ivf_prod, semdedup_oversized, semdedup_two_level,
-    undecodable_report).  Round 5: gif_frames first, then swap the
-    halves — move the r3-green block (admission_filter ..
-    events_rollup, currently positions 52+) back into the first 50.
-    See ROADMAP.md "driver-window rotation".
+    first.  Round 3 checked the admission_filter .. events_rollup block
+    (green in CORRECTNESS_r03.json); round 4 front-loaded everything that
+    sat outside that window plus the five queries new/changed in round 4
+    (all 50 green in CORRECTNESS_r04.json).  Round 5 executes the swap
+    documented last round: gif_frames first (never driver-checked), then
+    the r3-green block back into positions 2-49, with position 50 held by
+    avif_probe (NEW this round — changed code must sit inside the window).
+    The r4-green block rotates below and stays pinned every round by the
+    in-repo DuckDB oracle mirror (tests/test_entry_oracle.py runs EVERY
+    oracle_sql() entry, not just the first 50).  See ROADMAP.md
+    "driver-window rotation" and README.md "Correctness".
     """
     return {k: _wrap(v) for k, v in {
-        # ---- r4 driver window: outside the r3 window, check these now ----
-        "sessionize": q_sessionize,
-        "hot_sources": q_hot_sources,
-        "lineitem_pricing": q_lineitem_pricing,
-        "region_revenue": q_region_revenue,
-        "brand_supplier_revenue": q_brand_supplier_revenue,
-        "crawl_trace": q_crawl_trace,
-        "crawl_events": q_crawl_events,
-        "image_decode": q_image_decode,
-        "gif_decode": q_gif_decode,
-        "sitemap_discover": q_sitemap_discover,
-        "image_stats": q_image_stats,
-        "image_metadata_scrub": q_image_metadata_scrub,
-        "phash_near_dup": q_phash_near_dup,
-        "image_corpus_filter": q_image_corpus_filter,
-        "caption_alignment": q_caption_alignment,
-        "cross_modal_dedup": q_cross_modal_dedup,
-        "cross_modal_retrieval": q_cross_modal_retrieval,
-        "warc_scan": q_warc_scan,
-        "webdataset_scan": q_webdataset_scan,
-        "semdedup": q_semdedup,
-        "dsir_select": q_dsir_select,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "unigram_train": q_unigram_train,
-        "unigram_encode": q_unigram_encode,
-        "pagerank": q_pagerank,
-        "quality_classifier": q_quality_classifier,
-        "classifier_planted": q_classifier_planted,
-        "image_classifier": q_image_classifier,
-        "dsir_planted": q_dsir_planted,
-        "c4_line_filter": q_c4_line_filter,
-        "extract_main_text": q_extract_main_text,
-        "recrawl_schedule": q_recrawl_schedule,
-        "domain_priority": q_domain_priority,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "video_near_dup": q_video_near_dup,
-        "audio_near_dup": q_audio_near_dup,
-        "image_dup_clusters": q_image_dup_clusters,
-        "image_curation": q_image_curation,
-        "mp4_probe": q_mp4_probe,
-        "aspect_buckets": q_aspect_buckets,
-        "unmarshal_fields": q_unmarshal_fields,
-        "xpath_links": q_xpath_links,
-        "callback_fires": q_callback_fires,
-        # new/changed this round — must be inside the window:
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "ann_ivf_prod": q_ann_ivf_prod,
-        "semdedup_oversized": q_semdedup_oversized,
-        "semdedup_two_level": q_semdedup_two_level,
-        "undecodable_report": q_undecodable_report,
-        # ---- below the 50-entry window: rotate into round 5 first ----
-        # gif_frames (never driver-checked; its codec + frame-sample
-        # paths are in-window via gif_decode and video_frames) and the
-        # three r3-green foundational re-checks ceded their slots to
-        # the five queries new/changed this round
+        # ---- r5 driver window ----
+        # position 1: the one query never yet driver-checked
         "gif_frames": q_gif_frames,
+        # positions 2-49: the r3-green block, rotating back in
         "admission_filter": q_admission_filter,
         "url_canonicalize": q_url_canonicalize,
         "fnv64_hash": q_fnv64_hash,
@@ -3999,6 +3982,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_fetch": q_continuous_fetch,
         "continuous_crawl": q_continuous_crawl,
         "events_rollup": q_events_rollup,
+        # position 50: new this round — AVIF ispe/meta probe (decode-free)
+        "avif_probe": q_avif_probe,
+        # ---- below the 50-entry window: r4-green, mirror-pinned ----
+        "sessionize": q_sessionize,
+        "hot_sources": q_hot_sources,
+        "lineitem_pricing": q_lineitem_pricing,
+        "region_revenue": q_region_revenue,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
+        "crawl_trace": q_crawl_trace,
+        "crawl_events": q_crawl_events,
+        "image_decode": q_image_decode,
+        "gif_decode": q_gif_decode,
+        "sitemap_discover": q_sitemap_discover,
+        "image_stats": q_image_stats,
+        "image_metadata_scrub": q_image_metadata_scrub,
+        "phash_near_dup": q_phash_near_dup,
+        "image_corpus_filter": q_image_corpus_filter,
+        "caption_alignment": q_caption_alignment,
+        "cross_modal_dedup": q_cross_modal_dedup,
+        "cross_modal_retrieval": q_cross_modal_retrieval,
+        "warc_scan": q_warc_scan,
+        "webdataset_scan": q_webdataset_scan,
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
+        "pagerank": q_pagerank,
+        "quality_classifier": q_quality_classifier,
+        "classifier_planted": q_classifier_planted,
+        "image_classifier": q_image_classifier,
+        "dsir_planted": q_dsir_planted,
+        "c4_line_filter": q_c4_line_filter,
+        "extract_main_text": q_extract_main_text,
+        "recrawl_schedule": q_recrawl_schedule,
+        "domain_priority": q_domain_priority,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "video_near_dup": q_video_near_dup,
+        "audio_near_dup": q_audio_near_dup,
+        "image_dup_clusters": q_image_dup_clusters,
+        "image_curation": q_image_curation,
+        "mp4_probe": q_mp4_probe,
+        "aspect_buckets": q_aspect_buckets,
+        "unmarshal_fields": q_unmarshal_fields,
+        "xpath_links": q_xpath_links,
+        "callback_fires": q_callback_fires,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_prod": q_ann_ivf_prod,
+        "semdedup_oversized": q_semdedup_oversized,
+        "semdedup_two_level": q_semdedup_two_level,
+        "undecodable_report": q_undecodable_report,
     }.items()}
 
 
@@ -4104,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_clusters": _Q_IMAGE_DUP_CLUSTERS_SQL,
         "image_curation": _Q_IMAGE_CURATION_SQL,
         "mp4_probe": _Q_MP4_PROBE_SQL,
+        "avif_probe": _Q_AVIF_PROBE_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

@@ -570,3 +570,108 @@ def cross_modal_dedup(df, id_col: str = "image_id",
             .withColumn("_rn", F.row_number().over(best_first))
             .filter(F.col("_rn") == 1)
             .select("image_id", "phash", "n_caption_tokens", "n_dups"))
+
+
+def avif_params(i: int, seed: int = 42) -> dict:
+    """Deterministic per-id parameter draw shared by `synthesize_avifs`
+    and the golden-oracle generator (which never touches the bytes) —
+    the mp4_params discipline (operators/av.py)."""
+    return dict(
+        w=(64, 320, 1024, 4096)[i % 4],
+        h=(64, 240, 768, 2160)[(i // 2) % 4],
+        depth=(8, 8, 10, 12)[(i // 3) % 4],
+        alpha=bool(i % 5 == 0),
+        rotation=(0, 0, 90, 180, 270)[i % 5],
+        mirror=(None, None, 0, 1)[(i // 5) % 4],
+        seq_profile=(0, 0, 1, 2)[(i // 7) % 4],
+        brand=("avif", "avif", "avif", "avis")[(i // 4) % 4],
+        pitm_version=(i // 11) % 2,
+        wide_ipma=bool((i // 13) % 2),
+        decoy_ispe=bool(i % 3 == 0))
+
+
+def synthesize_avifs(spark, n: int, seed: int = 42):
+    """Deterministic AVIF metadata table (image_id, bytes): per-id
+    structurally-valid HEIF containers (functions/avif.encode_avif_stub)
+    with no decodable AV1 payload — exactly what a decode-free
+    admission stage consumes. A third of the rows carry a decoy
+    leading ispe so the probe's pitm+ipma primary-item resolution is
+    exercised distributedly, not just in unit KATs."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+    ])
+
+    def _gen(iterator):
+        from colly_spark.functions.avif import encode_avif_stub
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = avif_params(i, seed)
+                rows.append(dict(
+                    image_id=f"avf{i:08d}",
+                    bytes=encode_avif_stub(mdat=b"\x00" * (32 + i % 256),
+                                           **p)))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, schema=schema)
+
+
+def avif_probe_features(df, id_col: str = "image_id",
+                        bytes_col: str = "bytes"):
+    """(id, brand, w, h, depth, n_items, alpha, rotation, mirror,
+    seq_profile, animated, probe_ok): AVIF container metadata WITHOUT
+    decoding — image_stats-class coverage for avif rows while decode
+    stays gated on the system libavif (functions/native_codecs.py).
+    Map-side mapInPandas, poison-tolerant (probe_ok=false, never a
+    mid-stage raise — the undecodable_fmt_report discipline); at an
+    object store this is one range GET stopping at mdat per file."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField(id_col, StringType()),
+        StructField("brand", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("n_items", IntegerType()),
+        StructField("alpha", BooleanType()),
+        StructField("rotation", IntegerType()),
+        StructField("mirror", IntegerType()),
+        StructField("seq_profile", IntegerType()),
+        StructField("animated", BooleanType()),
+        StructField("probe_ok", BooleanType()),
+    ])
+
+    def _probe(iterator):
+        from colly_spark.functions.avif import probe_avif
+        for pdf in iterator:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    info = probe_avif(bytes(data))
+                    rows.append({id_col: rid, "probe_ok": True,
+                                 "brand": info["brand"],
+                                 "w": info["w"], "h": info["h"],
+                                 "depth": info["depth"],
+                                 "n_items": info["n_items"],
+                                 "alpha": info["alpha"],
+                                 "rotation": info["rotation"],
+                                 "mirror": info["mirror"],
+                                 "seq_profile": info["seq_profile"],
+                                 "animated": info["animated"]})
+                except Exception:
+                    rows.append({id_col: rid, "probe_ok": False,
+                                 "brand": None, "w": None, "h": None,
+                                 "depth": None, "n_items": None,
+                                 "alpha": None, "rotation": None,
+                                 "mirror": None, "seq_profile": None,
+                                 "animated": None})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(_probe, schema=schema)

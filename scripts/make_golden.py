@@ -858,6 +858,45 @@ def make_image_cls_stats(n: int = 96, seed: int = 42,
     print(f"image_cls_stats: {len(rows)} rows")
 
 
+def make_avif_probe(n: int = 64, seed: int = 42) -> None:
+    """avif_probe.parquet: expected probe output computed DIRECTLY
+    from the deterministic parameter draw (multimodal.avif_params) —
+    never through the bytes — so the writer↔prober round-trip
+    (functions/avif.encode_avif_stub / probe_avif) is the thing
+    pinned, the mp4_probe discipline. Three deterministic poison rows
+    (empty, wrong-magic, truncated container) pin the probe_ok=false
+    path in-driver."""
+    from colly_spark.operators.multimodal import avif_params
+
+    rows = []
+    for i in range(n):
+        p = avif_params(i, seed)
+        rows.append(dict(image_id=f"avf{i:08d}", brand=p["brand"],
+                         w=p["w"], h=p["h"], depth=p["depth"],
+                         n_items=2 if p["alpha"] else 1,
+                         alpha=p["alpha"], rotation=p["rotation"],
+                         mirror=p["mirror"],
+                         seq_profile=p["seq_profile"],
+                         animated=p["brand"] == "avis", probe_ok=True))
+    for pid in ("avfpoison01", "avfpoison02", "avfpoison03"):
+        rows.append(dict(image_id=pid, brand=None, w=None, h=None,
+                         depth=None, n_items=None, alpha=None,
+                         rotation=None, mirror=None, seq_profile=None,
+                         animated=None, probe_ok=False))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("brand", pa.string()),
+        ("w", pa.int32()), ("h", pa.int32()), ("depth", pa.int32()),
+        ("n_items", pa.int32()), ("alpha", pa.bool_()),
+        ("rotation", pa.int32()), ("mirror", pa.int32()),
+        ("seq_profile", pa.int32()), ("animated", pa.bool_()),
+        ("probe_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "avif_probe.parquet"))
+    print(f"avif_probe: {len(rows)} rows")
+
+
 def make_ann_ivfpq() -> None:
     """ann_ivfpq.parquet + ann_ivfpq_refined.parquet: expected top-k of
     the IVF-PQ queries over the sf0.01 embeddings table, computed by
@@ -965,3 +1004,4 @@ if __name__ == "__main__":
     make_ann_ivfpq()
     make_ann_ivf()
     make_image_cls_stats()
+    make_avif_probe()
