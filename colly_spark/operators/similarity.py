@@ -508,7 +508,8 @@ def ann_ivf_topk(corpus_df, query_df, k: int = 10, nlist: int = 16,
 def semdedup(emb_df, threshold: float, nlist: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, seed: int = 7, assign: str = "catalyst",
-             centroids: np.ndarray = None, max_cell_size: int = 100_000):
+             centroids: np.ndarray = None, max_cell_size: int = 100_000,
+             warn_oversized: bool = False):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine
     pruning. Cluster the embeddings with the IVF coarse quantizer
@@ -537,10 +538,17 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
     members than the cap are EXCLUDED from pair generation (their
     members all survive, un-deduped) — the same cap-and-report
     discipline as minhash's ``candidate_pairs``/``oversized_buckets``
-    (text_dedup.py). Callers log ``semdedup_oversized_cells`` so the
-    truncation is never silent; the production remedies are more
-    centroids (shrinks every cell) or re-clustering the reported
-    cells with a sub-quantizer and re-running semdedup on just them.
+    (text_dedup.py). The truncation is never silent: the returned
+    DataFrame carries the (cell, n_members) exclusion report as a
+    lazy ``.oversized_cells`` attribute (over the same assignment —
+    no second, separately-parameterized call needed), and
+    ``warn_oversized=True`` evaluates it eagerly (one extra ≤nlist-row
+    agg scan) and raises a RuntimeWarning when any cell was excluded;
+    the standalone ``semdedup_oversized_cells`` remains for callers
+    that want only the report. Production remedies: more centroids
+    (shrinks every cell) or re-clustering the reported cells with a
+    sub-quantizer and re-running semdedup on just them
+    (``semdedup_two_level``).
     ``max_cell_size=0`` disables the guard (oracle harness only).
     ``assign="catalyst"`` inlines centroid literals (bit-exact DuckDB
     oracling, toy nlist only); ``assign="vectorized"`` broadcasts the
@@ -554,11 +562,25 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
                           F.col(vec_col).alias("v"))
             .withColumn("cell", cell_of(cents, F.col("v"))))
     pairable = base
+    over = None
     if max_cell_size > 0:
         # ≤ nlist rows — broadcast the admit-list, never shuffle base twice
-        ok = (base.groupBy("cell").agg(F.count("*").alias("_n"))
-              .filter(F.col("_n") <= max_cell_size).select("cell"))
+        counts = base.groupBy("cell").agg(F.count("*").alias("_n"))
+        ok = counts.filter(F.col("_n") <= max_cell_size).select("cell")
+        over = (counts.filter(F.col("_n") > max_cell_size)
+                .select(F.col("cell").cast("int").alias("cell"),
+                        F.col("_n").alias("n_members")))
         pairable = base.join(F.broadcast(ok), "cell", "left_semi")
+        if warn_oversized:
+            n_over = over.count()  # eager ≤nlist-row agg: one extra scan
+            if n_over:
+                import warnings
+                warnings.warn(
+                    f"semdedup: {n_over} cell(s) exceed max_cell_size="
+                    f"{max_cell_size} and were EXCLUDED from pair "
+                    "generation (members survive un-deduped); remedies: "
+                    "more centroids, or semdedup_two_level",
+                    RuntimeWarning, stacklevel=2)
     a = pairable.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
     b = pairable.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
     dropped = (a.join(b, "cell")
@@ -566,9 +588,16 @@ def semdedup(emb_df, threshold: float, nlist: int = 16,
                .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
                       >= F.lit(threshold))
                .select(F.col("a").alias("id")).distinct())
-    return (base.join(dropped, "id", "left_anti")
-            .select(F.col("id").alias(id_col),
-                    F.col("cell").cast("int").alias("cell")))
+    out = (base.join(dropped, "id", "left_anti")
+           .select(F.col("id").alias(id_col),
+                   F.col("cell").cast("int").alias("cell")))
+    # the guard's truncation is observable WITHOUT a second,
+    # separately-parameterized call: the (cell, n_members) report over
+    # the SAME assignment rides along as a lazy attribute (None when
+    # the guard is disabled); `warn_oversized=True` additionally
+    # evaluates it eagerly and warns
+    out.oversized_cells = over
+    return out
 
 
 def semdedup_two_level(emb_df, threshold: float, nlist: int = 16,
@@ -592,8 +621,11 @@ def semdedup_two_level(emb_df, threshold: float, nlist: int = 16,
     cell are not compared — the same accepted miss class as level-1
     cluster boundaries. A sub-cell that is STILL fat (thousands of
     bit-identical vectors) is exact-dedup's job upstream
-    (text_dedup.exact_dedup / caption_dedup); probe with
-    ``semdedup_oversized_cells`` if in doubt.
+    (text_dedup.exact_dedup / caption_dedup); it stays deduped here
+    (the pair join runs within it, just quadratically), and
+    ``semdedup_two_level_oversized_cells`` reports exactly these
+    (cell, sub_cell)s under the same parameters so the residual
+    quadratic exposure is detectable before it costs anything.
 
     Scale shape: adds exactly one map-side sub-assignment pass over
     the fat members and widens the pair-join key to (cell, sub_cell)
@@ -664,3 +696,43 @@ def semdedup_oversized_cells(emb_df, nlist: int = 16,
             .groupBy("cell").agg(F.count("*").alias("n_members"))
             .filter(F.col("n_members") > max_cell_size)
             .select(F.col("cell").cast("int").alias("cell"), "n_members"))
+
+
+def semdedup_two_level_oversized_cells(emb_df, nlist: int = 16,
+                                       sub_nlist: int = 4,
+                                       max_cell_size: int = 100_000,
+                                       id_col: str = "vec_id",
+                                       vec_col: str = "embedding",
+                                       dim: int = 64, seed: int = 7,
+                                       sub_seed: int = 101,
+                                       assign: str = "catalyst",
+                                       centroids: np.ndarray = None,
+                                       sub_centroids: np.ndarray = None):
+    """(cell, sub_cell, n_members) for sub-cells that are STILL fat
+    after ``semdedup_two_level``'s re-clustering under the same
+    parameters — the level-2 twin of ``semdedup_oversized_cells``.
+    A non-empty result means the residual miss class documented in
+    ``semdedup_two_level`` (its sub-cell pair join stays quadratic in
+    that sub-cell) is live for this corpus: the remedies are exact
+    dedup upstream (bit-identical floods are exact_dedup's job), a
+    larger ``sub_nlist``, or trained sub-centroids. Scale shape: the
+    same broadcast fat-list + map-side sub-assignment as the operator
+    itself, then one ≤nlist×sub_nlist-row agg — no new shuffles."""
+    from pyspark.sql import functions as F
+
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, nlist, seed)
+    sub_cents = sub_centroids if sub_centroids is not None \
+        else ivf_centroids(dim, sub_nlist, sub_seed)
+    cell_of = ivf_cell_vec if assign == "vectorized" else ivf_cell_expr
+    base = (emb_df.select(F.col(vec_col).alias("v"))
+            .withColumn("cell", cell_of(cents, F.col("v"))))
+    fat = (base.groupBy("cell").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_cell_size).select("cell"))
+    fatm = (base.join(F.broadcast(fat), "cell", "left_semi")
+            .withColumn("sub", cell_of(sub_cents, F.col("v")).cast("int")))
+    return (fatm.groupBy("cell", "sub")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_cell_size)
+            .select(F.col("cell").cast("int").alias("cell"),
+                    F.col("sub").alias("sub_cell"), "n_members"))

@@ -181,3 +181,70 @@ def test_two_level_vectorized_equals_catalyst(spark):
     vec = {tuple(r) for r in
            semdedup_two_level(df, assign="vectorized", **kw).collect()}
     assert lit == vec
+
+
+def test_still_fat_sub_cell_reported_and_still_deduped(spark):
+    """The residual level-2 exposure, PLANTED: 40 near-identical
+    vectors land in one (cell, sub_cell) with max_cell_size=10 — the
+    sub-quantizer cannot split a point mass.
+    semdedup_two_level_oversized_cells must report exactly that
+    (cell, sub_cell, 40); semdedup_two_level itself still DEDUPES it
+    (the sub-cell pair join runs, just quadratically in that
+    sub-cell) — the report is a cost alarm, not a correctness hole."""
+    from colly_spark.operators.similarity import (
+        semdedup_two_level, semdedup_two_level_oversized_cells)
+
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    rng = np.random.default_rng(5)
+    lead = rng.standard_normal(DIM)
+    flood = [lead + 1e-4 * rng.standard_normal(DIM) for _ in range(40)]
+    fat_cell = int(np.argmax(np.asarray(flood) @ cents.T, axis=1)[0])
+    scatter = list(rng.standard_normal((12, DIM)))
+    df = _mk(spark, flood + scatter)
+    kw = dict(nlist=NLIST, dim=DIM, seed=SEED, max_cell_size=10,
+              sub_nlist=4)
+
+    rep = semdedup_two_level_oversized_cells(df, **kw).collect()
+    assert len(rep) == 1
+    # the flood (plus any scatter vectors sharing its sub-cell) is the
+    # one reported sub-cell
+    assert rep[0].cell == fat_cell and rep[0].n_members >= 40
+    assert rep[0].sub_cell is not None
+    # the flood still collapses to its lowest id despite being sub-fat
+    out = semdedup_two_level(df, threshold=0.95, **kw).collect()
+    flood_survivors = [r.vec_id for r in out
+                      if r.cell == fat_cell and r.vec_id < 40]
+    assert flood_survivors == [0]
+    # and a corpus whose fat cell DOES split cleanly reports nothing
+    ok_rep = semdedup_two_level_oversized_cells(
+        _mk(spark, scatter), **kw).collect()
+    assert ok_rep == []
+
+
+def test_oversized_report_attached_and_warns(spark):
+    """semdedup's truncation is observable from the call itself: the
+    returned DataFrame carries the exclusion report as a lazy
+    .oversized_cells attribute, and warn_oversized=True raises a
+    RuntimeWarning naming the excluded cell count."""
+    import warnings
+
+    cents = ivf_centroids(DIM, NLIST, SEED)
+    rng = np.random.default_rng(5)
+    lead = rng.standard_normal(DIM)
+    fat = [lead + 0.001 * rng.standard_normal(DIM) for _ in range(40)]
+    fat_cell = int(np.argmax(np.asarray(fat) @ cents.T, axis=1)[0])
+    df = _mk(spark, fat)
+
+    out = semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM, seed=SEED,
+                   max_cell_size=10)
+    rep = [(r.cell, r.n_members) for r in out.oversized_cells.collect()]
+    assert rep == [(fat_cell, 40)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM, seed=SEED,
+                 max_cell_size=10, warn_oversized=True)
+        assert any(issubclass(w.category, RuntimeWarning)
+                   and "EXCLUDED" in str(w.message) for w in caught)
+    # guard disabled → no report to attach
+    assert semdedup(df, threshold=0.95, nlist=NLIST, dim=DIM, seed=SEED,
+                    max_cell_size=0).oversized_cells is None
