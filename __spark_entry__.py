@@ -1123,6 +1123,15 @@ def q_ann_ivf_trained(spark, sf_dir):
                         centroids=cents)
 
 
+# SF BINDING (gate constraint, not just a test-mirror detail): the four
+# goldens below — ann_ivf_trained, ann_ivf_prod, ann_ivfpq,
+# ann_ivfpq_refined — are generated FROM THE sf0.01 EMBEDDINGS
+# (scripts/make_golden.py), so these oracle rows are valid only when
+# the driver runs at sf0.01 (which it does). Running the gate at
+# another SF would mismatch by construction. The binding is enforced
+# in-repo by tests/test_entry_oracle.py's GOLDEN_SF map (pins the
+# Spark side to sf0.01 for exactly these queries); replica equality at
+# OTHER inputs is what tests/test_ann_training.py / test_ivfpq.py pin.
 _Q_ANN_IVF_TRAINED_SQL = f"""
 SELECT query_id, neighbor_id, rank, cos_sim
 FROM '{_REPO}/golden/ann_ivf_trained.parquet' ORDER BY query_id, rank
@@ -4146,3 +4155,43 @@ def oracle_sql() -> dict[str, str]:
         "xpath_links": _Q_XPATH_SQL,
         "callback_fires": _Q_CALLBACK_FIRES_SQL,
     }
+
+
+def float_arm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """PRODUCTION (exact=False) arms of the three DECIMAL-oracled
+    training ops — same plan SHAPE as their queries() twins, native
+    doubles instead of the oracle's DECIMAL tax. NOT registered in
+    queries(): float accumulation order is engine-specific, so these
+    have no bit-exact oracle (prediction/rank equivalence to the exact
+    mode is pinned by tests/test_classifier.py, test_dsir.py,
+    test_graph.py). bench.py times them each round as
+    `<name>_float` rows so BENCH_r{N} carries both arms."""
+    from pyspark.sql import functions as F
+
+    def qc_float(spark, sf_dir):
+        from colly_spark.operators.classifier import quality_classifier
+        d = _docs(spark, sf_dir).withColumn("is_t", F.col("lang") == "en")
+        return quality_classifier(d, "is_t", exact=False).orderBy("doc_id")
+
+    def dsir_float(spark, sf_dir):
+        from colly_spark.operators.dsir import dsir_select
+        d = _docs(spark, sf_dir).withColumn("is_t", F.col("lang") == "en")
+        return dsir_select(d, "is_t", k=100, exact=False).orderBy("rank")
+
+    def pr_float(spark, sf_dir):
+        from colly_spark.operators.graph import pagerank
+        docs = _docs(spark, sf_dir).select("doc_id")
+        n = docs.count()
+        base = docs.filter(F.col("doc_id") % 17 != 0)
+        i = F.col("doc_id")
+        e = (base.select(i.alias("src"), ((i * 2 + 1) % n).alias("dst"))
+             .union(base.select(i.alias("src"),
+                                ((i * 3 + 7) % n).alias("dst")))
+             .union(base.select(i.alias("src"), (i % 97).alias("dst"))))
+        return (pagerank(e, n_iter=8, exact=False)
+                .select(F.col("node").alias("doc_id"), "pr")
+                .orderBy("doc_id"))
+
+    return {"quality_classifier_float": _wrap(qc_float),
+            "dsir_select_float": _wrap(dsir_float),
+            "pagerank_float": _wrap(pr_float)}

@@ -198,6 +198,17 @@ def main():
             samples.append(time.time() - t0)
         timings[name] = round(_median(samples), 3)
         spreads[name] = [round(s, 3) for s in samples]
+    # production (exact=False) arms of the DECIMAL-oracled training
+    # ops — timed every round so the bench carries both arms (the
+    # exact rows above remain the oracle gate's numbers)
+    for name, q in getattr(entry_mod, "float_arm_queries", dict)().items():
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(_median(samples), 3)
+        spreads[name] = [round(s, 3) for s in samples]
     drain = None
     if os.environ.get("BENCH_SKIP_DRAIN") != "1":
         drain = drain_bench(spark)

@@ -385,7 +385,7 @@ def ivf_cell_expr(centroids: np.ndarray, vec_col):
 
 def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
                      vec_col: str = "embedding", dim: int = 64,
-                     seed: int = 7, exact: bool = False) -> np.ndarray:
+                     seed: int = 7, exact: bool = True) -> np.ndarray:
     """Train IVF coarse centroids with distributed spherical k-means
     (Lloyd iterations under cosine similarity): assignment is
     argmax dot against L2-normalized centroids — exactly
@@ -397,10 +397,14 @@ def ivf_train_kmeans(emb_df, nlist: int = 16, n_iter: int = 5,
     ONE partial-aggregating groupBy over nlist×dim cells — the only
     driver traffic is the nlist×dim centroid matrix itself
     (stats-scale, ≈ the same matrix the serving path broadcasts).
-    Empty cells keep their previous centroid. Under ``exact=False``
-    (production) the result is deterministic up to float-sum ordering
-    in the cell means (the assignment argmax and seeded init are
-    exact); ``exact=True`` applies the repo's engine-neutral float
+    Empty cells keep their previous centroid. ``exact=True`` is the
+    DEFAULT — the same repo-wide oracle-default as train_classifier /
+    pagerank / dsir_select, so a caller assuming the family convention
+    gets reproducible training here too. Under ``exact=False``
+    (production mode, opt-in like the rest of the family) the result
+    is deterministic up to float-sum ordering in the cell means (the
+    assignment argmax and seeded init are exact);
+    ``exact=True`` applies the repo's engine-neutral float
     discipline (operators/classifier.py): each coordinate is rounded
     to 12 dp and summed as DECIMAL(38,18), making the per-cell sums
     order-INDEPENDENT and the trained matrix bit-reproducible by the

@@ -223,15 +223,18 @@ def guarded_broadcast(df, max_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
     table to every task.  Corpora past the cap belong on the batch
     drain (plans/crawler.py) — Bloom/cuckoo seen segments + a
     pre-partitioned (non-broadcast) corpus join — which is the only
-    10^10-frontier path.  The one count() this costs is a metadata
-    scan on a static source."""
+    10^10-frontier path.  Guard cost is BOUNDED regardless of source
+    shape: ``limit(max_rows + 1).count()`` short-circuits the scan as
+    soon as max_rows + 1 rows exist (a metadata-only lookup on plain
+    parquet, an early-terminated scan on a filtered/computed source —
+    never the full-corpus count a bare ``count()`` would run)."""
     from pyspark.sql import functions as F
 
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"refusing to broadcast {what} with {n} rows "
-            f"(> max_broadcast_rows={max_rows}): the stream-static side "
+            f"refusing to broadcast {what} with > {max_rows} rows "
+            f"(max_broadcast_rows): the stream-static side "
             "must fit in executor memory. Use the batch drain "
             "(plans/crawler.py) at this scale, or raise "
             "max_broadcast_rows explicitly.")
