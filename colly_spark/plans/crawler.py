@@ -677,9 +677,15 @@ class Crawler:
             self.images = None
             self._has_images = False
         # fully-live mode: robots.txt fetched on first sight of a host,
-        # committed as per-batch deltas (tiny, per-host, broadcastable)
+        # committed as per-batch deltas (tiny, per-host, broadcastable).
+        # respect_crawl_delay also needs the robots table even when the
+        # allow/deny rules are ignored — Crawl-delay lives in
+        # robots.txt, so without this an ignore_robots=True live crawl
+        # would silently drop the advertised delays (the robots GATE
+        # stays short-circuited by ignore_robots either way)
         self._lazy_robots = (self.live is not None and corpus is None
-                             and not cfg.ignore_robots)
+                             and (not cfg.ignore_robots
+                                  or cfg.respect_crawl_delay))
         self._robots_paths: list = []
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
