@@ -3292,6 +3292,47 @@ FROM '{_REPO}/golden/avif_probe.parquet' ORDER BY image_id
 """
 
 
+def q_image_probe(spark, sf_dir):
+    """Unified decode-free header probe over a MIXED-format corpus —
+    the admission tier below decode_meta: fmt/w/h/depth/alpha/animated
+    sniffed from O(100) header bytes for png, jpeg, gif (static AND
+    animated, frame-counting block walk), webp (from-scratch VP8L
+    lossless AND native VP8 lossy), and avif stubs (the meta box walk
+    — covered without any decode capability), plus three poison rows
+    pinning counted rejection (functions/imageprobe.py,
+    multimodal.image_probe_meta). Format is sniffed from magic bytes —
+    the operator never sees a fmt column. Golden-oracled from the
+    parameter draws directly (never through bytes): the
+    writer↔prober round-trip across five container families is the
+    thing pinned. Fully synthetic corpus — SF-independent gate."""
+    from pyspark.sql import functions as F
+
+    from colly_spark.operators.multimodal import (image_probe_meta,
+                                                  synthesize_animated_gifs,
+                                                  synthesize_avifs,
+                                                  synthesize_images)
+
+    imgs = (synthesize_images(
+        spark, 50, fmt_cycle=("png", "jpeg", "webp", "gif", "webp_lossy"))
+        .select("image_id", "bytes"))
+    avifs = synthesize_avifs(spark, 12)
+    anims = synthesize_animated_gifs(spark, 4)
+    poison = spark.createDataFrame(
+        [("zzzpoison01", bytearray(b"")),
+         ("zzzpoison02", bytearray(b"RIFF\x00\x00\x00\x00WAVEdata")),
+         ("zzzpoison03", bytearray(b"\xff\xd8\xff\xd9"))],
+        schema=avifs.schema)
+    corpus = (imgs.unionByName(avifs).unionByName(anims)
+              .unionByName(poison))
+    return image_probe_meta(corpus).orderBy("image_id")
+
+
+_Q_IMAGE_PROBE_SQL = f"""
+SELECT image_id, fmt_detected, w, h, depth, alpha, animated, probe_ok
+FROM '{_REPO}/golden/image_probe.parquet' ORDER BY image_id
+"""
+
+
 def q_image_curation(spark, sf_dir):
     """The composed image curation pipeline — the image twin of
     `curation_pipeline`: ONE decode pass emits quality stats AND the
@@ -3931,8 +3972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sat outside that window plus the five queries new/changed in round 4
     (all 50 green in CORRECTNESS_r04.json).  Round 5 executes the swap
     documented last round: gif_frames first (never driver-checked), then
-    the r3-green block back into positions 2-49, with position 50 held by
-    avif_probe (NEW this round — changed code must sit inside the window).
+    the r3-green block back in, with the last two window slots held by
+    the queries NEW this round (avif_probe, image_probe — changed code
+    must sit inside the window); ann_multiprobe cedes its slot to make
+    room (precedent: gif_frames in r4 — its sign-LSH path stays
+    in-window via ann_lsh) and rotates first below the window.
     The r4-green block rotates below and stays pinned every round by the
     in-repo DuckDB oracle mirror (tests/test_entry_oracle.py runs EVERY
     oracle_sql() entry, not just the first 50).  See ROADMAP.md
@@ -3964,7 +4008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
         "ann_lsh_tables": q_ann_lsh_tables,
         "ann_ivfpq": q_ann_ivfpq,
@@ -3991,9 +4034,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_fetch": q_continuous_fetch,
         "continuous_crawl": q_continuous_crawl,
         "events_rollup": q_events_rollup,
-        # position 50: new this round — AVIF ispe/meta probe (decode-free)
+        # positions 49-50: new this round — the decode-free probes
+        # (AVIF ispe/meta walk; unified all-format header probe).
+        # ann_multiprobe cedes its slot (precedent: gif_frames in r4 —
+        # its sign-LSH path stays in-window via ann_lsh) and rotates
+        # first below the window.
         "avif_probe": q_avif_probe,
+        "image_probe": q_image_probe,
         # ---- below the 50-entry window: r4-green, mirror-pinned ----
+        "ann_multiprobe": q_ann_multiprobe,
         "sessionize": q_sessionize,
         "hot_sources": q_hot_sources,
         "lineitem_pricing": q_lineitem_pricing,
@@ -4150,6 +4199,7 @@ def oracle_sql() -> dict[str, str]:
         "image_curation": _Q_IMAGE_CURATION_SQL,
         "mp4_probe": _Q_MP4_PROBE_SQL,
         "avif_probe": _Q_AVIF_PROBE_SQL,
+        "image_probe": _Q_IMAGE_PROBE_SQL,
         "aspect_buckets": _q_aspect_sql(),
         "unmarshal_fields": _Q_UNMARSHAL_SQL,
         "xpath_links": _Q_XPATH_SQL,

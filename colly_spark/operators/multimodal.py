@@ -675,3 +675,81 @@ def avif_probe_features(df, id_col: str = "image_id",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col).mapInPandas(_probe, schema=schema)
+
+
+def image_probe_meta(df, id_col: str = "image_id",
+                     bytes_col: str = "bytes"):
+    """(id, fmt_detected, w, h, depth, alpha, animated, probe_ok):
+    decode-free header probe for EVERY corpus format (png/jpeg/gif/
+    webp/avif — functions/imageprobe.py) — the admission tier BELOW
+    decode_meta: dimensions/aspect/format gating from O(100) header
+    bytes per object, no pixels touched, avif covered even where its
+    decode is native-gated. Format is SNIFFED from magic bytes, never
+    trusted from a fmt column. Map-side mapInPandas, poison-tolerant
+    (probe_ok=false — the undecodable_fmt_report discipline)."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField(id_col, StringType()),
+        StructField("fmt_detected", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("alpha", BooleanType()),
+        StructField("animated", BooleanType()),
+        StructField("probe_ok", BooleanType()),
+    ])
+
+    def _probe(iterator):
+        from colly_spark.functions.imageprobe import probe_image
+        for pdf in iterator:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    info = probe_image(bytes(data))
+                    rows.append({id_col: rid, "probe_ok": True,
+                                 "fmt_detected": info["fmt"],
+                                 "w": info["w"], "h": info["h"],
+                                 "depth": info["depth"],
+                                 "alpha": info["alpha"],
+                                 "animated": info["animated"]})
+                except Exception:
+                    rows.append({id_col: rid, "probe_ok": False,
+                                 "fmt_detected": None, "w": None,
+                                 "h": None, "depth": None, "alpha": None,
+                                 "animated": None})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col).mapInPandas(_probe, schema=schema)
+
+
+def synthesize_animated_gifs(spark, n: int, seed: int = 42,
+                             size: int = 16, n_frames: int = 3):
+    """Deterministic animated-GIF rows (image_id, bytes): per-id
+    frame stacks (functions/images.synth_pixels over consecutive ids)
+    through the from-scratch GIF89a animation writer."""
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+    ])
+
+    def _gen(iterator):
+        from colly_spark.functions.gif import encode_gif_animated
+        from colly_spark.functions.images import synth_pixels
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [synth_pixels(i * n_frames + j, seed, size)
+                          for j in range(n_frames)]
+                rows.append(dict(
+                    image_id=f"anm{i:08d}",
+                    bytes=encode_gif_animated(frames,
+                                              [10] * n_frames)))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(_gen, schema=schema)

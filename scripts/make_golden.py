@@ -897,6 +897,49 @@ def make_avif_probe(n: int = 64, seed: int = 42) -> None:
     print(f"avif_probe: {len(rows)} rows")
 
 
+def make_image_probe(n_imgs: int = 50, n_avif: int = 12,
+                     n_anim: int = 4, size: int = 16) -> None:
+    """image_probe.parquet: expected unified-header-probe output
+    computed DIRECTLY from the parameter draws (synthesize_images'
+    fmt cycle + size, multimodal.avif_params, the animated-gif frame
+    count) — never through the bytes, so the five container families'
+    writer↔prober round-trips are the thing pinned. Three poison rows
+    pin counted rejection."""
+    from colly_spark.operators.multimodal import avif_params
+
+    cycle = ("png", "jpeg", "webp", "gif", "webp")  # webp_lossy → webp
+    rows = []
+    for i in range(n_imgs):
+        rows.append(dict(image_id=f"img{i:08d}",
+                         fmt_detected=cycle[i % len(cycle)],
+                         w=size, h=size, depth=8, alpha=False,
+                         animated=False, probe_ok=True))
+    for i in range(n_avif):
+        p = avif_params(i)
+        rows.append(dict(image_id=f"avf{i:08d}", fmt_detected="avif",
+                         w=p["w"], h=p["h"], depth=p["depth"],
+                         alpha=p["alpha"],
+                         animated=p["brand"] == "avis", probe_ok=True))
+    for i in range(n_anim):
+        rows.append(dict(image_id=f"anm{i:08d}", fmt_detected="gif",
+                         w=size, h=size, depth=8, alpha=False,
+                         animated=True, probe_ok=True))
+    for pid in ("zzzpoison01", "zzzpoison02", "zzzpoison03"):
+        rows.append(dict(image_id=pid, fmt_detected=None, w=None,
+                         h=None, depth=None, alpha=None, animated=None,
+                         probe_ok=False))
+    schema = pa.schema([
+        ("image_id", pa.string()), ("fmt_detected", pa.string()),
+        ("w", pa.int32()), ("h", pa.int32()), ("depth", pa.int32()),
+        ("alpha", pa.bool_()), ("animated", pa.bool_()),
+        ("probe_ok", pa.bool_()),
+    ])
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=schema,
+                               preserve_index=False)
+    pq.write_table(tbl, os.path.join(GOLDEN, "image_probe.parquet"))
+    print(f"image_probe: {len(rows)} rows")
+
+
 def make_ann_ivfpq() -> None:
     """ann_ivfpq.parquet + ann_ivfpq_refined.parquet: expected top-k of
     the IVF-PQ queries over the sf0.01 embeddings table, computed by
@@ -1005,3 +1048,4 @@ if __name__ == "__main__":
     make_ann_ivf()
     make_image_cls_stats()
     make_avif_probe()
+    make_image_probe()
