@@ -653,6 +653,9 @@ class Crawler:
         # circuit-breaker state (cfg.host_error_budget); loaded on
         # resume from snap/hosthealth_N, None until the first batch
         self._host_health = None
+        # crawl-delay table cache: (robots-table identity, materialized
+        # host-cardinality table) — see _crawl_delay_table
+        self._cd_cache = None
         self._n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         from pyspark.sql import functions as F
         if self.live is None:
@@ -1757,15 +1760,26 @@ class Crawler:
         Crawl-delay for this collector's UserAgent group (temoto
         CrawlDelay semantics, capped at cfg.crawl_delay_cap_s — an
         absurd advertised delay must not park a host forever). Host-
-        cardinality table, recomputed per batch so lazily-fetched
-        robots (live mode) take effect as they arrive; broadcast-
-        joined onto the admission pool."""
+        cardinality table, MATERIALIZED ONCE PER ROBOTS-STORE VERSION:
+        the table is a pure function of the robots table, and every
+        code path that changes that store reassigns ``self.robots``
+        (lazy-fetch delta, compaction reload, resume), so the cache is
+        keyed on the table's identity — corpus mode computes it once
+        for the whole crawl, live mode only when robots for a new host
+        actually arrived. Uncached, the two per-batch consumers
+        (admission quota + hosthealth spacing) re-ran the full robots
+        scan + parse UDF every batch — pure fixed overhead in the
+        politeness-bounded regime. Broadcast-joined onto the
+        admission pool."""
         import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.types import DoubleType
 
         if self.robots is None:
             return None
+        cached = self._cd_cache
+        if cached is not None and cached[0] is self.robots:
+            return cached[1]
         ua = self.cfg.user_agent
         cap = float(max(0, self.cfg.crawl_delay_cap_s))
 
@@ -1774,13 +1788,18 @@ class Crawler:
             from colly_spark.operators.robots import crawl_delay_of
             return bodies.map(lambda b: crawl_delay_of(b, ua))
 
-        return (self.robots
-                .filter(~F.coalesce(F.col("fetch_error"), F.lit(False)))
-                .withColumn("_cd_s", _cd(F.col("body")))
-                .filter(F.col("_cd_s").isNotNull() & (F.col("_cd_s") > 0))
-                .select("host",
-                        (F.least(F.col("_cd_s"), F.lit(cap)) * 1000)
-                        .cast("int").alias("_cd_ms")))
+        tbl = (self.robots
+               .filter(~F.coalesce(F.col("fetch_error"), F.lit(False)))
+               .withColumn("_cd_s", _cd(F.col("body")))
+               .filter(F.col("_cd_s").isNotNull() & (F.col("_cd_s") > 0))
+               .select("host",
+                       (F.least(F.col("_cd_s"), F.lit(cap)) * 1000)
+                       .cast("int").alias("_cd_ms"))
+               .localCheckpoint(eager=True))
+        # holding the robots ref in the key also pins it against id
+        # reuse; the previous checkpoint is released with the old ref
+        self._cd_cache = (self.robots, tbl)
+        return tbl
 
     def _update_host_health(self, fetch_now, done, fetch_errors,
                             batch: int) -> int:
