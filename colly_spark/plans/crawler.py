@@ -2560,37 +2560,58 @@ class Crawler:
         pending_empty = tmpl_on and m["deferred"] == 0
         frontier_dir = os.path.join(self.state, "snap", f"frontier_{batch:06d}")
         pending_dir = os.path.join(self.state, "snap", f"pending_{batch:06d}")
+        # per-sink wall stamps ride the metrics row (sink_s_* keys —
+        # deliberately NOT t_-prefixed: lap consumers sum t_* and the
+        # concurrent per-write walls overlap, so they must not enter
+        # that sum) to keep the fixed-overhead work data-driven; each
+        # stamp is that write's submit-to-finish wall inside the
+        # overlap (they sum to MORE than the t_sinks lap precisely
+        # when the overlap is working)
+        def timed(label, fn):
+            def run():
+                t0 = time.time()
+                fn()
+                m[f"sink_s_{label}"] = round(time.time() - t0, 2)
+            return run
+
         with ThreadPoolExecutor(max_workers=5) as ex:
             futs = []
             if errors_empty:
                 self._write_empty(errors_dir, "error")
             else:
-                futs.append(
-                    ex.submit(lambda: shrink(all_errors).write.mode("overwrite")
-                              .parquet(errors_dir)))
+                futs.append(ex.submit(timed(
+                    "errors",
+                    lambda: shrink(all_errors).write.mode("overwrite")
+                    .parquet(errors_dir))))
             if frontier_empty:
                 self._write_empty(frontier_dir, "frontier")
             else:
-                futs.append(
-                    ex.submit(lambda: (new_frontier.coalesce(4) if small
-                                       else new_frontier)
-                              .write.mode("overwrite").parquet(frontier_dir)))
+                futs.append(ex.submit(timed(
+                    "frontier",
+                    lambda: (new_frontier.coalesce(4) if small
+                             else new_frontier)
+                    .write.mode("overwrite").parquet(frontier_dir))))
             if pending_empty:
                 self._write_empty(pending_dir, "pending")
             else:
-                futs.append(
-                    ex.submit(lambda: shrink(deferred).write.mode("overwrite")
-                              .parquet(pending_dir)))
+                futs.append(ex.submit(timed(
+                    "pending",
+                    lambda: shrink(deferred).write.mode("overwrite")
+                    .parquet(pending_dir))))
             if m["fetched"] > 0:
                 # a batch with no fetches has an empty trace and no
                 # images — skip those write jobs entirely (handles glob
                 # only existing dirs; a deterministic recompute repeats
                 # the same skip, so resume stays exact)
                 futs += [
-                    ex.submit(lambda: shrink(trace).write.mode("overwrite").parquet(
-                        os.path.join(out, "trace", f"batch_{batch:06d}"))),
-                    ex.submit(lambda: shrink(images_out).write.mode("overwrite").parquet(
-                        os.path.join(out, "images", f"batch_{batch:06d}"))),
+                    ex.submit(timed(
+                        "trace",
+                        lambda: shrink(trace).write.mode("overwrite").parquet(
+                            os.path.join(out, "trace", f"batch_{batch:06d}")))),
+                    ex.submit(timed(
+                        "images",
+                        lambda: shrink(images_out).write.mode("overwrite").parquet(
+                            os.path.join(out, "images", f"batch_{batch:06d}")))),
                 ]
             for f in futs:
                 f.result()

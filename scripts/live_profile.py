@@ -80,8 +80,11 @@ def main():
     per_batch = []
     for m in handles.metrics:
         laps = {k: round(v, 2) for k, v in m.items() if k.startswith("t_")}
+        sinks = {k: round(v, 2) for k, v in m.items()
+                 if k.startswith("sink_s_")}
         per_batch.append(dict(batch=m["batch"], admitted=m.get("admitted"),
-                              total=round(sum(laps.values()), 2), **laps))
+                              total=round(sum(laps.values()), 2),
+                              **laps, **sinks))
     steady = per_batch[2:] or per_batch  # skip warm ramp
     lap_keys = sorted({k for b in steady for k in b if k.startswith("t_")})
     medians = {k: round(statistics.median(b.get(k, 0.0) for b in steady), 2)
